@@ -1,0 +1,92 @@
+"""Tokenization pipeline — exact reference semantics (F6-F12).
+
+Reproduces search-engin/src/main/java/indexer/Tokenizer.java:35-97 step
+for step:
+
+1. Unicode NFC normalize (Tokenizer.java:35).
+2. Extract special tokens from the NFC text: emails, then URLs, then
+   numbers, emitted as ``email:<m>`` / ``url:<m>`` (lowercased) /
+   ``num:<m>`` in match order (Tokenizer.java:71-90).
+3. Mask specials in the text: EMAIL -> ``_EMAIL_``, then URL -> ``_URL_``,
+   then NUM -> ``_NUM_``, each applied to the previous result
+   (Tokenizer.java:92-97).
+4. Lowercase; replace ``[^a-z0-9\\s_]`` with space; collapse ``\\s+``;
+   trim; split on whitespace (Tokenizer.java:39-43). Java ``\\s`` is
+   ASCII-only — mirrored here with explicit character classes.
+5. Keep tokens with 2 <= len <= 50 (Tokenizer.java:46).
+6. Drop stopwords; ``_email_`` / ``_num_`` bypass the filter
+   (``_url_`` does not, but is not a stopword) (Tokenizer.java:47).
+7. Porter2-stem tokens with len > 3; ``_email_`` / ``_num_`` skipped
+   (Tokenizer.java:55-69).
+8. Append the special tokens after the body tokens (Tokenizer.java:51).
+
+All regexes use ``re.ASCII`` so ``\\b`` / ``\\d`` / ``\\s`` match the
+Java (non-UNICODE_CHARACTER_CLASS) defaults.
+
+The pandas UDF wrapper is the only entry point used on executors; the
+pure function `tokenize` is the unit-testable core.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from nadry_spark.functions.porter2 import stem
+from nadry_spark.functions.stopwords import STOP_WORDS
+
+EMAIL_PATTERN = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}", re.ASCII)
+URL_PATTERN = re.compile(r"(?:https?://|www\.)[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}[^\s]*", re.ASCII)
+NUMBER_PATTERN = re.compile(r"\b\d+(?:\.\d+)?\b", re.ASCII)
+
+# Java: replaceAll("[^a-z0-9\\s_]", " ") with ASCII \s
+_NON_TOKEN = re.compile(r"[^a-z0-9 \t\n\x0b\f\r_]", re.ASCII)
+_WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+", re.ASCII)
+
+
+def extract_special_tokens(text: str) -> list[str]:
+    """Emails, then URLs, then numbers, in match order (Tokenizer.java:71-90)."""
+    specials: list[str] = []
+    for m in EMAIL_PATTERN.finditer(text):
+        specials.append("email:" + m.group().lower())
+    for m in URL_PATTERN.finditer(text):
+        specials.append("url:" + m.group().lower())
+    for m in NUMBER_PATTERN.finditer(text):
+        specials.append("num:" + m.group())
+    return specials
+
+
+def replace_special_tokens(text: str) -> str:
+    """Mask order matters: EMAIL, then URL, then NUM (Tokenizer.java:92-97)."""
+    result = EMAIL_PATTERN.sub("_EMAIL_", text)
+    result = URL_PATTERN.sub("_URL_", result)
+    result = NUMBER_PATTERN.sub("_NUM_", result)
+    return result
+
+
+def _apply_stemming(token: str) -> str:
+    if len(token) <= 3 or token == "_email_" or token == "_num_":
+        return token
+    return stem(token)
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Full pipeline; returns [] for null/empty input (Tokenizer.java:31-33)."""
+    if not text:
+        return []
+    text = unicodedata.normalize("NFC", text)
+    specials = extract_special_tokens(text)
+    processable = replace_special_tokens(text)
+
+    cleaned = _WS_RUN.sub(" ", _NON_TOKEN.sub(" ", processable.lower())).strip()
+    raw_tokens = cleaned.split(" ") if cleaned else []
+
+    out: list[str] = []
+    for tok in raw_tokens:
+        if not (2 <= len(tok) <= 50):
+            continue
+        if tok != "_email_" and tok != "_num_" and tok in STOP_WORDS:
+            continue
+        out.append(_apply_stemming(tok))
+    out.extend(specials)
+    return out

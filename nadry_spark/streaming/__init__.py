@@ -1,0 +1,1 @@
+"""Nadry-Search-Engine-BE rebuilt PySpark-native."""
