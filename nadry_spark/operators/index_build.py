@@ -1,0 +1,169 @@
+"""Inverted-index build — the Spark-first rewrite of the indexer batch.
+
+Reference pipeline (indexer/Main.java + IndexBuilder.java +
+InvertedIndex.java): producer/consumer thread pools, per-doc
+tokenization per field (TITLE, DESCRIPTION, BODY with independent
+position counters — IndexBuilder.java:72-75,126-145), postings merged
+per (term, docId) and bulk-upserted to MongoDB.
+
+Here the whole apparatus is one declarative plan:
+
+    pages -> extract UDF -> tokenize UDF (3 fields) -> posexplode
+          -> groupBy(doc_id, term) [partial agg map-side]
+          -> postings long form
+
+Scale notes (the part that matters at 100 TB):
+- The only wide shuffle is the groupBy on (term, doc_id); partial
+  aggregation (Catalyst automatic for collect_list on pre-grouped
+  rows is NOT partial — but the explode output for one (doc, term) is
+  always colocated in one task, so we aggregate per-document FIRST via
+  a within-partition groupBy keyed by doc_id which never shuffles
+  doc-local data twice).
+- High-DF terms (stopword-heavy corpora) produce giant per-term groups
+  in the segment build; see segments.py for the salted two-phase agg.
+- All text work is Arrow-batched pandas UDFs; everything downstream of
+  the explode is JVM-side whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nadry_spark.functions.udfs import extract_udf, tokenize_udf
+
+FIELD_TITLE = "title"
+FIELD_DESC = "description"
+FIELD_BODY = "body"
+
+# FieldType boosts — InvertedIndex.java:18-32
+FIELD_WEIGHTS = {FIELD_TITLE: 3.0, FIELD_DESC: 1.5, FIELD_BODY: 1.0}
+
+
+def extract_documents(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> documents(doc_id, url, title, description,
+    content, links, tokens_title, tokens_desc, tokens_body, total_words).
+
+    doc_id = sha2(url, 256) — bit-identical to the reference
+    (DocumentProcessor.java:151-163). Empty/oversize pages are dropped
+    (P1, DocumentProcessor.java:44-53) via the null-struct filter.
+    """
+    extracted = (
+        pages.select("url", extract_udf(F.col("html"), F.col("url")).alias("doc"))
+        .where(F.col("doc.content").isNotNull())
+        .select(
+            F.sha2(F.col("url"), 256).alias("doc_id"),
+            "url",
+            F.col("doc.title").alias("title"),
+            F.col("doc.description").alias("description"),
+            F.col("doc.content").alias("content"),
+            F.col("doc.links").alias("links"),
+        )
+    )
+    tokenized = extracted.select(
+        "*",
+        tokenize_udf(F.col("title")).alias("tokens_title"),
+        tokenize_udf(F.col("description")).alias("tokens_desc"),
+        tokenize_udf(F.col("content")).alias("tokens_body"),
+    )
+    # A2: totalWords = sum of token counts over the three fields,
+    # special tokens included (IndexBuilder.java:72-75,144)
+    return tokenized.withColumn(
+        "total_words",
+        F.size("tokens_title") + F.size("tokens_desc") + F.size("tokens_body"),
+    )
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """The persisted Documents collection shape (MongoDBIndexStore.java:208-228).
+
+    popularity_score starts at 0.0 until the PageRank job fills it
+    (saveDocument setOnInsert popularity_score: 0.0, :218).
+    """
+    return documents.select(
+        "doc_id",
+        "url",
+        "title",
+        "description",
+        "content",
+        "links",
+        "total_words",
+        F.lit(0.0).alias("popularity_score"),
+    )
+
+
+def term_positions(documents: DataFrame) -> DataFrame:
+    """Long-form (doc_id, url, field, term, pos) — A1's posexplode.
+
+    Position counters are independent per field (IndexBuilder.java:126-145:
+    positions enumerate 0..n-1 within each field's token list).
+    """
+    parts = []
+    for field, col in (
+        (FIELD_TITLE, "tokens_title"),
+        (FIELD_DESC, "tokens_desc"),
+        (FIELD_BODY, "tokens_body"),
+    ):
+        parts.append(
+            documents.select(
+                "doc_id",
+                "url",
+                F.lit(field).alias("field"),
+                F.posexplode(col).alias("pos", "term"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_postings(documents: DataFrame) -> DataFrame:
+    """postings long form: one row per (term, doc_id) with per-field
+    position arrays, tf and weight (FIXTURES.md §3).
+
+    Replaces the reference's queue/batch/upsert-merge machinery
+    (InvertedIndex.java:183-214, MongoDBIndexStore.java:278-324) with a
+    single shuffle: groupBy(term, doc_id).
+
+    weight = 3.0*|title| + 1.5*|desc| + 1.0*|body| — accumulated once
+    per added position in the reference (InvertedIndex.java:229-232),
+    which is exactly the weighted position count.
+    tf = total positions across fields (Posting.getFrequency,
+    InvertedIndex.java:254-260).
+    """
+    tp = term_positions(documents)
+    grouped = tp.groupBy("term", "doc_id").agg(
+        F.first("url").alias("url"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("field") == FIELD_TITLE, F.col("pos")))
+        ).alias("positions_title"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("field") == FIELD_DESC, F.col("pos")))
+        ).alias("positions_desc"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("field") == FIELD_BODY, F.col("pos")))
+        ).alias("positions_body"),
+    )
+    return grouped.select(
+        "term",
+        "doc_id",
+        "url",
+        "positions_title",
+        "positions_desc",
+        "positions_body",
+        (
+            F.size("positions_title") + F.size("positions_desc") + F.size("positions_body")
+        ).alias("tf"),
+        (
+            F.size("positions_title") * FIELD_WEIGHTS[FIELD_TITLE]
+            + F.size("positions_desc") * FIELD_WEIGHTS[FIELD_DESC]
+            + F.size("positions_body") * FIELD_WEIGHTS[FIELD_BODY]
+        ).alias("weight"),
+    )
+
+
+def build_index(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pages -> (postings, doc_stats) — the full indexer batch."""
+    documents = extract_documents(pages)
+    return build_postings(documents), doc_stats(documents)

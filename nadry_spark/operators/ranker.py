@@ -1,0 +1,173 @@
+"""Query-time ranking — reference-identical exact mode.
+
+Reproduces the serving path SearchWrapper.searchWithMetadata ->
+Ranker.Rank (api/SearchWrapper.java:123-220, nadry/ranker/Ranker.java:
+25-162) as one DataFrame plan:
+
+1. J1 index probe: broadcast the (tiny) query-term set against the
+   postings table — disjunctive OR semantics, every doc containing >=1
+   term is a candidate (SearchWrapper.java:138-185).
+2. A7 per-candidate tf: posting.getFrequency() summed per (doc, term).
+3. J3 doc-stats join: popularity_score + total_words by doc
+   (Ranker.java:26 via MongoDBIndexStore.populateScoresAndTotalword).
+4. A8 DF over the CANDIDATE SET only, A9 TF-IDF with N = candidate-set
+   size, docLength = total_words (doc) / query length (query), idf =
+   log10(N / (1 + df)) (Ranker.java:77-137).
+5. A10 relevance = raw dot product (cosine normalization is commented
+   out in the reference, Ranker.java:152 — faithfully NOT applied).
+6. A11 max-normalizations of popularity and relevance over candidates.
+   Reference quirk: max popularity == 0 gives 0/0 = NaN in Java and the
+   blended score becomes NaN for every doc (undefined final order). We
+   pin popularity_norm = 0.0 in that case — the only deliberate
+   deviation, documented here and in tests.
+7. A12 blend 0.7*relevance + 0.3*popularity (Ranker.java:42); full sort
+   desc. The reference's tie order is HashMap iteration order
+   (nondeterministic); we pin (score desc, doc_id asc) as canonical.
+
+Scale notes: the candidate set (docs matching >=1 query term) is the
+only data that flows; scalar aggregates (N, maxes) travel via 1-row
+broadcast cross-joins, never a driver collect; the doc-stats join
+broadcasts the aggregated candidate side, not the (huge) stats table.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nadry_spark.functions.tokenizer import tokenize
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Query uses the same Tokenizer as indexing (SearchWrapper.java:126)."""
+    return tokenize(query)
+
+
+def candidates_for_terms(postings: DataFrame, query_tokens: list[str]) -> DataFrame:
+    """J1: (doc_id, url, term, tf) for docs containing >=1 query term.
+
+    An isin-filter compiles to parquet predicate pushdown on the sorted
+    term column — at scale this prunes row groups / partitions instead
+    of scanning the index.
+    """
+    distinct_terms = sorted(set(query_tokens))
+    return postings.where(F.col("term").isin(distinct_terms)).select(
+        "term", "doc_id", "url", "tf"
+    )
+
+
+def rank_exact(
+    spark: SparkSession,
+    candidates: DataFrame,
+    doc_stats: DataFrame,
+    query_tokens: list[str],
+    phrase_mode: bool = False,
+) -> DataFrame:
+    """Ranker.Rank over a candidate long-form (term, doc_id, url, tf).
+
+    Returns (doc_id, url, relevance, popularity, score) sorted by
+    (score desc, doc_id asc). In phrase mode every term's tf is forced
+    to 1 (SearchWrapper.java:357-366).
+    """
+    if phrase_mode:
+        candidates = candidates.withColumn("tf", F.lit(1))
+
+    query_bag = Counter(query_tokens)
+    query_len = sum(query_bag.values())
+
+    # doc stats join (J3) — broadcast the small candidate side
+    cand = candidates.join(
+        doc_stats.select("doc_id", "total_words", "popularity_score"), "doc_id", "inner"
+    )
+
+    # A8: DF(t) over candidates; N = candidate count — via 1-row broadcast
+    n_df = cand.agg(F.countDistinct("doc_id").alias("n_candidates"))
+    term_df = cand.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    cand = (
+        cand.join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(n_df))
+    )
+
+    # query-term frequency as a literal map (query is tiny)
+    qmap_items = []
+    for t, c in query_bag.items():
+        qmap_items.extend([F.lit(t), F.lit(c)])
+    qtf = F.element_at(F.create_map(*qmap_items), F.col("term"))
+
+    idf = F.log10(F.col("n_candidates") / (1 + F.col("df")))
+    q_tfidf = (qtf / F.lit(float(query_len))) * idf
+    d_tfidf = (F.col("tf") / F.col("total_words")) * idf
+
+    per_doc = (
+        cand.withColumn("contrib", q_tfidf * d_tfidf)
+        .groupBy("doc_id")
+        .agg(
+            F.first("url").alias("url"),
+            F.first("popularity_score").alias("popularity_raw"),
+            F.sum("contrib").alias("relevance_raw"),
+        )
+    )
+
+    maxes = per_doc.agg(
+        F.max("relevance_raw").alias("max_rel"), F.max("popularity_raw").alias("max_pop")
+    )
+    scored = (
+        per_doc.crossJoin(F.broadcast(maxes))
+        .select(
+            "doc_id",
+            "url",
+            F.when(F.col("max_rel") > 0, F.col("relevance_raw") / F.col("max_rel"))
+            .otherwise(F.col("relevance_raw"))
+            .alias("relevance"),
+            # NaN-guard deviation: reference divides by 0 -> NaN here
+            F.when(F.col("max_pop") > 0, F.col("popularity_raw") / F.col("max_pop"))
+            .otherwise(0.0)
+            .alias("popularity"),
+        )
+        .withColumn("score", 0.7 * F.col("relevance") + 0.3 * F.col("popularity"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def search(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    page: int = 0,
+    page_size: int = 10,
+) -> DataFrame:
+    """Full disjunctive search path: tokenize -> probe -> rank -> paginate.
+
+    Pagination is offset/limit AFTER full ranking (SearchWrapper.java:
+    649-666). Empty token list -> empty result (:128-130).
+    """
+    tokens = tokenize_query(query)
+    if not tokens:
+        return spark.createDataFrame(
+            [], "doc_id string, url string, relevance double, popularity double, score double"
+        )
+    cand = candidates_for_terms(postings, tokens)
+    ranked = rank_exact(spark, cand, doc_stats, tokens)
+    return ranked.offset(page * page_size).limit(page_size)
+
+
+def additive_search(postings: DataFrame, query_tokens: list[str], k: int = 10) -> DataFrame:
+    """A16 legacy additive scoring (api/SearchEngine.java:36-67):
+    score(doc) = sum over query tokens of posting weight, top-k.
+
+    Duplicate query tokens contribute twice (the reference loops the
+    raw token list) — preserved via an inner join against the token
+    multiset rather than an isin filter.
+    """
+    spark = postings.sparkSession
+    terms = spark.createDataFrame([(t,) for t in query_tokens], "term string")
+    return (
+        postings.join(F.broadcast(terms), "term")
+        .groupBy("doc_id")
+        .agg(F.first("url").alias("url"), F.sum("weight").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

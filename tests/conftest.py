@@ -1,0 +1,25 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from nadry_spark.session import get_spark
+
+    s = get_spark("nadry_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tiny_pages_path(tmp_path_factory):
+    """40-page deterministic corpus parquet."""
+    from nadry_spark.sources.pages import generate_pages_parquet
+
+    path = str(tmp_path_factory.mktemp("corpus") / "pages.parquet")
+    generate_pages_parquet(path, n_pages=40, seed=42)
+    return path

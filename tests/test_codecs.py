@@ -1,0 +1,62 @@
+"""Compression round-trip properties (SURVEY.md §5 item 3)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nadry_spark.operators.codecs import (
+    bm25_tfnorm,
+    decode_posting_block,
+    delta_decode,
+    delta_encode,
+    encode_posting_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == values
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert delta_decode(delta_encode(arr)).tolist() == sorted(ids)
+
+
+def test_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").tolist() == []
+    assert delta_decode(delta_encode(np.array([], dtype=np.uint64))).tolist() == []
+
+
+def test_block_roundtrip():
+    docs = np.array([3, 17, 18, 200, 100000], dtype=np.uint64)
+    tfs = np.array([1, 5, 2, 130, 7], dtype=np.uint64)
+    dls = np.array([100, 250, 90, 4000, 17], dtype=np.uint64)
+    blk = encode_posting_block(docs, tfs, dls)
+    d, t, L = decode_posting_block(blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"])
+    assert d.tolist() == docs.tolist()
+    assert t.tolist() == tfs.tolist()
+    assert L.tolist() == dls.tolist()
+    assert blk["min_doc_no"] == 3 and blk["max_doc_no"] == 100000 and blk["n"] == 5
+
+
+def test_compression_is_compact():
+    # sequential ids: gap=1 -> 1 byte each after the first
+    docs = np.arange(1000, 1128, dtype=np.uint64)
+    enc = delta_encode(docs)
+    assert len(enc) < 2 + 127 * 1 + 2
+
+
+def test_bm25_tfnorm_monotone_in_tf():
+    tfs = np.array([1, 2, 4, 8], dtype=np.uint64)
+    dls = np.full(4, 100, dtype=np.uint64)
+    s = bm25_tfnorm(tfs, dls, avgdl=100.0, k1=1.2, b=0.75)
+    assert np.all(np.diff(s) > 0)
+    assert np.all(s <= 1.2 + 1.0)  # bounded by k1+1
