@@ -193,6 +193,139 @@ def q_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(F.row_number().over(w).alias("rank"), "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / textstats)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents unioned with a mutated copy (id+10000, ' extra tail')
+    so dedup queries have non-trivial matches to find."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text || ' extra tail' AS text FROM documents
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groups with >1 member (duplicated corpus:
+    every text and its identical twin would group — here dups come from
+    exact text collisions in the doubled corpus)."""
+    from nadry_spark.operators.dedup import exact_dup_groups
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return exact_dup_groups(doubled, "doc_id", "text")
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (shingle -> 16 md5-minhashes ->
+    4 bands -> jaccard >= 0.5) over the mutated-union corpus."""
+    from nadry_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        shingle_n=3, n_hashes=16, bands=4, threshold=0.5,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit md5-derived SimHash signature per doc."""
+    from nadry_spark.operators.dedup import simhash_signatures
+
+    sigs = simhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text")
+    return sigs.withColumnRenamed("id", "doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nadry_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir), "doc_id", "text").select("doc_id", "lang_pred")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nadry_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nadry_spark.operators.textstats import token_counts
+
+    tc = token_counts(_docs(spark, sf_dir), "doc_id", "text")
+    return tc.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("subword_pieces").cast("long").alias("subword_pieces"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nadry_spark.operators.textstats import md5_fingerprint
+
+    return md5_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    from nadry_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id"
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-minute inactivity gap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+            > 1800
+        ).cast("int").alias("new_sess"),
+    ).fillna({"new_sess": 1})
+    sess = gapped.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("sess_no").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_term_tf": q_doc_term_tf,
@@ -201,7 +334,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "additive_topk": q_additive_topk,
         "term_positions": q_term_positions,
         "tfidf_rank": q_tfidf_rank,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_sigs": q_simhash_sigs,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
     }
+
+
+def _minhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(16)
+    )
+    bands = "\n        UNION ALL ".join(
+        "SELECT id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b, sig=" || '|' || ".join(f"mh{b * 4 + r}" for r in range(4))
+        )
+        for b in range(4)
+    )
+    return f"""
+        WITH base AS ({_DOCS_WITH_DUPS_SQL}),
+        toks AS (SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS t FROM base),
+        ex AS (SELECT id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+        sh0 AS (
+            SELECT id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM ex WINDOW w AS (PARTITION BY id ORDER BY pos)
+        ),
+        sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+        banded AS ({bands}),
+        cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+        ),
+        sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_int
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+            GROUP BY a.id, b.id
+        ),
+        j AS (
+            SELECT id_a, id_b, n_int / (sa.n_sh + sb.n_sh - n_int) AS jacc
+            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        )
+        SELECT id_a, id_b, round(jacc, 9) AS jaccard FROM j WHERE jacc >= 0.5
+    """
+
+
+def _simhash_sql() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN substring(h, {j + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    concat = " || ".join(f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(32))
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+        ),
+        fx AS (SELECT doc_id, md5(tok) AS h FROM ex WHERE length(tok) > 0),
+        agg AS (SELECT doc_id, {sums} FROM fx GROUP BY doc_id)
+        SELECT doc_id, {concat} AS simhash FROM agg
+    """
+
+
+def _lang_sql() -> str:
+    from nadry_spark.operators.textstats import LANG_SIGNATURES
+
+    selects = []
+    for lang in sorted(LANG_SIGNATURES):
+        sig = ", ".join(f"'{w}'" for w in LANG_SIGNATURES[lang])
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(t, x -> list_contains([{sig}], x))) / greatest(len(t), 1) AS s "
+            f"FROM toks"
+        )
+    unions = "\n            UNION ALL ".join(selects)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+            FROM documents
+        ),
+        scores AS ({unions}),
+        best AS (
+            SELECT doc_id, lang, s,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+            FROM scores
+        )
+        SELECT doc_id, CASE WHEN s >= 0.05 THEN lang ELSE 'und' END AS lang_pred
+        FROM best WHERE rn = 1
+    """
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"])
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS n_tokens,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+                       greatest(length(text), 1) AS alpha_ratio,
+                   len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))) /
+                       greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1) AS unique_ratio,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains([{en}], x))) /
+                       greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1) AS stopword_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.3 * least(n_tokens / 200.0, 1.0)
+                     + 0.3 * alpha_ratio
+                     + 0.2 * unique_ratio
+                     + 0.2 * least(stopword_ratio * 5, 1.0), 9) AS quality
+        FROM f
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -275,5 +528,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_number() OVER (ORDER BY round(relevance, 9) DESC, doc_id ASC)::INT AS rank, doc_id
             FROM scored
+        """,
+        "exact_dup_groups": """
+            WITH doubled AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+            )
+            SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
+                   list_sort(list(doc_id)) AS ids
+            FROM doubled GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "minhash_pairs": _minhash_sql(),
+        "simhash_sigs": _simhash_sql(),
+        "lang_id": _lang_sql(),
+        "quality": _quality_sql(),
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS subword_pieces
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            v AS (SELECT vec_id AS nid, embedding AS vv FROM embeddings),
+            pairs AS (SELECT qid, nid, qv, vv FROM q CROSS JOIN v WHERE nid <> qid),
+            el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM pairs),
+            cos AS (
+                SELECT qid, nid, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+                FROM el GROUP BY qid, nid
+            ),
+            ranked AS (
+                SELECT qid AS query_id, nid AS neighbour_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY round(c, 9) DESC, nid ASC) AS rank
+                FROM cos
+            )
+            SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+        """,
+        "events_hourly": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800 THEN 1
+                            ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sess_no
+                FROM g
+            )
+            SELECT user_id, count(DISTINCT sess_no)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id
         """,
     }

@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Sections:
+- the oracle-checked operator queries over the testdata documents table
+- flagship end-to-end (real tokenizer index + exact rank)
+- synthetic-corpus index build (docs/sec) + BM25 taat/bmw + phrase over
+  compressed segments (corpus + segments cached in /tmp per size)
+
+Extra keys beyond the contract (throughput, docs/sec) are informational.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "10000"))
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/nadry_bench_cache")
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main() -> None:
+    from nadry_spark.session import get_spark
+
+    spark = get_spark("nadry_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- operator queries over testdata ----
+    for name, fn in entry_mod.queries().items():
+        t, _ = _timed(lambda fn=fn: fn(spark, SF_DIR).collect())
+        timings[name] = round(t, 3)
+
+    # ---- flagship ----
+    t, _ = _timed(lambda: entry_mod.entry(spark).collect())
+    timings["flagship_exact_rank"] = round(t, 3)
+
+    # ---- synthetic corpus: index build + segment queries ----
+    from nadry_spark.operators.bm25 import bm25_topk
+    from nadry_spark.operators.phrase import phrase_search
+    from nadry_spark.sources.pages import pages_dataframe
+    from nadry_spark.sources.segments import SegmentIndex, build_segments
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    corpus_dir = os.path.join(CACHE_ROOT, f"pages_{N_PAGES}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        t, _ = _timed(
+            lambda: pages_dataframe(spark, N_PAGES, partitions=max(CPUS, 8))
+            .write.mode("overwrite")
+            .parquet(corpus_dir)
+        )
+        extras["corpus_gen"] = round(t, 3)
+
+    seg_dir = os.path.join(CACHE_ROOT, f"segments_{N_PAGES}_cpu{CPUS}")
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    pages = spark.read.parquet(corpus_dir)
+    t, meta = _timed(
+        lambda: build_segments(
+            spark, pages, seg_dir, n_shards=max(8, CPUS), shards_per_job=max(8, CPUS)
+        )
+    )
+    timings["index_build"] = round(t, 3)
+    extras["index_docs_per_sec"] = round(meta["n_docs"] / t, 1)
+
+    idx = SegmentIndex(spark, seg_dir)
+    queries = ["news report update", "table batch value sort", "news 2024"]
+    for mode in ("taat", "bmw"):
+        t0 = time.time()
+        for q in queries:
+            bm25_topk(idx, q, k=10, mode=mode).collect()
+        timings[f"bm25_{mode}_p50"] = round((time.time() - t0) / len(queries), 3)
+
+    t, _ = _timed(lambda: phrase_search(idx, "news report", k=10).collect())
+    timings["phrase_search"] = round(t, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "nadry_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "bench_pages": N_PAGES,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

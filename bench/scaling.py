@@ -1,0 +1,127 @@
+"""Two-parallelism scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors; evidenced in this sandbox
+as local[8] vs local[32] on IDENTICAL input — no real cluster here).
+
+Runs the index build + BM25 query suite as separate subprocesses (a
+Spark master cannot change within one JVM) and writes BENCH/BASELINE.md.
+
+    python bench/scaling.py [--pages 60000] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); corpus = sys.argv[3]
+from nadry_spark.session import get_spark
+spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+from nadry_spark.sources.segments import build_segments, SegmentIndex
+from nadry_spark.operators.bm25 import bm25_topk
+
+pages = spark.read.parquet(corpus)
+seg_dir = f"/tmp/nadry_scaling_seg_{{cpus}}"
+shutil.rmtree(seg_dir, ignore_errors=True)
+t0 = time.time()
+meta = build_segments(spark, pages, seg_dir, n_shards=32, shards_per_job=32)
+build_sec = time.time() - t0
+
+idx = SegmentIndex(spark, seg_dir)
+queries = ["news report update", "table batch value sort", "news 2024",
+           "small filter merge", "report table news batch"]
+bm25_topk(idx, queries[0], k=10).collect()  # warm
+t0 = time.time()
+for q in queries:
+    bm25_topk(idx, q, k=10, mode="taat").collect()
+query_sec = (time.time() - t0) / len(queries)
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "n_docs": meta["n_docs"], "build_sec": round(build_sec, 2),
+    "docs_per_sec": round(meta["n_docs"] / build_sec, 1),
+    "bm25_p50_sec": round(query_sec, 3),
+}}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n_pages: int, corpus: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_pages), corpus],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker cpus={cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=60000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    # corpus generated ONCE -> identical input for both runs
+    corpus = f"/tmp/nadry_scaling_pages_{args.pages}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        sys.path.insert(0, REPO)
+        from nadry_spark.session import get_spark
+        from nadry_spark.sources.pages import pages_dataframe
+
+        spark = get_spark("gen", master="local[32]")
+        pages_dataframe(spark, args.pages, partitions=64).write.mode("overwrite").parquet(corpus)
+        spark.stop()
+
+    low = run(args.low, args.pages, corpus)
+    high = run(args.high, args.pages, corpus)
+    ratio = args.high / args.low
+    eff_build = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
+    report = {
+        "input": {"pages": args.pages, "corpus": corpus, "identical_input": True},
+        "low": low,
+        "high": high,
+        "scaling_efficiency_build": round(eff_build, 3),
+        "meets_0_8": eff_build >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured numbers (sandbox local mode)
+
+North-rule scaling criterion evidenced as local[{args.low}] vs
+local[{args.high}] (no real cluster in this sandbox) on IDENTICAL input:
+a {args.pages}-page deterministic synthetic Common-Crawl-style corpus
+(seed 42), full index build (extract + tokenize + postings blocks +
+positions + manifests) and BM25 top-10 query p50 over the built
+segments.
+
+| parallelism | build sec | docs/sec | BM25 top-10 p50 (s) |
+|---|---|---|---|
+| local[{args.low}] | {low['build_sec']} | {low['docs_per_sec']} | {low['bm25_p50_sec']} |
+| local[{args.high}] | {high['build_sec']} | {high['docs_per_sec']} | {high['bm25_p50_sec']} |
+
+**Index-build throughput scaling efficiency ({args.low}->{args.high},
+x{ratio:.0f} cores): {eff_build:.3f}** (target >= 0.8: {'MET' if eff_build >= 0.8 else 'NOT MET'}).
+
+Reproduce: `python bench/scaling.py --pages {args.pages} --low {args.low} --high {args.high}`
+"""
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

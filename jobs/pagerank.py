@@ -1,0 +1,71 @@
+"""PageRank job: reads a built segment dir, computes reference-exact
+PageRank over the doc link graph and writes popularity back into docmap.
+
+    python jobs/pagerank.py --segments /data/segments
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segments", required=True)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from nadry_spark.operators.pagerank import apply_pagerank, pagerank
+    from nadry_spark.session import get_spark
+
+    spark = get_spark("nadry_pagerank", master=args.master)
+    t0 = time.time()
+    docmap = spark.read.parquet(os.path.join(args.segments, "docmap"))
+    content = spark.read.parquet(os.path.join(args.segments, "docs_content"))
+    docs = docmap.select("doc_no", "url").join(content.select("doc_no", "links"), "doc_no")
+
+    ranks = pagerank(
+        docs.select("url", "links"),
+        damping=args.damping,
+        tol=args.tol,
+        max_iter=args.max_iter,
+    )
+    updated = apply_pagerank(docmap, ranks)
+    tmp = os.path.join(args.segments, "docmap_new")
+    updated.repartitionByRange(4, "doc_no").write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap
+    final = os.path.join(args.segments, "docmap")
+    bak = os.path.join(args.segments, "docmap_old")
+    if os.path.exists(bak):
+        import shutil
+
+        shutil.rmtree(bak)
+    os.replace(final, bak)
+    os.replace(tmp, final)
+
+    n_ranked = ranks.count()
+    print(
+        json.dumps(
+            {
+                "event": "pagerank_done",
+                "n_ranked": n_ranked,
+                "elapsed_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

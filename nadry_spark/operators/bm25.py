@@ -1,0 +1,273 @@
+"""BM25 top-k over compressed segments: distributed block-max WAND.
+
+north_star: "multi-term conjunctive/disjunctive top-k via posting-list
+intersection with block-max WAND pruning and a bounded min-heap".
+
+Architecture: shards partition the doc space, so per-shard scoring is
+exact and independent; the global top-k is the k-way merge (orderBy +
+limit k on <= n_shards * k rows). Two shard scorers, identical output:
+
+* ``taat`` — term-at-a-time, numpy-vectorized dense accumulator.
+  No per-posting Python; usually fastest when shard posting lists fit
+  the accumulator (they do by construction: accumulator = shard_size
+  floats).
+* ``bmw`` — document-at-a-time block-max WAND with a bounded min-heap.
+  Skips whole blocks without decoding when the sum of current block
+  max scores can't beat the heap threshold. Wins when k is small and
+  query terms have very long lists with selective score distribution.
+
+Both support disjunctive (OR) and conjunctive (AND) modes. idf is the
+Lucene/Robertson BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+positive, monotone in rarity.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nadry_spark.functions.tokenizer import tokenize
+from nadry_spark.operators.codecs import bm25_tfnorm, decode_posting_block
+from nadry_spark.sources.segments import SegmentIndex
+
+TOPK_SCHEMA = "doc_no long, score double"
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
+                idf_map: dict[str, float], n_query_terms: int, conjunctive: bool):
+    def score(key, pdf: pd.DataFrame):
+        base = int(key[0]) * shard_size
+        scores = np.zeros(shard_size, dtype=np.float64)
+        seen_terms = np.zeros(shard_size, dtype=np.int32)
+        for term, tpdf in pdf.groupby("term"):
+            idf = idf_map[term]
+            for docs_bin, tfs_bin, dls_bin in zip(
+                tpdf["docs_bin"], tpdf["tfs_bin"], tpdf["dls_bin"]
+            ):
+                doc_nos, tfs, dls = decode_posting_block(docs_bin, tfs_bin, dls_bin)
+                idx = (doc_nos - np.uint64(base)).astype(np.int64)
+                scores[idx] += idf * bm25_tfnorm(tfs, dls, avgdl, k1, b)
+                seen_terms[idx] += 1
+        if conjunctive:
+            mask = seen_terms == n_query_terms
+        else:
+            mask = seen_terms > 0
+        cand = np.nonzero(mask)[0]
+        if cand.size == 0:
+            return pd.DataFrame({"doc_no": [], "score": []}).astype(
+                {"doc_no": "int64", "score": "float64"}
+            )
+        topn = min(k, cand.size)
+        # top-k by (score desc, doc_no asc): argpartition then exact sort
+        part = cand[np.argpartition(-scores[cand], topn - 1)[:topn]]
+        order = np.lexsort((part, -scores[part]))
+        sel = part[order]
+        return pd.DataFrame(
+            {"doc_no": (sel + base).astype("int64"), "score": scores[sel]}
+        )
+
+    return score
+
+
+class _TermCursor:
+    """Cursor over one term's blocks within a shard (lazy block decode)."""
+
+    __slots__ = ("idf", "blocks", "bi", "pi", "doc_nos", "tfnorms", "max_score", "cur", "_k1b")
+
+    def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float):
+        self.idf = idf
+        # blocks sorted by min_doc_no: list of dicts w/ bins + max_tfnorm
+        self.blocks = blocks
+        self.bi = -1
+        self.pi = 0
+        self.doc_nos = None
+        self.tfnorms = None
+        self.max_score = idf * max(blk["max_tfnorm"] for blk in blocks)
+        self._k1b = (k1, b, avgdl)
+        self.cur = -1
+        self._next_block()
+
+    def _decode(self, blk):
+        k1, b, avgdl = self._k1b
+        doc_nos, tfs, dls = decode_posting_block(
+            blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"]
+        )
+        self.doc_nos = doc_nos.astype(np.int64)
+        self.tfnorms = bm25_tfnorm(tfs, dls, avgdl, k1, b)
+
+    def _next_block(self):
+        self.bi += 1
+        if self.bi >= len(self.blocks):
+            self.cur = None  # exhausted
+            return
+        self._decode(self.blocks[self.bi])
+        self.pi = 0
+        self.cur = int(self.doc_nos[0])
+
+    def block_max(self) -> float:
+        return self.idf * self.blocks[self.bi]["max_tfnorm"]
+
+    def score_current(self) -> float:
+        return self.idf * float(self.tfnorms[self.pi])
+
+    def advance(self):
+        """Next posting."""
+        self.pi += 1
+        if self.pi >= len(self.doc_nos):
+            self._next_block()
+        else:
+            self.cur = int(self.doc_nos[self.pi])
+
+    def seek(self, target: int):
+        """Advance to first doc_no >= target, skipping blocks w/o decode."""
+        if self.cur is None or self.cur >= target:
+            return
+        # skip whole blocks by max_doc_no (no decode)
+        while self.bi < len(self.blocks) and self.blocks[self.bi]["max_doc_no"] < target:
+            self.bi += 1
+            self.doc_nos = None
+        if self.bi >= len(self.blocks):
+            self.cur = None
+            return
+        if self.doc_nos is None:
+            self._decode(self.blocks[self.bi])
+        self.pi = int(np.searchsorted(self.doc_nos, target, side="left"))
+        if self.pi >= len(self.doc_nos):
+            self._next_block()
+        else:
+            self.cur = int(self.doc_nos[self.pi])
+
+
+def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
+               idf_map: dict[str, float], n_query_terms: int, conjunctive: bool):
+    def score(key, pdf: pd.DataFrame):
+        cursors: list[_TermCursor] = []
+        for term, tpdf in pdf.groupby("term"):
+            blocks = (
+                tpdf.sort_values("min_doc_no")[
+                    ["min_doc_no", "max_doc_no", "docs_bin", "tfs_bin", "dls_bin", "max_tfnorm"]
+                ]
+                .to_dict("records")
+            )
+            cursors.append(_TermCursor(idf_map[term], blocks, k1, b, avgdl))
+        if conjunctive and len(cursors) < n_query_terms:
+            return pd.DataFrame({"doc_no": [], "score": []}).astype(
+                {"doc_no": "int64", "score": "float64"}
+            )
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_no) min-heap, size k
+        threshold = -math.inf
+
+        def push(doc_no: int, s: float):
+            nonlocal threshold
+            item = (s, -doc_no)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                if len(heap) == k:
+                    threshold = heap[0][0]
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+                threshold = heap[0][0]
+
+        live = [c for c in cursors if c.cur is not None]
+        while live:
+            live.sort(key=lambda c: c.cur)
+            if conjunctive:
+                if len(live) < n_query_terms:
+                    break
+                pivot_doc = live[-1].cur  # all terms must contain the doc
+                ub = sum(c.max_score for c in live)
+                if ub <= threshold and len(heap) == k:
+                    break
+            else:
+                # WAND pivot: smallest prefix whose UB sum beats threshold
+                acc = 0.0
+                pivot_idx = None
+                for i, c in enumerate(live):
+                    acc += c.max_score
+                    if acc > threshold or len(heap) < k:
+                        pivot_idx = i
+                        break
+                if pivot_idx is None:
+                    break  # nothing can beat the heap
+                pivot_doc = live[pivot_idx].cur
+
+            # align: all cursors before pivot must reach pivot_doc
+            aligned = all(c.cur == pivot_doc for c in live if c.cur <= pivot_doc)
+            if aligned:
+                at_pivot = [c for c in live if c.cur == pivot_doc]
+                # block-max check: sum of current block maxes
+                bub = sum(c.block_max() for c in at_pivot)
+                if bub > threshold or len(heap) < k or conjunctive:
+                    if not conjunctive or len(at_pivot) == n_query_terms:
+                        s = sum(c.score_current() for c in at_pivot)
+                        push(pivot_doc, s)
+                for c in at_pivot:
+                    c.advance()
+            else:
+                for c in live:
+                    if c.cur < pivot_doc:
+                        c.seek(pivot_doc)
+            live = [c for c in live if c.cur is not None]
+
+        rows = sorted(((s, -negd) for s, negd in heap), key=lambda x: (-x[0], x[1]))
+        return pd.DataFrame(
+            {"doc_no": [d for _, d in rows], "score": [s for s, _ in rows]}
+        ).astype({"doc_no": "int64", "score": "float64"})
+
+    return score
+
+
+def bm25_topk(
+    index: SegmentIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "taat",
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Tokenize -> prune blocks by term -> per-shard top-k -> global top-k.
+
+    Returns (doc_id, url, doc_no, score) ordered by (score desc, doc_no).
+    """
+    spark = index.spark
+    tokens = tokenize(query)
+    distinct = sorted(set(tokens))
+    empty = spark.createDataFrame([], "doc_id string, url string, doc_no long, score double")
+    if not distinct:
+        return empty
+    stats = index.term_stats(distinct)
+    terms = [t for t in distinct if t in stats]
+    if not terms:
+        return empty
+    if conjunctive and len(terms) < len(distinct):
+        return empty  # a missing term can never be matched conjunctively
+    n_docs = index.meta["n_docs"]
+    idf_map = {t: bm25_idf(n_docs, stats[t]["df"]) for t in terms}
+
+    blocks = index.blocks.where(F.col("term").isin(terms))
+    meta = index.meta
+    args = dict(
+        k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
+        idf_map=idf_map, n_query_terms=len(terms), conjunctive=conjunctive,
+    )
+    if mode == "taat":
+        scorer = _shard_taat(shard_size=meta["shard_size"], **args)
+    else:
+        scorer = _shard_bmw(**args)
+
+    per_shard = blocks.groupBy("shard").applyInPandas(scorer, TOPK_SCHEMA)
+    topk = per_shard.orderBy(F.desc("score"), F.asc("doc_no")).limit(k)
+    return (
+        index.docmap.join(F.broadcast(topk), "doc_no")
+        .select("doc_id", "url", "doc_no", "score")
+        .orderBy(F.desc("score"), F.asc("doc_no"))
+    )

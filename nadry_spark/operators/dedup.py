@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup is the crawl-side compact-string signature
+(webCrawler/WebCrawler.java:224-243, F13) and the visited-url
+anti-join (P2/P3). This module keeps those (reference parity) and adds
+the standard web-scale family: exact hash dedup, MinHash+LSH, SimHash,
+and n-gram Jaccard verification.
+
+Cross-engine determinism: every hash used here is md5 (identical in
+Spark and DuckDB) so each operator has an exact SQL oracle. All
+operators are pure DataFrame/SQL expressions — no UDFs — and scale as
+one or two shuffles:
+
+* exact:    groupBy(md5(text))           — 1 shuffle
+* minhash:  explode shingles -> groupBy(doc) agg n mins -> band
+            groupBy                      — 2 shuffles, band buckets
+            bound the pair blow-up
+* simhash:  explode tokens -> 32 bit-majority aggs -> groupBy sig
+* jaccard:  shingle self-join restricted to candidate pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+# ---------------------------------------------------------------------------
+# exact + compact-string (reference F13/P3)
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, n_dups, doc_ids) for texts occurring more than once."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per identical text (first-writer-wins analog
+    of the reference's setOnInsert upsert, MongoDBIndexStore.java:222)."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def compact_string_col(text_col: str):
+    """F13 (WebCrawler.java:224-243): concat first char of every
+    whitespace-separated word with len>2 whose first char is
+    alphanumeric. Pure column expression."""
+    words = F.split(F.col(text_col), r"\s+")
+    firsts = F.transform(
+        F.filter(
+            words,
+            lambda wrd: (F.length(wrd) > 2)
+            & F.substring(wrd, 1, 1).rlike("[a-zA-Z0-9]"),
+        ),
+        lambda wrd: F.substring(wrd, 1, 1),
+    )
+    return F.array_join(firsts, "")
+
+
+def compact_string_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """P3 near-dup filter: keep min-id doc per compact-string signature."""
+    sig = df.select(F.col(id_col), compact_string_col(text_col).alias("sig"))
+    keep = sig.groupBy("sig").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams over lowercased \\s+ tokens.
+
+    Expressed with transform over a sequence of start offsets so the
+    whole thing stays in whole-stage codegen.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.size(toks) - F.lit(n - 1)
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) — mh_i = min(md5(i || shingle)).
+
+    String-min over md5 hex digests: identical in any engine, no seed
+    material beyond the hash index.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing at least one LSH band."""
+    rows = n_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_frames.append(
+            signatures.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("sig"),
+            )
+        )
+    banded = band_frames[0]
+    for fr in band_frames[1:]:
+        banded = banded.unionByName(fr)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """(id_a, id_b, jaccard) via shingle self-join; optionally restricted
+    to LSH candidates (the scale path — never all-pairs)."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    bb = shingles.alias("b")
+    inter = (
+        a.join(bb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_int"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle -> minhash -> band-bucket ->
+    jaccard-verify >= threshold. Returns (id_a, id_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(sh, n_hashes)
+    cand = lsh_candidate_pairs(sigs, n_hashes, bands)
+    return jaccard_pairs(sh, cand, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash string of `bits` 0/1 chars).
+
+    bit_j(token) = high bit of md5 hex nibble j; signature bit j =
+    majority vote weighted by token frequency. md5-derived so the SQL
+    oracle reproduces it exactly.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("h"), j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*aggs)
+    bit_chars = [F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(bits)]
+    return per_doc.select("id", F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Docs sharing an identical simhash signature (near-dup buckets)."""
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.col("n") > 1)
+    )

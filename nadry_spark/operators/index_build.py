@@ -167,3 +167,52 @@ def build_index(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """pages -> (postings, doc_stats) — the full indexer batch."""
     documents = extract_documents(pages)
     return build_postings(documents), doc_stats(documents)
+
+
+def term_posting_lists(
+    postings: DataFrame,
+    skew_threshold: int = 100_000,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """A4: term -> full sorted posting array (the reference's
+    `inverted_index` document shape, MongoDBIndexStore.java:278-324) via
+    a salted two-phase aggregation.
+
+    A plain ``groupBy(term).agg(collect_list(...))`` puts a high-DF
+    term's entire posting list through ONE reducer — at web scale a
+    stopword-adjacent term (DF ~ corpus size) is a multi-GB group that
+    OOMs the task. AQE splits skewed *joins* but not a skewed
+    collect_list group, so the skew is handled explicitly:
+
+    phase 0: sketch per-term DF (cheap count agg);
+    phase 1: skewed terms get a doc_id-hash salt -> groupBy(term, salt)
+             collects bounded partial lists in parallel;
+    phase 2: groupBy(term) flattens + sorts the few partial lists.
+
+    Non-skewed terms take the single-phase path and are unioned in.
+    """
+    df_sketch = postings.groupBy("term").agg(F.count("*").alias("_df"))
+    hot_terms = df_sketch.where(F.col("_df") >= skew_threshold).select("term")
+
+    entry = F.struct(
+        F.col("doc_id"), F.col("url"),
+        F.col("positions_title"), F.col("positions_desc"), F.col("positions_body"),
+        F.col("tf"), F.col("weight"),
+    )
+
+    cold = postings.join(F.broadcast(hot_terms), "term", "left_anti")
+    cold_lists = cold.groupBy("term").agg(
+        F.sort_array(F.collect_list(entry)).alias("postings")
+    )
+
+    hot = postings.join(F.broadcast(hot_terms), "term", "left_semi")
+    salted = (
+        hot.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
+        .groupBy("term", "_salt")
+        .agg(F.sort_array(F.collect_list(entry)).alias("partial"))
+    )
+    hot_lists = (
+        salted.groupBy("term")
+        .agg(F.sort_array(F.flatten(F.collect_list(F.col("partial")))).alias("postings"))
+    )
+    return cold_lists.unionByName(hot_lists)

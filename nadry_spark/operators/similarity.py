@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not present in the reference (no vector features in Nadry); added as
+first-class training-data-pipeline operators per the build brief:
+
+* brute-force cosine top-k — the exactness baseline; the dot product is
+  a JVM-side ``aggregate(zip_with(...))`` expression, no Python.
+* sign-LSH bucketed top-k — the scale path: hyperplane sign bits from
+  fixed dimensions bucket the vectors; only same-bucket (or
+  neighbouring-bucket) pairs are scored. Deterministic, seedless, and
+  SQL-oracle-expressible (bit_d = embedding[d] >= 0).
+* cosine near-dup pairs — all pairs above a threshold, LSH-restricted.
+
+At 100TB the brute-force path is a cross join and exists only as the
+correctness oracle / small-query path; callers are pointed at the LSH
+variant (or an IVF build over it) for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float32*float32 then widen loses bits the
+    # double*double product keeps (matters for oracle comparability)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: exact cosine top-k neighbours (excluding
+    itself). queries is small -> broadcast; one pass over vectors.
+
+    Returns (query_id, rank, neighbour_id) with deterministic ties
+    (cosine desc, neighbour_id asc); the float score is intentionally
+    not part of the output contract (cross-engine fp stability) but a
+    `cosine` column is included for in-engine use.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbour_id"), F.col(vec_col).alias("vvec"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbour_id",
+            cosine(F.col("qvec"), F.col("vvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine")
+    )
+
+
+def sign_lsh_bucket(vec_col: str, dims: list[int]) -> Column:
+    """Bucket id string from sign bits of fixed dimensions."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, "1").otherwise("0")
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: only same-sign-bucket pairs are scored.
+
+    Recall < 1 by design; the bucketed equi-join replaces the cross
+    join, which is what survives the 100x scale-up.
+    """
+    from pyspark.sql import Window
+
+    dims = dims or [0, 1, 2, 3, 4, 5]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(vec_col, dims).alias("bucket"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).alias("vvec"),
+        sign_lsh_bucket(vec_col, dims).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbour_id",
+            cosine(F.col("qvec"), F.col("vvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine")
+    )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold, LSH-bucketed."""
+    dims = dims or [0, 1, 2, 3, 4, 5]
+    tagged = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_lsh_bucket(vec_col, dims).alias("bucket"),
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,156 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All hot-path variants are pure column expressions (JVM, codegen);
+the rolling-hash fingerprint also has a pandas-UDF variant for the
+n-gram-window form that SQL can't express cheaply.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tiny per-language stopword signatures (public common-word lists)
+LANG_SIGNATURES = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    """Per-language hit ratio of signature words among tokens."""
+    toks = _tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, sig in LANG_SIGNATURES.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(sig)))
+        out[lang] = (hits / n).alias(f"score_{lang}")
+    return out
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, min_score: float = 0.05) -> DataFrame:
+    """(id, lang, lang_score): argmax signature ratio, 'und' below floor.
+
+    Deterministic tie-break: higher score wins, then lexicographic lang.
+    """
+    scores = lang_scores(text_col)
+    pairs = [F.struct(col.alias("s"), F.lit(lang).alias("l")) for lang, col in sorted(scores.items())]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return df.select(
+        F.col(id_col),
+        F.when(best["s"] >= min_score, best["l"]).otherwise("und").alias("lang_pred"),
+        best["s"].alias("lang_score"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality signals: length, token count, mean word length,
+    alpha ratio, digit ratio, stopword ratio, uniqueness ratio."""
+    toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    text_len = F.length(F.col(text_col))
+    en = LANG_SIGNATURES["en"]
+    return df.select(
+        F.col(id_col),
+        text_len.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (text_len / F.greatest(n_toks, F.lit(1))).alias("mean_word_len"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+            / F.greatest(text_len, F.lit(1))
+        ).alias("alpha_ratio"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+            / F.greatest(text_len, F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(en)))
+            / F.greatest(n_toks, F.lit(1))
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1))
+        ).alias("unique_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Blended 0-1 quality score from the features (heuristic weights)."""
+    feats = quality_features(df, id_col, text_col)
+    clamped_len = F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0))
+    score = (
+        0.3 * clamped_len
+        + 0.3 * F.col("alpha_ratio")
+        + 0.2 * F.col("unique_ratio")
+        + 0.2 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    )
+    return feats.select(F.col(id_col), F.round(score, 9).alias("quality"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex pieces:
+    letter-runs, digit-runs, single punctuation marks). RE2-compatible
+    pattern so the DuckDB oracle can mirror it exactly."""
+    ws = F.size(_tokens(text_col))
+    pieces = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        pieces.alias("subword_pieces"),
+    )
+
+
+def md5_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whole-document fingerprint over whitespace-normalized text."""
+    normed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(normed).alias("fingerprint"))
+
+
+_FP_SCHEMA = T.ArrayType(T.LongType())
+
+_B = 1_000_000_007
+_M = (1 << 61) - 1
+
+
+@F.pandas_udf(_FP_SCHEMA)
+def rolling_fingerprints_udf(text: pd.Series) -> pd.Series:
+    """Rabin-Karp rolling hashes of 32-byte windows, sampled via 0 mod 8
+    (winnowing-style): the document's robust local fingerprints."""
+
+    def fps(s):
+        if s is None:
+            return []
+        data = s.encode("utf-8", errors="replace")
+        w = 32
+        if len(data) < w:
+            return [_hash_bytes(data)] if data else []
+        h = 0
+        pw = pow(_B, w - 1, _M)
+        out = []
+        for i, c in enumerate(data):
+            if i >= w:
+                h = (h - data[i - w] * pw) % _M
+            h = (h * _B + c) % _M
+            if i >= w - 1 and h % 8 == 0:
+                out.append(h % (1 << 62))
+        return sorted(set(out))[:64]
+
+    def _hash_bytes(bs):
+        h = 0
+        for c in bs:
+            h = (h * _B + c) % _M
+        return h % (1 << 62)
+
+    return text.map(fps)

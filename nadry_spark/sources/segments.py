@@ -1,0 +1,372 @@
+"""Persistent index segments — the 100TB-scale layout.
+
+Replaces the reference's MongoDB `inverted_index` collection
+(indexer/MongoDBIndexStore.java:230-324) with a doc-sharded,
+term-sorted, block-compressed Parquet layout:
+
+    out/
+      docmap/                 (doc_id, doc_no, shard, url, title,
+                               description, total_words, popularity_score)
+      docs_content/           (doc_no, content, links) — enrichment only
+      postings/shard=S/       (term, min_doc_no, max_doc_no, n_docs,
+                               docs_bin, tfs_bin, dls_bin, max_tfnorm)
+                              sorted by (term, min_doc_no) within files
+      positions/shard=S/      (term, doc_no, positions_title/desc/body)
+      terms/                  (term, df, n_blocks)  — the dictionary
+      meta.json               n_docs, avgdl, k1, b, block_size, ...
+      manifest/shard_K.json   per-shard lineage + metrics rows
+
+Design decisions (scale rationale):
+
+* **Doc-range sharding.** Every term's postings for one doc range live
+  in the same shard, so per-shard top-k (TAAT or block-max WAND) is
+  partition-local and the global answer is a k-way merge of shard
+  top-ks — the classic document-sharded search architecture. Shards
+  also bound skew: a term's per-shard group is <= shard_size docs, so
+  the blocks groupBy never sees a corpus-sized hot key.
+* **Dense doc numbering** by global doc_id rank, assigned with the
+  two-phase count/offset pattern (no single-partition window, no
+  driver collect of data rows) — delta gaps stay small and blocks
+  compress to ~1 byte/doc.
+* **Block compression**: delta-gap + varint blocks of 128 with
+  per-block max_tfnorm (BM25 upper bound) for block-max pruning.
+* **Resumable build**: shards build in groups; each group commit
+  appends per-shard manifest rows (atomic rename). Resume anti-joins
+  pending shards against the manifest (north_rule checkpoint/lineage).
+
+Reference parity notes: doc_id = sha2(url); postings carry per-field
+positions in the positions table; tf/weight semantics are those of
+InvertedIndex.Posting (java:216-281).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nadry_spark.operators.codecs import bm25_tfnorm, encode_posting_block
+
+DEFAULT_BLOCK_SIZE = 128
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+BLOCKS_SCHEMA = (
+    "shard int, term string, min_doc_no long, max_doc_no long, n_docs int, "
+    "docs_bin binary, tfs_bin binary, dls_bin binary, max_tfnorm double"
+)
+
+
+# ---------------------------------------------------------------------------
+# doc numbering
+# ---------------------------------------------------------------------------
+
+
+def assign_doc_numbers(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Add a dense 0-based doc_no = global rank of doc_id.
+
+    Two-phase: range-partition by doc_id, count per partition (P tiny
+    rows to the driver), then offset + local row_number. No global
+    window, no data collect — scales to any corpus size.
+    """
+    spark = docs.sparkSession
+    p = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    parted = docs.repartitionByRange(p, "doc_id").sortWithinPartitions("doc_id")
+    parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    items: list = []
+    for pid, off in offsets.items():
+        items.extend([F.lit(pid), F.lit(off)])
+    offmap = F.create_map(*items) if items else F.create_map()
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    out = parted.withColumn(
+        "doc_no",
+        (F.element_at(offmap, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
+    ).drop("_pid")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# manifest
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    mdir = _manifest_dir(out_dir)
+    entries: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return entries
+    for fn in os.listdir(mdir):
+        if fn.startswith("shard_") and fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                e = json.load(f)
+            entries[e["shard"]] = e
+    return entries
+
+
+def write_manifest_entry(out_dir: str, entry: dict) -> None:
+    """Atomic per-shard manifest commit (write tmp + rename)."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"shard_{entry['shard']}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+def _encode_blocks_fn(avgdl: float, k1: float, b: float, block_size: int):
+    def encode(key, pdf: pd.DataFrame):
+        shard, term = key
+        pdf = pdf.sort_values("doc_no")
+        doc_nos = pdf["doc_no"].to_numpy(dtype=np.uint64)
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        dls = pdf["dl"].to_numpy(dtype=np.uint64)
+        rows = []
+        for start in range(0, len(doc_nos), block_size):
+            end = start + block_size
+            blk = encode_posting_block(doc_nos[start:end], tfs[start:end], dls[start:end])
+            tfn = bm25_tfnorm(tfs[start:end], dls[start:end], avgdl, k1, b)
+            rows.append(
+                {
+                    "shard": shard,
+                    "term": term,
+                    "min_doc_no": blk["min_doc_no"],
+                    "max_doc_no": blk["max_doc_no"],
+                    "n_docs": blk["n"],
+                    "docs_bin": blk["docs_bin"],
+                    "tfs_bin": blk["tfs_bin"],
+                    "dls_bin": blk["dls_bin"],
+                    "max_tfnorm": float(tfn.max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode
+
+
+def build_segments(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    n_shards: int = 16,
+    shards_per_job: int = 8,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    resume: bool = True,
+    with_positions: bool = True,
+) -> dict:
+    """Full resumable index build: pages -> segments at out_dir.
+
+    Returns the meta dict. Stage 0 (extract + docmap) is one atomic
+    unit; shard groups commit independently with manifest rows.
+    """
+    from nadry_spark.operators.index_build import extract_documents, term_positions
+    from nadry_spark.session import ship_package
+
+    ship_package(spark)
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    docmap_path = os.path.join(out_dir, "docmap")
+    manifest = read_manifest(out_dir) if resume else {}
+
+    # ---- stage 0: documents + docmap (atomic; reused on resume) ----
+    if resume and os.path.exists(meta_path) and manifest.get(-1, {}).get("status") == "done":
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        documents = extract_documents(pages)
+        numbered = assign_doc_numbers(documents)
+        stats = numbered.agg(
+            F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
+        ).collect()[0]
+        n_docs = int(stats["n_docs"])
+        avgdl = float(stats["avgdl"] or 1.0) or 1.0
+        shard_size = max(1, math.ceil(n_docs / n_shards))
+        numbered = numbered.withColumn(
+            "shard", (F.col("doc_no") / F.lit(shard_size)).cast("int")
+        )
+        (
+            numbered.select(
+                "doc_id", "doc_no", "shard", "url", "title", "description",
+                "total_words", F.lit(0.0).alias("popularity_score"),
+            )
+            .repartitionByRange(max(2, n_shards // 2), "doc_no")
+            .write.mode("overwrite")
+            .parquet(docmap_path)
+        )
+        (
+            numbered.select("doc_no", "content", "links")
+            .repartitionByRange(max(2, n_shards // 2), "doc_no")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "docs_content"))
+        )
+        # tokens cache for the shard jobs: exploded term positions
+        tp = term_positions(
+            numbered.select(
+                "doc_id", "url", "tokens_title", "tokens_desc", "tokens_body"
+            )
+        ).join(
+            numbered.select("doc_id", "doc_no", "shard", "total_words"), "doc_id"
+        )
+        tp.select("shard", "term", "doc_no", "field", "pos", "total_words").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "_tokens_tmp"))
+        meta = {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_shards": n_shards,
+            "shard_size": shard_size,
+            "block_size": block_size,
+            "k1": k1,
+            "b": b,
+        }
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        write_manifest_entry(
+            out_dir,
+            {"shard": -1, "status": "done", "stage": "docmap", "n_docs": n_docs,
+             "wrote_at": time.time()},
+        )
+        manifest = read_manifest(out_dir)
+
+    n_shards = meta["n_shards"]
+    tokens = spark.read.parquet(os.path.join(out_dir, "_tokens_tmp"))
+
+    # ---- shard groups (resumable unit) ----
+    pending = [s for s in range(n_shards) if manifest.get(s, {}).get("status") != "done"]
+    encode = _encode_blocks_fn(meta["avgdl"], meta["k1"], meta["b"], meta["block_size"])
+
+    for g in range(0, len(pending), shards_per_job):
+        group = pending[g : g + shards_per_job]
+        group_tokens = tokens.where(F.col("shard").isin(group))
+        postings = group_tokens.groupBy("shard", "term", "doc_no").agg(
+            F.count("*").alias("tf"), F.first("total_words").alias("dl")
+        )
+        blocks = postings.groupBy("shard", "term").applyInPandas(encode, BLOCKS_SCHEMA)
+        (
+            blocks.repartition("shard")
+            .sortWithinPartitions("term", "min_doc_no")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+        if with_positions:
+            pos = group_tokens.groupBy("shard", "term", "doc_no").agg(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("field") == "title", F.col("pos")))
+                ).alias("positions_title"),
+                F.sort_array(
+                    F.collect_list(F.when(F.col("field") == "description", F.col("pos")))
+                ).alias("positions_desc"),
+                F.sort_array(
+                    F.collect_list(F.when(F.col("field") == "body", F.col("pos")))
+                ).alias("positions_body"),
+            )
+            (
+                pos.repartition("shard")
+                .sortWithinPartitions("term", "doc_no")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(out_dir, "positions"))
+            )
+        # per-shard metrics -> manifest (lineage + metrics per north_rule)
+        stats = (
+            blocks.groupBy("shard")
+            .agg(
+                F.sum("n_docs").alias("n_postings"),
+                F.count("*").alias("n_blocks"),
+                F.countDistinct("term").alias("n_terms"),
+            )
+            .collect()
+        )
+        by_shard = {r["shard"]: r for r in stats}
+        for s in group:
+            r = by_shard.get(s)
+            write_manifest_entry(
+                out_dir,
+                {
+                    "shard": s,
+                    "status": "done",
+                    "stage": "postings",
+                    "n_postings": int(r["n_postings"]) if r else 0,
+                    "n_blocks": int(r["n_blocks"]) if r else 0,
+                    "n_terms": int(r["n_terms"]) if r else 0,
+                    "wrote_at": time.time(),
+                },
+            )
+
+    # ---- terms dictionary ----
+    blocks_all = spark.read.parquet(os.path.join(out_dir, "postings"))
+    (
+        blocks_all.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks"))
+        .repartitionByRange(4, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "terms"))
+    )
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# read side
+# ---------------------------------------------------------------------------
+
+
+class SegmentIndex:
+    """Handle over a built segment directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    @property
+    def positions(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "positions"))
+
+    @property
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "terms"))
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docmap"))
+
+    @property
+    def docs_content(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docs_content"))
+
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        rows = self.terms.where(F.col("term").isin(list(set(terms)))).collect()
+        return {r["term"]: {"df": r["df"], "n_blocks": r["n_blocks"]} for r in rows}

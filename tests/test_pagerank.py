@@ -1,0 +1,87 @@
+"""PageRank closed-form graph tests (SURVEY.md §5 item 6) — asserting
+the reference's exact (quirky) semantics via the pure-Python oracle and
+hand-computed fixed points."""
+
+import pytest
+
+from tests.oracle import oracle_pagerank
+
+
+def _spark_ranks(spark, doc_links):
+    from nadry_spark.operators.pagerank import pagerank
+
+    rows = [(u, list(ls)) for u, ls in doc_links.items()]
+    docs = spark.createDataFrame(rows, "url string, links array<string>")
+    return {r["url"]: r["popularity_score"] for r in pagerank(docs).collect()}
+
+
+CASES = {
+    # 3-cycle: every node indeg 1 -> uniform 1/3
+    "cycle": {"a": ["b"], "b": ["c"], "c": ["a"]},
+    # star: hub receives from 3 leaves; leaves have no inlinks -> only hub
+    # ranked; leaf contributions skipped (no inlinks themselves)
+    "star": {"l1": ["hub"], "l2": ["hub"], "l3": ["hub"], "hub": []},
+    # chain with dangling tail
+    "chain": {"a": ["b"], "b": ["c"], "c": []},
+    # two-node mutual + one dangling-in node
+    "mutual": {"a": ["b"], "b": ["a"], "c": ["a"]},
+    # self-link mixed in
+    "selfy": {"a": ["a", "b"], "b": ["a"]},
+    # dense 4-clique (no self links)
+    "clique": {
+        "a": ["b", "c", "d"],
+        "b": ["a", "c", "d"],
+        "c": ["a", "b", "d"],
+        "d": ["a", "b", "c"],
+    },
+    # link to unknown url must be ignored (membership filter)
+    "unknown": {"a": ["b", "https://nowhere.example.com/x"], "b": ["a"]},
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_spark_matches_oracle(spark, name):
+    doc_links = CASES[name]
+    want = oracle_pagerank(doc_links)
+    got = _spark_ranks(spark, doc_links)
+    assert set(got) == set(want), name
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-9), (name, u)
+
+
+def test_cycle_uniform():
+    ranks = oracle_pagerank(CASES["cycle"])
+    for v in ranks.values():
+        assert v == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_star_only_hub_ranked():
+    ranks = oracle_pagerank(CASES["star"])
+    # only 'hub' has inlinks -> N=1, no live inlinkers -> (1-d)/1 = 0.15
+    assert set(ranks) == {"hub"}
+    assert ranks["hub"] == pytest.approx(0.15, abs=1e-9)
+
+
+def test_no_inlink_pages_excluded():
+    ranks = oracle_pagerank(CASES["chain"])
+    assert set(ranks) == {"b", "c"}  # 'a' has no inlinks
+
+
+def test_empty_graph():
+    assert oracle_pagerank({"a": [], "b": []}) == {}
+
+
+def test_apply_pagerank_fills_zero(spark):
+    from nadry_spark.operators.pagerank import apply_pagerank, pagerank
+
+    doc_links = CASES["mutual"]
+    docs = spark.createDataFrame(
+        [(u, list(ls), 0.0) for u, ls in doc_links.items()],
+        "url string, links array<string>, popularity_score double",
+    )
+    ranks = pagerank(docs)
+    out = {r["url"]: r["popularity_score"] for r in apply_pagerank(docs, ranks).collect()}
+    want = oracle_pagerank(doc_links)
+    assert out["c"] == 0.0  # c has no inlinks -> keeps 0.0
+    assert out["a"] == pytest.approx(want["a"])
+    assert out["b"] == pytest.approx(want["b"])

@@ -1,0 +1,206 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark shuffles and joins"),
+        (5, "spark shuffles and joins about text different completely"),  # permuted
+        (6, "a tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dup_groups(docs_df):
+    from nadry_spark.operators.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(docs_df, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [1, 2]
+
+
+def test_exact_dedup_keeps_min_id(docs_df):
+    from nadry_spark.operators.dedup import exact_dedup
+
+    kept = sorted(r["id"] for r in exact_dedup(docs_df, "id", "text").collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_compact_string_matches_reference_semantics(spark):
+    from nadry_spark.operators.dedup import compact_string_col
+
+    # WebCrawler.java:224-243: first char of words len>2 whose first
+    # char isLetterOrDigit
+    df = spark.createDataFrame(
+        [(1, "the quick a !! ..foo bar99 7seven x y zz")], "id long, text string"
+    )
+    got = df.select(compact_string_col("text").alias("cs")).collect()[0]["cs"]
+    # words: the(t) quick(q) a(skip len) !!(skip len) ..foo(skip first char)
+    # bar99(b) 7seven(7) x(skip) y(skip) zz(skip len 2)
+    assert got == "tqb7"
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    from nadry_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs_df, "id", "text", shingle_n=3, n_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dups always survive
+    # jaccard(1,3) on 3-shingles: 7 shingles each, 6 shared -> 6/8 = 0.75
+    assert (1, 3) in got or (2, 3) in got
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (1, 2):
+            assert r["jaccard"] == pytest.approx(1.0)
+
+
+def test_jaccard_exact_value(spark):
+    from nadry_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "id long, text string"
+    )
+    sh = word_shingles(df, "id", "text", n=2)  # {ab,bc,cd,de} vs {ab,bc,cd,dx}
+    out = jaccard_pairs(sh).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_simhash_identical_docs_same_sig(docs_df):
+    from nadry_spark.operators.dedup import simhash_dup_groups, simhash_signatures
+
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs_df, "id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[4] == sigs[5]  # simhash is order-invariant (bag of words)
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 32 and set(sigs[1]) <= {"0", "1"}
+    groups = simhash_dup_groups(docs_df, "id", "text").collect()
+    assert {tuple(g["ids"]) for g in groups} == {(1, 2), (4, 5)}
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    from nadry_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = brute_force_topk(emb, queries, k=5).collect()
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in range(3):
+        q = vecs[qid]
+        sims = sorted(
+            (
+                (-float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            ),
+        )[:5]
+        want = [vid for _, vid in sims]
+        mine = [r["neighbour_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert mine == want, qid
+
+
+def test_lsh_topk_subset_of_brute_force_candidates(spark):
+    from nadry_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = lsh_topk(emb, queries, k=5).collect()
+    assert len(got) > 0
+    # every returned neighbour shares the query's sign bucket by construction
+    for r in got:
+        assert r["rank"] >= 1 and r["neighbour_id"] != r["query_id"]
+
+
+def test_lang_id_and_quality(spark):
+    from nadry_spark.operators.textstats import lang_id, quality_score, token_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy with the dog"),
+            (2, "der hund ist nicht auf der matte und das ist gut"),
+            (3, "xxqqzz bbnnvv ccrrtt"),
+        ],
+        "id long, text string",
+    )
+    langs = {r["id"]: r["lang_pred"] for r in lang_id(df, "id", "text").collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "und"
+
+    q = {r["id"]: r["quality"] for r in quality_score(df, "id", "text").collect()}
+    assert q[1] > q[3]
+
+    tc = {r["id"]: r for r in token_counts(df, "id", "text").collect()}
+    assert tc[1]["ws_tokens"] == 13
+    assert tc[1]["subword_pieces"] >= 13
+
+
+def test_fingerprints(spark):
+    from nadry_spark.operators.textstats import md5_fingerprint, rolling_fingerprints_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello   world"),
+            (2, "hello world"),
+            (3, "different " * 20),
+            (4, "different " * 20),  # byte-identical to 3
+        ],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fingerprint"] for r in md5_fingerprint(df, "id", "text").collect()}
+    assert fps[1] == fps[2]  # md5 fingerprint is whitespace-normalized
+    assert fps[1] != fps[3]
+
+    rf = {
+        r["id"]: r["rf"]
+        for r in df.select("id", rolling_fingerprints_udf(F.col("text")).alias("rf")).collect()
+    }
+    # rolling fingerprints are raw-byte window hashes: identical bytes ->
+    # identical prints; whitespace variants differ
+    assert rf[3] == rf[4]
+    assert rf[3]  # long text yields sampled window hashes
+
+
+def test_multimodal_featurize_and_frame_plan(spark):
+    import hashlib
+
+    from nadry_spark.operators.multimodal import (
+        fake_features,
+        featurize,
+        frame_sample_plan,
+        real_decode,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = featurize(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in by_id.items():
+        assert r["sha256"] == hashlib.sha256(raw[mid]).hexdigest()
+        assert r["n_bytes"] == len(raw[mid])
+        assert r["features"] == pytest.approx(fake_features(raw[mid]).tolist())
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in plan)
+    assert len(plan) > 0
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image")

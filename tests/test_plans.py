@@ -1,0 +1,76 @@
+"""Plan-quality tests: predicate pushdown reaches the parquet scan,
+term lookups prune, the salted A4 agg equals the plain agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_term_filter_pushed_to_parquet(spark, seg):
+    idx, _, _ = seg
+    plan = idx.blocks.where(F.col("term") == "news")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "IsNotNull(term)" in plan or "EqualTo(term,news)" in plan, plan
+
+
+def test_column_pruning_on_docmap(spark, seg):
+    idx, _, _ = seg
+    plan = (
+        idx.docmap.select("doc_id", "doc_no")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ReadSchema must not include the wide columns
+    assert "title" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_candidates_probe_uses_pushdown(spark, seg):
+    idx, _, _ = seg
+    probe = idx.positions.where(F.col("term").isin(["news", "report"]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_salted_term_lists_equal_plain(spark, seg):
+    """A4 salted two-phase agg produces byte-identical posting lists."""
+    from nadry_spark.operators.index_build import term_posting_lists
+    from nadry_spark.operators.phrase import positions_long
+
+    idx, o_postings, _ = seg
+    # reconstruct a long-form postings df from the segment positions
+    pos = positions_long(idx.positions)
+    tf = pos.groupBy("term", "doc_no").agg(F.count("*").alias("tf"))
+    postings = (
+        idx.positions.join(idx.docmap.select("doc_no", "doc_id", "url"), "doc_no")
+        .join(tf, ["term", "doc_no"])
+        .select(
+            "term", "doc_id", "url",
+            "positions_title", "positions_desc", "positions_body",
+            "tf",
+            (
+                F.size("positions_title") * 3.0
+                + F.size("positions_desc") * 1.5
+                + F.size("positions_body") * 1.0
+            ).alias("weight"),
+        )
+    )
+    plain = {
+        r["term"]: [p["doc_id"] for p in r["postings"]]
+        for r in term_posting_lists(postings, skew_threshold=10**9).collect()
+    }
+    salted = {
+        r["term"]: [p["doc_id"] for p in r["postings"]]
+        for r in term_posting_lists(postings, skew_threshold=2, salt_buckets=4).collect()
+    }
+    assert plain == salted
+    assert len(plain) > 50
+
+
+def test_broadcast_join_on_candidates(spark, seg):
+    """The doc-stats enrichment join must broadcast the small top-k side."""
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    idx, _, _ = seg
+    df = bm25_topk(idx, "news report", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -1,0 +1,164 @@
+"""Segment build + BM25 query correctness (SURVEY.md §5 items 3/7)."""
+
+import math
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle import oracle_index
+
+
+def _bm25_oracle(idx, o_postings, o_docs, tokens, k=10, conjunctive=False):
+    from nadry_spark.operators.bm25 import bm25_idf, bm25_tfnorm
+    import numpy as np
+
+    docmap = {r["doc_id"]: r for r in idx.docmap.collect()}
+    n_docs = idx.meta["n_docs"]
+    avgdl = idx.meta["avgdl"]
+    terms = sorted(set(tokens))
+    df = {t: sum(1 for (tt, _d) in o_postings if tt == t) for t in terms}
+    terms = [t for t in terms if df[t] > 0]
+    if conjunctive and len(terms) < len(sorted(set(tokens))):
+        return []
+    scores, hits = {}, {}
+    for (t, d), p in o_postings.items():
+        if t in terms:
+            dl = o_docs[d]["total_words"]
+            tfn = bm25_tfnorm(
+                np.array([p["tf"]]), np.array([dl]), avgdl, idx.meta["k1"], idx.meta["b"]
+            )[0]
+            scores[d] = scores.get(d, 0.0) + bm25_idf(n_docs, df[t]) * tfn
+            hits[d] = hits.get(d, 0) + 1
+    if conjunctive:
+        scores = {d: s for d, s in scores.items() if hits[d] == len(terms)}
+    rows = [(docmap[d]["doc_no"], d, s) for d, s in scores.items()]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:k]
+
+
+def test_meta_and_manifest(seg):
+    idx, _, o_docs = seg
+    assert idx.meta["n_docs"] == len(o_docs)
+    from nadry_spark.sources.segments import read_manifest
+
+    m = read_manifest(idx.path)
+    done = [s for s, e in m.items() if s >= 0 and e["status"] == "done"]
+    assert sorted(done) == [0, 1, 2, 3]
+    assert all(m[s]["n_postings"] > 0 for s in done)
+
+
+def test_blocks_roundtrip_vs_oracle(seg):
+    from nadry_spark.operators.codecs import decode_posting_block
+
+    idx, o_postings, o_docs = seg
+    docmap = {r["doc_no"]: r for r in idx.docmap.collect()}
+    got = {}
+    for r in idx.blocks.collect():
+        doc_nos, tfs, dls = decode_posting_block(r["docs_bin"], r["tfs_bin"], r["dls_bin"])
+        for dn, tf, dl in zip(doc_nos, tfs, dls):
+            d = docmap[int(dn)]
+            got[(r["term"], d["doc_id"])] = (int(tf), int(dl))
+    want = {
+        (t, d): (p["tf"], o_docs[d]["total_words"]) for (t, d), p in o_postings.items()
+    }
+    assert got == want
+
+
+def test_positions_vs_oracle(seg):
+    idx, o_postings, _ = seg
+    docmap = {r["doc_no"]: r["doc_id"] for r in idx.docmap.collect()}
+    pos_rows = idx.positions.collect()
+    got = {
+        (r["term"], docmap[r["doc_no"]]): (
+            list(r["positions_title"]),
+            list(r["positions_desc"]),
+            list(r["positions_body"]),
+        )
+        for r in pos_rows
+    }
+    want = {
+        k: (
+            sorted(p["positions"]["title"]),
+            sorted(p["positions"]["description"]),
+            sorted(p["positions"]["body"]),
+        )
+        for k, p in o_postings.items()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_bm25_taat_matches_oracle(spark, seg, conjunctive):
+    from nadry_spark.functions.tokenizer import tokenize
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    idx, o_postings, o_docs = seg
+    from collections import Counter
+
+    cnt = Counter(t for t, _ in o_postings)
+    common = [t for t, _ in cnt.most_common(30) if ":" not in t][:3]
+    query = " ".join(common)
+    tokens = tokenize(query)
+    got = bm25_topk(idx, query, k=10, mode="taat", conjunctive=conjunctive).collect()
+    want = _bm25_oracle(idx, o_postings, o_docs, tokens, k=10, conjunctive=conjunctive)
+    assert [(r["doc_no"], r["doc_id"]) for r in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[2], rel=1e-12)
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_bmw_equals_taat(spark, seg, conjunctive):
+    from collections import Counter
+
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    idx, o_postings, _ = seg
+    cnt = Counter(t for t, _ in o_postings)
+    ranked = [t for t, _ in cnt.most_common(60) if ":" not in t]
+    queries = [
+        " ".join(ranked[:2]),
+        " ".join(ranked[:4]),
+        " ".join([ranked[0], ranked[40]]),
+        ranked[5],
+    ]
+    for q in queries:
+        taat = bm25_topk(idx, q, k=5, mode="taat", conjunctive=conjunctive).collect()
+        bmw = bm25_topk(idx, q, k=5, mode="bmw", conjunctive=conjunctive).collect()
+        assert [(r["doc_no"], round(r["score"], 10)) for r in taat] == [
+            (r["doc_no"], round(r["score"], 10)) for r in bmw
+        ], q
+
+
+def test_unknown_and_stopword_queries(seg):
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    idx, _, _ = seg
+    assert bm25_topk(idx, "zzzznotaterm").collect() == []
+    assert bm25_topk(idx, "the and of").collect() == []
+    assert bm25_topk(idx, "zzzznotaterm", conjunctive=True).collect() == []
+
+
+def test_resume_rebuilds_only_missing_shards(spark, tiny_pages_path, seg):
+    """Simulate a crash after shard group 0: manifest entries for shards
+    2,3 missing -> resume rebuilds exactly those, result unchanged."""
+    from nadry_spark.operators.bm25 import bm25_topk
+    from nadry_spark.sources.segments import SegmentIndex, build_segments, read_manifest
+
+    idx, o_postings, o_docs = seg
+    before = bm25_topk(idx, "news report", k=10).collect()
+
+    for s in (2, 3):
+        os.remove(os.path.join(idx.path, "manifest", f"shard_{s}.json"))
+    assert {s for s in read_manifest(idx.path) if s >= 0} == {0, 1}
+
+    pages = spark.read.parquet(tiny_pages_path)
+    build_segments(spark, pages, idx.path, n_shards=4, shards_per_job=2, resume=True)
+    m = read_manifest(idx.path)
+    assert {s for s in m if s >= 0} == {0, 1, 2, 3}
+
+    idx2 = SegmentIndex(spark, idx.path)
+    after = bm25_topk(idx2, "news report", k=10).collect()
+    assert [(r["doc_no"], r["score"]) for r in after] == [
+        (r["doc_no"], r["score"]) for r in before
+    ]

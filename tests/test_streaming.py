@@ -1,0 +1,122 @@
+"""Structured Streaming ingest tests: delta segments match the batch
+build; watermarked window agg; stateful first-seen dedup."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tiny_pages_path, tmp_path_factory):
+    """Split the tiny corpus into 3 input files and run the ingest
+    stream to completion (availableNow)."""
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("stream")
+    input_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+    os.makedirs(input_dir)
+    table = pq.read_table(tiny_pages_path)
+    n = table.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(table.slice(lo, hi - lo), os.path.join(input_dir, f"part{i}.parquet"))
+
+    from nadry_spark.streaming.ingest import stream_ingest
+
+    q = stream_ingest(spark, input_dir, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return input_dir, out_dir, ckpt
+
+
+def test_stream_deltas_match_batch_build(spark, stream_dirs, tiny_pages_path):
+    from nadry_spark.operators.index_build import build_index
+    from nadry_spark.streaming.ingest import compact_deltas
+
+    _, out_dir, _ = stream_dirs
+    postings_s, docs_s = compact_deltas(spark, out_dir)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in postings_s.collect()
+    }
+    pages = spark.read.parquet(tiny_pages_path)
+    postings_b, _ = build_index(pages)
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in postings_b.collect()
+    }
+    assert got == want
+    assert docs_s.count() == 40
+
+
+def test_stream_resume_is_incremental(spark, stream_dirs):
+    """Restarting the ingest with the same checkpoint processes nothing
+    new (exactly-once per batch)."""
+    from nadry_spark.streaming.ingest import stream_ingest
+
+    input_dir, out_dir, ckpt = stream_dirs
+    before = spark.read.parquet(os.path.join(out_dir, "delta_postings")).count()
+    q = stream_ingest(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    after = spark.read.parquet(os.path.join(out_dir, "delta_postings")).count()
+    assert after == before
+
+
+def test_crawl_rate_stats_windowed(spark, stream_dirs):
+    from nadry_spark.sources.pages import PAGES_SCHEMA_DDL
+    from nadry_spark.streaming.ingest import crawl_rate_stats
+
+    input_dir, _, _ = stream_dirs
+    stream = spark.readStream.schema(PAGES_SCHEMA_DDL).parquet(input_dir)
+    agg = crawl_rate_stats(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("crawl_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM crawl_stats").collect()
+    assert sum(r["n_pages"] for r in rows) == 40
+    assert all(r["bytes_in"] > 0 for r in rows)
+
+
+def test_stateful_first_seen_dedups(spark, stream_dirs, tmp_path_factory):
+    """Duplicate urls across files -> only first occurrence emitted."""
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("dupstream")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    from nadry_spark.sources.pages import build_page
+
+    rows = [build_page(i, 10) for i in range(6)]
+    dup = [dict(rows[0]), dict(rows[1])]  # re-crawled pages
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), os.path.join(input_dir, "a.parquet"))
+    pq.write_table(pa.Table.from_pylist(dup, schema=schema), os.path.join(input_dir, "b.parquet"))
+
+    from nadry_spark.sources.pages import PAGES_SCHEMA_DDL
+    from nadry_spark.streaming.ingest import stateful_first_seen
+
+    stream = spark.readStream.schema(PAGES_SCHEMA_DDL).parquet(input_dir)
+    out = stateful_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = [r["url"] for r in spark.sql("SELECT url FROM first_seen").collect()]
+    assert sorted(urls) == sorted({r["url"] for r in rows})
+    assert len(urls) == len(set(urls)) == 6
