@@ -326,6 +326,105 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking formula over the documents table (tokenizer-lite):
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tfnorm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)), k1=1.2 b=0.75.
+    Output (rank, doc_id) on the 1e-9 grid."""
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    corpus = tw.agg(
+        F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
+    )
+    df_t = (
+        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("term").isin(QUERY_TERMS))
+    )
+    cand = tf.where(F.col("term").isin(QUERY_TERMS))
+    scored = (
+        cand.join(tw, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "tfnorm",
+            F.col("tf") * (1.2 + 1.0)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("total_words") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tfnorm")).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return scored.select(F.row_number().over(w).cast("long").alias("rank"), "doc_id")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate NN (the ANN scale path)."""
+    from nadry_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10, dims=[0, 1, 2, 3])
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id"
+    )
+
+
+def q_compact_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 compact-string near-dup signature per doc."""
+    from nadry_spark.operators.dedup import compact_string_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", compact_string_col("text").alias("sig")
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (window row_number)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id")
+    )
+
+
+def q_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 ilike substring fetch over a suggestions table derived from
+    corpus terms."""
+    from nadry_spark.operators.suggestions import fetch_suggestions
+
+    sugg = (
+        _terms_lite(spark, sf_dir)
+        .select(F.col("term").alias("suggestion"))
+        .distinct()
+    )
+    return fetch_suggestions(sugg, "or", limit=10)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 PageRank over a deterministic synthetic link graph derived
+    from doc ids (iterative — no SQL oracle; driver records rows-only).
+    Scores on the 1e-9 grid for stability."""
+    from nadry_spark.operators.pagerank import pagerank
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.array(
+            ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+            ((F.col("doc_id") * 13 + 3) % 500).cast("string"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("links"),
+    )
+    ranks = pagerank(docs)
+    return ranks.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("popularity_score", 9).alias("popularity_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_term_tf": q_doc_term_tf,
@@ -344,6 +443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
+        "bm25_rank": q_bm25_rank,
+        "lsh_ann": q_lsh_ann,
+        "compact_string": q_compact_string,
+        "window_topk": q_window_topk,
+        "suggestions": q_suggestions,
+        "pagerank": q_pagerank,
     }
 
 
@@ -573,6 +678,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
                    count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "bm25_rank": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            df_t AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+                WHERE term IN ({QUERY_TERMS_SQL}) GROUP BY term
+            ),
+            scored AS (
+                SELECT c.doc_id,
+                       sum( ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+                            * (c.tf * (1.2 + 1.0)
+                               / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.total_words / n.avgdl))) ) AS score
+                FROM tf c
+                JOIN tw w USING (doc_id)
+                JOIN df_t d USING (term)
+                CROSS JOIN corpus n
+                WHERE c.term IN ({QUERY_TERMS_SQL})
+                GROUP BY c.doc_id
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id
+            FROM scored
+        """,
+        "lsh_ann": """
+            WITH tagged AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+                       (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM tagged WHERE vec_id < 5),
+            v AS (SELECT vec_id AS nid, embedding AS vv, bucket FROM tagged),
+            pairs AS (SELECT qid, nid, qv, vv FROM q JOIN v USING (bucket) WHERE nid <> qid),
+            el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM pairs),
+            cos AS (
+                SELECT qid, nid, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+                FROM el GROUP BY qid, nid
+            ),
+            ranked AS (
+                SELECT qid AS query_id, nid AS neighbour_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY round(c, 9) DESC, nid ASC) AS rank
+                FROM cos
+            )
+            SELECT query_id, rank, neighbour_id FROM ranked WHERE rank <= 10
+        """,
+        "compact_string": r"""
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           list_filter(string_split_regex(text, '\s+'),
+                                       w -> len(w) > 2 AND regexp_matches(w[1], '[a-zA-Z0-9]')),
+                           w -> w[1]),
+                       '') AS sig
+            FROM documents
+        """,
+        "window_topk": """
+            WITH r AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rnk
+                FROM events
+            )
+            SELECT event_type, rnk, event_id FROM r WHERE rnk <= 3
+        """,
+        "suggestions": f"""
+            WITH sugg AS (SELECT DISTINCT term AS suggestion FROM ({_TERMS_LITE_SQL}))
+            SELECT suggestion FROM sugg
+            WHERE suggestion ILIKE '%or%'
+            ORDER BY suggestion LIMIT 10
         """,
         "sessionization": """
             WITH g AS (

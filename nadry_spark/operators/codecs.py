@@ -20,18 +20,20 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 10
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (vectorized)."""
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode (vectorized); also return the END byte-offset of
+    each value so callers can slice per-value ranges out of the buffer
+    (offsets[i] = bytes used by values[0..i])."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for j in range(1, _MAX_VARINT_BYTES):
         nbytes[v >= (np.uint64(1) << np.uint64(7 * j))] = j + 1
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(nbytes[:-1], out=offsets[1:])
-    total = int(offsets[-1] + nbytes[-1])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    total = int(starts[-1] + nbytes[-1])
     out = np.zeros(total, dtype=np.uint8)
     for j in range(_MAX_VARINT_BYTES):
         mask = nbytes > j
@@ -39,8 +41,13 @@ def varint_encode(values: np.ndarray) -> bytes:
             break
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (j < nbytes[mask] - 1).astype(np.uint8) << 7
-        out[offsets[mask] + j] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), starts + nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    return varint_encode_with_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -125,21 +125,23 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(id_a, id_b) candidate pairs sharing at least one LSH band."""
+    """(id_a, id_b) candidate pairs sharing at least one LSH band.
+
+    Banding is ONE explode over an array of band structs (a 4-way
+    union would recompute the signature aggregation per band); the
+    bucket self-join reuses the same exchange on both sides.
+    """
     rows = n_hashes // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_frames.append(
-            signatures.select(
-                F.col("id"),
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("sig"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("sig"),
         )
-    banded = band_frames[0]
-    for fr in band_frames[1:]:
-        banded = banded.unionByName(fr)
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -159,27 +161,66 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) via shingle self-join; optionally restricted
     to LSH candidates (the scale path — never all-pairs)."""
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    bb = shingles.alias("b")
-    inter = (
-        a.join(bb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_int"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))
-            ).alias("jaccard"),
+        # per-pair set intersection: join each candidate pair to the two
+        # docs' shingle arrays and intersect. O(candidates * shingle set)
+        # — the shingle self-join is O(sum df^2) over ALL docs and blows
+        # up on common shingles, which is exactly what LSH candidates
+        # are supposed to avoid paying.
+        arrs = shingles.groupBy("id").agg(
+            F.collect_list("shingle").alias("sh"), F.count("*").alias("n_sh")
         )
-    )
+        a = arrs.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+        )
+        b = arrs.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+        )
+        out = (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_int"),
+                "n_a",
+                "n_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))).alias(
+                    "jaccard"
+                ),
+            )
+        )
+    else:
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+        a = shingles.alias("a")
+        bb = shingles.alias("b")
+        inter = (
+            a.join(
+                bb,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_int"))
+        )
+        out = (
+            inter.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a"
+            )
+            .join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b"
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))).alias(
+                    "jaccard"
+                ),
+            )
+        )
     if threshold > 0:
         out = out.where(F.col("jaccard") >= threshold)
     return out
@@ -196,8 +237,12 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle -> minhash -> band-bucket ->
-    jaccard-verify >= threshold. Returns (id_a, id_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    jaccard-verify >= threshold. Returns (id_a, id_b, jaccard).
+
+    The shingle frame feeds both the signature aggregation and the
+    jaccard verification — persisted so the explode+md5 work runs once.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
     sigs = minhash_signatures(sh, n_hashes)
     cand = lsh_candidate_pairs(sigs, n_hashes, bands)
     return jaccard_pairs(sh, cand, threshold)

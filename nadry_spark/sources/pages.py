@@ -165,6 +165,31 @@ def build_page(i: int, n_pages: int, seed: int = 42) -> dict:
 PAGES_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def filter_blocked_domains(pages, blocked: tuple[str, ...] = ("wikipedia",)):
+    """P4 domain blocklist (WebCrawler.java:66-67: url.contains ->
+    skip) as an input-prep filter."""
+    from pyspark.sql import functions as F
+
+    out = pages
+    for frag in blocked:
+        out = out.where(~F.col("url").contains(frag))
+    return out
+
+
+def dedup_input_pages(pages):
+    """P2 visited-filter analog for batch input: one row per url,
+    earliest warc_ts wins (re-crawls dropped)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("url").orderBy(F.asc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def generate_pages_parquet(path: str, n_pages: int, seed: int = 42) -> None:
     """Driver-side writer for small test corpora (no Spark needed)."""
     import pyarrow as pa

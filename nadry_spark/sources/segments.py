@@ -69,15 +69,19 @@ BLOCKS_SCHEMA = (
 
 
 def assign_doc_numbers(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Add a dense 0-based doc_no = global rank of doc_id.
+    """Add a dense, deterministic 0-based doc_no.
 
-    Two-phase: range-partition by doc_id, count per partition (P tiny
-    rows to the driver), then offset + local row_number. No global
-    window, no data collect — scales to any corpus size.
+    Two-phase: hash-partition by doc_id (deterministic, and unlike
+    repartitionByRange there is NO sampling job that would execute the
+    expensive extraction UDF twice), count per partition (P tiny rows
+    to the driver), then offset + local row_number ordered by doc_id.
+    No global window, no data collect — scales to any corpus size.
+    doc_no is dense and stable for a given corpus; it does not need to
+    equal the global doc_id rank for delta compression to work.
     """
     spark = docs.sparkSession
     p = num_partitions or max(2, spark.sparkContext.defaultParallelism)
-    parted = docs.repartitionByRange(p, "doc_id").sortWithinPartitions("doc_id")
+    parted = docs.repartition(p, "doc_id")
     parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
@@ -133,6 +137,108 @@ def write_manifest_entry(out_dir: str, entry: dict) -> None:
 # ---------------------------------------------------------------------------
 # build
 # ---------------------------------------------------------------------------
+
+
+def _encode_partition_frame(
+    pdf: pd.DataFrame, avgdl: float, k1: float, b: float, block_size: int
+) -> pd.DataFrame:
+    """Vectorized block encoding of a (shard, term, doc_no)-sorted frame.
+
+    One pass: group/block boundaries via numpy, delta gaps reset at
+    block starts, ONE varint encode for the whole frame, per-block byte
+    slices from the value offsets, per-block maxima via reduceat — no
+    per-posting Python, ~O(n_blocks) cheap slice ops only.
+    """
+    from nadry_spark.operators.codecs import varint_encode_with_offsets
+
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            columns=[
+                "shard", "term", "min_doc_no", "max_doc_no", "n_docs",
+                "docs_bin", "tfs_bin", "dls_bin", "max_tfnorm",
+            ]
+        )
+    shard = pdf["shard"].to_numpy()
+    term = pdf["term"].to_numpy(dtype=object)
+    doc = pdf["doc_no"].to_numpy(dtype=np.int64)
+    tf = pdf["tf"].to_numpy(dtype=np.int64)
+    dl = pdf["dl"].to_numpy(dtype=np.int64)
+
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+    group_id = np.cumsum(new_key) - 1
+    group_start = np.nonzero(new_key)[0]
+    within = np.arange(n) - group_start[group_id]
+    new_block = new_key | (within % block_size == 0)
+    block_start = np.nonzero(new_block)[0]
+    block_end = np.append(block_start[1:], n)
+
+    gaps = doc.astype(np.uint64).copy()
+    cont = ~new_block
+    idx = np.nonzero(cont)[0]
+    gaps[idx] = (doc[idx] - doc[idx - 1]).astype(np.uint64)
+
+    gap_buf, gap_off = varint_encode_with_offsets(gaps)
+    tf_buf, tf_off = varint_encode_with_offsets(tf.astype(np.uint64))
+    dl_buf, dl_off = varint_encode_with_offsets(dl.astype(np.uint64))
+    tfn = bm25_tfnorm(tf, dl, avgdl, k1, b)
+    max_tfn = np.maximum.reduceat(tfn, block_start)
+
+    def slices(buf, off):
+        starts = np.where(block_start > 0, off[block_start - 1], 0)
+        ends = off[block_end - 1]
+        return [buf[s:e] for s, e in zip(starts, ends)]
+
+    return pd.DataFrame(
+        {
+            "shard": shard[block_start],
+            "term": term[block_start],
+            "min_doc_no": doc[block_start],
+            "max_doc_no": doc[block_end - 1],
+            "n_docs": (block_end - block_start).astype(np.int32),
+            "docs_bin": slices(gap_buf, gap_off),
+            "tfs_bin": slices(tf_buf, tf_off),
+            "dls_bin": slices(dl_buf, dl_off),
+            "max_tfnorm": max_tfn,
+        }
+    )
+
+
+def _encode_blocks_stream(avgdl: float, k1: float, b: float, block_size: int):
+    """mapInPandas encoder over (shard, term, doc_no)-sorted partitions.
+
+    Carries the trailing (shard, term) run across Arrow batch boundaries
+    so a term is never split mid-group. Replaces the per-(shard, term)
+    applyInPandas (one Python call per term -> untenable at 100TB term
+    cardinalities) with one linear scan per batch.
+    """
+
+    def encode(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_shard = pdf["shard"].iloc[-1]
+            last_term = pdf["term"].iloc[-1]
+            tail_mask = (
+                (pdf["shard"].to_numpy() == last_shard)
+                & (pdf["term"].to_numpy(dtype=object) == last_term)
+            )
+            rev = tail_mask[::-1]
+            run_len = len(pdf) if rev.all() else int(np.argmin(rev))
+            head = pdf.iloc[: len(pdf) - run_len]
+            carry = pdf.iloc[len(pdf) - run_len :]
+            if len(head):
+                yield _encode_partition_frame(head, avgdl, k1, b, block_size)
+        if carry is not None and len(carry):
+            yield _encode_partition_frame(carry, avgdl, k1, b, block_size)
+
+    return encode
 
 
 def _encode_blocks_fn(avgdl: float, k1: float, b: float, block_size: int):
@@ -259,41 +365,61 @@ def build_segments(
 
     # ---- shard groups (resumable unit) ----
     pending = [s for s in range(n_shards) if manifest.get(s, {}).get("status") != "done"]
-    encode = _encode_blocks_fn(meta["avgdl"], meta["k1"], meta["b"], meta["block_size"])
+    encode = _encode_blocks_stream(meta["avgdl"], meta["k1"], meta["b"], meta["block_size"])
 
     for g in range(0, len(pending), shards_per_job):
         group = pending[g : g + shards_per_job]
         group_tokens = tokens.where(F.col("shard").isin(group))
-        postings = group_tokens.groupBy("shard", "term", "doc_no").agg(
-            F.count("*").alias("tf"), F.first("total_words").alias("dl")
+        # ONE shuffle per group: positions + tf + dl in the same agg
+        # (tf = total positions across fields, Posting.getFrequency)
+        per_posting = group_tokens.groupBy("shard", "term", "doc_no").agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("field") == "title", F.col("pos")))
+            ).alias("positions_title"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("field") == "description", F.col("pos")))
+            ).alias("positions_desc"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("field") == "body", F.col("pos")))
+            ).alias("positions_body"),
+            F.first("total_words").alias("dl"),
         )
-        blocks = postings.groupBy("shard", "term").applyInPandas(encode, BLOCKS_SCHEMA)
-        (
-            blocks.repartition("shard")
-            .sortWithinPartitions("term", "min_doc_no")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(out_dir, "postings"))
-        )
+        per_posting = per_posting.persist()
         if with_positions:
-            pos = group_tokens.groupBy("shard", "term", "doc_no").agg(
-                F.sort_array(
-                    F.collect_list(F.when(F.col("field") == "title", F.col("pos")))
-                ).alias("positions_title"),
-                F.sort_array(
-                    F.collect_list(F.when(F.col("field") == "description", F.col("pos")))
-                ).alias("positions_desc"),
-                F.sort_array(
-                    F.collect_list(F.when(F.col("field") == "body", F.col("pos")))
-                ).alias("positions_body"),
-            )
             (
-                pos.repartition("shard")
+                per_posting.drop("dl")
+                .repartition("shard")
                 .sortWithinPartitions("term", "doc_no")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(os.path.join(out_dir, "positions"))
             )
+        postings = per_posting.select(
+            "shard",
+            "term",
+            "doc_no",
+            (
+                F.size("positions_title")
+                + F.size("positions_desc")
+                + F.size("positions_body")
+            ).alias("tf"),
+            "dl",
+        )
+        # hash-partition on (shard, term): groups stay whole, balanced
+        # by term hash, and — unlike repartitionByRange — no sampling
+        # pass that would recompute the aggregation upstream twice
+        n_parts = max(len(group), spark.sparkContext.defaultParallelism)
+        blocks = (
+            postings.repartition(n_parts, "shard", "term")
+            .sortWithinPartitions("shard", "term", "doc_no")
+            .mapInPandas(encode, BLOCKS_SCHEMA)
+        )
+        (
+            blocks.sortWithinPartitions("term", "min_doc_no")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
         # per-shard metrics -> manifest (lineage + metrics per north_rule)
         stats = (
             blocks.groupBy("shard")
@@ -304,6 +430,7 @@ def build_segments(
             )
             .collect()
         )
+        per_posting.unpersist()
         by_shard = {r["shard"]: r for r in stats}
         for s in group:
             r = by_shard.get(s)
@@ -346,9 +473,21 @@ class SegmentIndex:
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        self._cached: dict[str, DataFrame] = {}
+
+    def warm(self) -> "SegmentIndex":
+        """Pin the dictionary, blocks and docmap in executor memory —
+        what a serving deployment does for query latency. Returns self."""
+        for name in ("terms", "blocks", "docmap"):
+            df = getattr(self, name).cache()
+            df.count()
+            self._cached[name] = df
+        return self
 
     @property
     def blocks(self) -> DataFrame:
+        if "blocks" in self._cached:
+            return self._cached["blocks"]
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     @property
@@ -357,10 +496,14 @@ class SegmentIndex:
 
     @property
     def terms(self) -> DataFrame:
+        if "terms" in self._cached:
+            return self._cached["terms"]
         return self.spark.read.parquet(os.path.join(self.path, "terms"))
 
     @property
     def docmap(self) -> DataFrame:
+        if "docmap" in self._cached:
+            return self._cached["docmap"]
         return self.spark.read.parquet(os.path.join(self.path, "docmap"))
 
     @property
