@@ -1,0 +1,57 @@
+"""Query CLI over built segments — the serving-path entry point.
+
+    python jobs/query_cli.py --segments /data/segments "news report"
+    python jobs/query_cli.py --segments /data/segments '"exact phrase"' --page 1
+    python jobs/query_cli.py --segments /data/segments "news 2024" --scoring bm25 --mode and
+
+Mirrors GET /api/search (api/SearchController.java:53-111): quoted
+phrase switches to phrase mode; pagination after full ranking; the JSON
+envelope matches the reference's response shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("query")
+    ap.add_argument("--segments", required=True)
+    ap.add_argument("--page", type=int, default=0)
+    ap.add_argument("--page-size", type=int, default=10)
+    ap.add_argument("--scoring", choices=["exact", "bm25"], default="exact")
+    ap.add_argument("--mode", choices=["or", "and"], default="or",
+                    help="bm25 scoring only; exact mode is disjunctive like the reference")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from nadry_spark.plans.query import QueryEngine
+    from nadry_spark.session import get_spark
+    from nadry_spark.sources.segments import SegmentIndex
+
+    spark = get_spark("nadry_query", master=args.master)
+    idx = SegmentIndex(spark, args.segments).warm()
+
+    if args.scoring == "bm25" and args.mode == "and":
+        from nadry_spark.operators.bm25 import bm25_topk
+
+        rows = bm25_topk(
+            idx, args.query, k=(args.page + 1) * args.page_size, mode="bmw", conjunctive=True
+        ).collect()
+        data = [r.asDict() for r in rows[args.page * args.page_size :]]
+        print(json.dumps({"success": True, "data": data, "mode": "and"}, default=str, indent=2))
+    else:
+        engine = QueryEngine(idx, scoring=args.scoring)
+        result = engine.search(args.query, page=args.page, page_size=args.page_size)
+        print(json.dumps(result, default=str, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,109 @@ def lsh_topk(
     )
 
 
+def _nearest_centroid_expr(vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """argmin over broadcast centroids as a pure column expression:
+    array of (squared_dist, cid) structs -> array_min (struct compare
+    orders by dist, then cid — deterministic ties)."""
+    entries = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF index: deterministic Lloyd's k-means (seeded from the first
+    n_centroids vectors by id — no RNG), assignments as a DataFrame.
+
+    Returns (assigned_df with `cid`, centroids list). At 100TB the
+    assignment is one scan per iteration with broadcast centroids; the
+    centroid update is a (cid, dim) aggregation — no driver data moves
+    beyond k*dim floats.
+    """
+    seed_rows = (
+        vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+
+    for _ in range(iters):
+        assigned = vectors.withColumn("cid", _nearest_centroid_expr(vec_col, centroids))
+        updated = (
+            assigned.select("cid", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in updated:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        centroids = [
+            (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+
+    assigned = vectors.withColumn("cid", _nearest_centroid_expr(vec_col, centroids))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroid buckets per query, exact cosine
+    within. Approximate recall, cross-join avoided — the IVF scale path."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qrows = queries.select(id_col, vec_col).collect()
+    cmat = np.array([c for _, c in centroids], dtype=np.float64)
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        d2 = ((cmat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((np.array([cid for cid, _ in centroids]), d2))
+        for cid in order[:nprobe]:
+            probe_rows.append((int(r[id_col]), int(centroids[cid][0])))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbour_id"),
+            cosine(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine")
+    )
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

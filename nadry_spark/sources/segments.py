@@ -339,9 +339,15 @@ def build_segments(
         ).join(
             numbered.select("doc_id", "doc_no", "shard", "total_words"), "doc_id"
         )
-        tp.select("shard", "term", "doc_no", "field", "pos", "total_words").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, "_tokens_tmp"))
+        # partitioned by shard: each shard group's read prunes to its
+        # own directories instead of rescanning the whole token dump
+        (
+            tp.select("shard", "term", "doc_no", "field", "pos", "total_words")
+            .repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "_tokens_tmp"))
+        )
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,

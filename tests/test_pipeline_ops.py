@@ -204,3 +204,28 @@ def test_multimodal_featurize_and_frame_plan(spark):
 
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image")
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nadry_spark.operators.similarity import brute_force_topk, ivf_build, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centroids = ivf_build(emb, n_centroids=8, iters=2)
+    assert len(centroids) == 8
+    # every vector assigned to exactly one bucket
+    assert assigned.count() == emb.count()
+
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = ivf_topk(assigned, centroids, queries, k=10, nprobe=4)
+    exact = brute_force_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["neighbour_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbour_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 buckets
+
+    # determinism: rebuilding gives identical assignments
+    assigned2, centroids2 = ivf_build(emb, n_centroids=8, iters=2)
+    assert centroids == centroids2
