@@ -15,6 +15,7 @@ import json
 import os
 import subprocess
 import sys
+from shutil import which as shutil_which
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -52,9 +53,17 @@ spark.stop()
 
 
 def run(cpus: int, n_pages: int, corpus: str) -> dict:
+    """Run one parallelism level with the process tree PINNED to `cpus`
+    hardware cores via taskset. Without pinning, local[N] spawns N JVM
+    task threads PLUS N Python UDF workers — a "local[8]" run grabs ~16
+    cores and a local[32] run oversubscribes 64 threads on 32 cores,
+    corrupting the efficiency ratio in both directions."""
     script = WORKER.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cpus), str(n_pages), corpus]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_pages), corpus],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3600,
@@ -103,7 +112,10 @@ def main() -> None:
             f"""# BENCH/BASELINE — measured numbers (sandbox local mode)
 
 North-rule scaling criterion evidenced as local[{args.low}] vs
-local[{args.high}] (no real cluster in this sandbox) on IDENTICAL input:
+local[{args.high}] (no real cluster in this sandbox), each run PINNED
+to exactly that many hardware cores with `taskset` (local[N] spawns N
+JVM threads + N Python UDF workers, so unpinned runs under/over-count
+cores), on IDENTICAL input:
 a {args.pages}-page deterministic synthetic Common-Crawl-style corpus
 (seed 42), full index build (extract + tokenize + postings blocks +
 positions + manifests) and BM25 top-10 query p50 over the built

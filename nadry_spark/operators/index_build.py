@@ -48,6 +48,14 @@ def extract_documents(pages: DataFrame) -> DataFrame:
     (DocumentProcessor.java:151-163). Empty/oversize pages are dropped
     (P1, DocumentProcessor.java:44-53) via the null-struct filter.
     """
+    # Parquet split planning packs small page files into few splits
+    # (128MB default), which would run the CPU-heavy extraction UDF on
+    # 1-2 cores regardless of cluster size. Re-split to the session
+    # parallelism first — bytes-cheap, and the UDF stage is the cost.
+    spark = pages.sparkSession
+    target = spark.sparkContext.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     extracted = (
         pages.select("url", extract_udf(F.col("html"), F.col("url")).alias("doc"))
         .where(F.col("doc.content").isNotNull())

@@ -93,8 +93,8 @@ def phrase_search(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
     if not tokens:
         return empty
     if len(tokens) == 1:
-        from nadry_spark.operators.bm25 import bm25_topk  # noqa: F401  (doc parity)
-        # reference delegates to regular search; exact-mode equivalent:
+        # reference delegates to regular search (:282-284); exact-mode
+        # equivalent below, with true tf from the index
         matched = positions_long(
             index.positions.where(F.col("term") == tokens[0])
         ).select("doc_no").distinct()
@@ -113,8 +113,6 @@ def phrase_search(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
     )
     if len(tokens) == 1:
         # regular search semantics: true tf from the index
-        from nadry_spark.operators.codecs import decode_posting_block  # noqa: F401
-
         blocks = index.blocks.where(F.col("term") == tokens[0])
         import pandas as pd
 

@@ -206,6 +206,119 @@ def _encode_partition_frame(
     )
 
 
+POSITIONS_SCHEMA = (
+    "shard int, term string, doc_no long, "
+    "positions_title array<int>, positions_desc array<int>, "
+    "positions_body array<int>, tf int, dl int"
+)
+
+_FIELD_COLS = (("tokens_title", 0), ("tokens_desc", 1), ("tokens_body", 2))
+
+
+def _shard_postings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard LOCAL posting build (no Spark shuffle): one shard's
+    docs (token arrays) -> one row per (term, doc_no) with per-field
+    position lists, tf and dl. pandas C groupby does the heavy lifting;
+    per-shard input is bounded by shard_size docs by construction.
+    """
+    term_parts, doc_parts, field_parts, pos_parts = [], [], [], []
+    for col, field_id in _FIELD_COLS:
+        for doc_no, toks in zip(pdf["doc_no"], pdf[col]):
+            n = len(toks)
+            if n == 0:
+                continue
+            term_parts.append(np.asarray(toks, dtype=object))
+            doc_parts.append(np.full(n, doc_no, dtype=np.int64))
+            field_parts.append(np.full(n, field_id, dtype=np.int8))
+            pos_parts.append(np.arange(n, dtype=np.int32))
+    if not term_parts:
+        return pd.DataFrame(
+            columns=["term", "doc_no", "positions_title", "positions_desc",
+                     "positions_body", "tf", "dl"]
+        )
+    terms = np.concatenate(term_parts)
+    doc_nos = np.concatenate(doc_parts)
+    fields = np.concatenate(field_parts)
+    poss = np.concatenate(pos_parts)
+
+    # factorize terms once (sort=True -> codes follow lexicographic
+    # order), then a single integer lexsort + run-splitting replaces the
+    # pandas groupby(list) path (~6x faster per shard)
+    term_codes, uniq_terms = pd.factorize(terms, sort=True)
+    order = np.lexsort((poss, fields, doc_nos, term_codes))
+    tc, dn, fd, ps = term_codes[order], doc_nos[order], fields[order], poss[order]
+
+    n = len(tc)
+    new_posting = np.empty(n, dtype=bool)
+    new_posting[0] = True
+    new_posting[1:] = (tc[1:] != tc[:-1]) | (dn[1:] != dn[:-1])
+    posting_id = np.cumsum(new_posting) - 1
+    n_postings = int(posting_id[-1]) + 1
+    posting_start = np.nonzero(new_posting)[0]
+
+    new_run = new_posting.copy()
+    new_run[1:] |= fd[1:] != fd[:-1]
+    run_start = np.nonzero(new_run)[0]
+    run_posting = posting_id[run_start]
+    run_field = fd[run_start]
+    runs = np.split(ps, run_start[1:])
+
+    empty = np.empty(0, dtype=np.int32)
+    cols = [np.full(n_postings, None, dtype=object) for _ in range(3)]
+    for arr, p, f in zip(runs, run_posting, run_field):
+        cols[f][p] = arr
+    for c in cols:
+        mask = pd.isna(c)
+        if mask.any():
+            c[mask] = pd.Series([empty] * int(mask.sum()), dtype=object).values
+
+    tf = np.bincount(posting_id, minlength=n_postings).astype(np.int32)
+    out_doc_nos = dn[posting_start]
+    # dl lookup: doc_no -> total_words via a dict (docs per shard bounded)
+    dl_map = dict(zip(pdf["doc_no"].to_numpy(), pdf["total_words"].to_numpy()))
+    dl = np.fromiter((dl_map[d] for d in out_doc_nos), dtype=np.int32, count=n_postings)
+
+    return pd.DataFrame(
+        {
+            "term": uniq_terms[tc[posting_start]],
+            "doc_no": out_doc_nos,
+            "positions_title": cols[0],
+            "positions_desc": cols[1],
+            "positions_body": cols[2],
+            "tf": tf,
+            "dl": dl,
+        }
+    )
+
+
+def _positions_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _shard_postings_pdf(pdf)
+    out.insert(0, "shard", np.int32(key[0]))
+    return out
+
+
+def _blocks_fn_factory(avgdl: float, k1: float, b: float, block_size: int):
+    def blocks_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        postings = _shard_postings_pdf(pdf)
+        if not len(postings):
+            return pd.DataFrame(
+                columns=["shard", "term", "min_doc_no", "max_doc_no", "n_docs",
+                         "docs_bin", "tfs_bin", "dls_bin", "max_tfnorm"]
+            )
+        frame = pd.DataFrame(
+            {
+                "shard": np.full(len(postings), key[0], dtype=np.int32),
+                "term": postings["term"],
+                "doc_no": postings["doc_no"],
+                "tf": postings["tf"],
+                "dl": postings["dl"],
+            }
+        )
+        return _encode_partition_frame(frame, avgdl, k1, b, block_size)
+
+    return blocks_fn
+
+
 def _encode_blocks_stream(avgdl: float, k1: float, b: float, block_size: int):
     """mapInPandas encoder over (shard, term, doc_no)-sorted partitions.
 
@@ -289,7 +402,7 @@ def build_segments(
     Returns the meta dict. Stage 0 (extract + docmap) is one atomic
     unit; shard groups commit independently with manifest rows.
     """
-    from nadry_spark.operators.index_build import extract_documents, term_positions
+    from nadry_spark.operators.index_build import extract_documents
     from nadry_spark.session import ship_package
 
     ship_package(spark)
@@ -331,22 +444,19 @@ def build_segments(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "docs_content"))
         )
-        # tokens cache for the shard jobs: exploded term positions
-        tp = term_positions(
-            numbered.select(
-                "doc_id", "url", "tokens_title", "tokens_desc", "tokens_body"
-            )
-        ).join(
-            numbered.select("doc_id", "doc_no", "shard", "total_words"), "doc_id"
-        )
-        # partitioned by shard: each shard group's read prunes to its
-        # own directories instead of rescanning the whole token dump
+        # per-doc token cache for the shard jobs: compact (arrays per
+        # doc, ~corpus-sized), partitioned by shard so each group's read
+        # prunes to its own directories. The per-shard index build is
+        # LOCAL from here on — no exploded-token shuffle exists at all.
         (
-            tp.select("shard", "term", "doc_no", "field", "pos", "total_words")
+            numbered.select(
+                "shard", "doc_no", "tokens_title", "tokens_desc", "tokens_body",
+                "total_words",
+            )
             .repartition("shard")
             .write.mode("overwrite")
             .partitionBy("shard")
-            .parquet(os.path.join(out_dir, "_tokens_tmp"))
+            .parquet(os.path.join(out_dir, "docs_tokens"))
         )
         meta = {
             "n_docs": n_docs,
@@ -367,68 +477,41 @@ def build_segments(
         manifest = read_manifest(out_dir)
 
     n_shards = meta["n_shards"]
-    tokens = spark.read.parquet(os.path.join(out_dir, "_tokens_tmp"))
+    docs_tokens = spark.read.parquet(os.path.join(out_dir, "docs_tokens"))
 
     # ---- shard groups (resumable unit) ----
+    # The index build is SHUFFLE-FREE per shard: docs are already
+    # partitioned by shard on disk; one applyInPandas task per shard
+    # builds its postings locally (the Lucene-segment model). Global
+    # merge is unnecessary because shards partition the doc space.
     pending = [s for s in range(n_shards) if manifest.get(s, {}).get("status") != "done"]
-    encode = _encode_blocks_stream(meta["avgdl"], meta["k1"], meta["b"], meta["block_size"])
+    blocks_fn = _blocks_fn_factory(
+        meta["avgdl"], meta["k1"], meta["b"], meta["block_size"]
+    )
 
     for g in range(0, len(pending), shards_per_job):
         group = pending[g : g + shards_per_job]
-        group_tokens = tokens.where(F.col("shard").isin(group))
-        # ONE shuffle per group: positions + tf + dl in the same agg
-        # (tf = total positions across fields, Posting.getFrequency)
-        per_posting = group_tokens.groupBy("shard", "term", "doc_no").agg(
-            F.sort_array(
-                F.collect_list(F.when(F.col("field") == "title", F.col("pos")))
-            ).alias("positions_title"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("field") == "description", F.col("pos")))
-            ).alias("positions_desc"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("field") == "body", F.col("pos")))
-            ).alias("positions_body"),
-            F.first("total_words").alias("dl"),
-        )
-        per_posting = per_posting.persist()
+        group_docs = docs_tokens.where(F.col("shard").isin(group))
+        grouped = group_docs.groupBy("shard")
         if with_positions:
             (
-                per_posting.drop("dl")
-                .repartition("shard")
-                .sortWithinPartitions("term", "doc_no")
+                grouped.applyInPandas(_positions_fn, POSITIONS_SCHEMA)
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(os.path.join(out_dir, "positions"))
             )
-        postings = per_posting.select(
-            "shard",
-            "term",
-            "doc_no",
-            (
-                F.size("positions_title")
-                + F.size("positions_desc")
-                + F.size("positions_body")
-            ).alias("tf"),
-            "dl",
-        )
-        # hash-partition on (shard, term): groups stay whole, balanced
-        # by term hash, and — unlike repartitionByRange — no sampling
-        # pass that would recompute the aggregation upstream twice
-        n_parts = max(len(group), spark.sparkContext.defaultParallelism)
-        blocks = (
-            postings.repartition(n_parts, "shard", "term")
-            .sortWithinPartitions("shard", "term", "doc_no")
-            .mapInPandas(encode, BLOCKS_SCHEMA)
-        )
         (
-            blocks.sortWithinPartitions("term", "min_doc_no")
+            grouped.applyInPandas(blocks_fn, BLOCKS_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(os.path.join(out_dir, "postings"))
         )
         # per-shard metrics -> manifest (lineage + metrics per north_rule)
+        written = spark.read.parquet(os.path.join(out_dir, "postings")).where(
+            F.col("shard").isin(group)
+        )
         stats = (
-            blocks.groupBy("shard")
+            written.groupBy("shard")
             .agg(
                 F.sum("n_docs").alias("n_postings"),
                 F.count("*").alias("n_blocks"),
@@ -436,7 +519,6 @@ def build_segments(
             )
             .collect()
         )
-        per_posting.unpersist()
         by_shard = {r["shard"]: r for r in stats}
         for s in group:
             r = by_shard.get(s)
