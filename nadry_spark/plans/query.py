@@ -28,6 +28,28 @@ from nadry_spark.operators.phrase import extract_quoted_phrases, phrase_search
 from nadry_spark.sources.segments import SegmentIndex
 
 
+def decode_tf_for_terms(index: SegmentIndex, terms: list[str]):
+    """(term, doc_no, tf) long form decoded from the compressed blocks
+    of the given terms — the exact-mode candidate probe (J1/S7)."""
+    import pandas as pd
+
+    blocks = index.blocks.where(F.col("term").isin(terms))
+
+    def explode_tf(batches):
+        from nadry_spark.operators.codecs import decode_posting_block as dec
+
+        for pdf in batches:
+            out = {"term": [], "doc_no": [], "tf": []}
+            for r in pdf.itertuples():
+                doc_nos, tfs, _ = dec(r.docs_bin, r.tfs_bin, r.dls_bin)
+                out["term"].extend([r.term] * len(doc_nos))
+                out["doc_no"].extend(int(x) for x in doc_nos)
+                out["tf"].extend(int(x) for x in tfs)
+            yield pd.DataFrame(out)
+
+    return blocks.mapInPandas(explode_tf, "term string, doc_no long, tf int")
+
+
 class QueryEngine:
     def __init__(self, index: SegmentIndex, scoring: str = "exact"):
         """scoring: 'exact' (reference-identical TF-IDF blend) or
@@ -41,14 +63,13 @@ class QueryEngine:
             from nadry_spark.operators.bm25 import bm25_topk
 
             return bm25_topk(self.index, " ".join(tokens), k=need, mode="taat")
-        # exact mode: decode candidate postings for the query terms and
-        # run the reference formulas
-        from nadry_spark.operators.phrase import positions_long
+        # exact mode: decode candidate tfs straight from the compressed
+        # blocks (term-pruned scan; much lighter than exploding the
+        # positions table) and run the reference formulas
         from nadry_spark.operators.ranker import rank_exact
 
         idx = self.index
-        pos = positions_long(idx.positions.where(F.col("term").isin(sorted(set(tokens)))))
-        tf = pos.groupBy("doc_no", "term").agg(F.count("*").alias("tf"))
+        tf = decode_tf_for_terms(idx, sorted(set(tokens)))
         cand = tf.join(idx.docmap.select("doc_no", "doc_id", "url"), "doc_no").select(
             "term", "doc_id", "url", "tf"
         )

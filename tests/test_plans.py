@@ -34,15 +34,12 @@ def test_candidates_probe_uses_pushdown(spark, seg):
 def test_salted_term_lists_equal_plain(spark, seg):
     """A4 salted two-phase agg produces byte-identical posting lists."""
     from nadry_spark.operators.index_build import term_posting_lists
-    from nadry_spark.operators.phrase import positions_long
 
     idx, o_postings, _ = seg
-    # reconstruct a long-form postings df from the segment positions
-    pos = positions_long(idx.positions)
-    tf = pos.groupBy("term", "doc_no").agg(F.count("*").alias("tf"))
+    # long-form postings straight from the segment positions (tf is a
+    # column of the positions table)
     postings = (
         idx.positions.join(idx.docmap.select("doc_no", "doc_id", "url"), "doc_no")
-        .join(tf, ["term", "doc_no"])
         .select(
             "term", "doc_id", "url",
             "positions_title", "positions_desc", "positions_body",
