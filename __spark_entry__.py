@@ -425,6 +425,74 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ["table", "hash"]  # frequent adjacent pair in the testdata corpus
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 phrase positional join: docs where 'table' is immediately
+    followed by 'hash' in the tokenizer-lite token stream (positions
+    AFTER filtering, per the reference's filtered-token adjacency)."""
+    raw = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("raw_pos", "term"))
+        .where(
+            (F.length("term") >= 2)
+            & (F.length("term") <= 50)
+            & ~F.col("term").isin([w for w in sorted(STOP_WORDS)])
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("raw_pos")
+    with_next = raw.withColumn("nxt", F.lead("term", 1).over(w))
+    return (
+        with_next.where((F.col("term") == PHRASE[0]) & (F.col("nxt") == PHRASE[1]))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def q_blended_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A12: the full reference blend — relevance max-normalized,
+    popularity (n_chars as the synthetic popularity source) max-
+    normalized over candidates, score = 0.7*rel + 0.3*pop
+    (Ranker.java:42,67-71,100-116). Output (rank, doc_id)."""
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    cand_tf = tf.where(F.col("term").isin(QUERY_TERMS))
+    n_df = cand_tf.agg(F.countDistinct("doc_id").alias("n_cand"))
+    term_df = cand_tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qlen = len(QUERY_TERMS)
+    rel = (
+        cand_tf.join(tw, "doc_id")
+        .join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("idf", F.log10(F.col("n_cand") / (1 + F.col("df"))))
+        .withColumn(
+            "contrib",
+            (F.lit(1.0) / F.lit(float(qlen)))
+            * F.col("idf")
+            * (F.col("tf") / F.col("total_words"))
+            * F.col("idf"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("relevance_raw"))
+    )
+    pop = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").cast("double").alias("pop_raw"))
+    scored = rel.join(pop, "doc_id")
+    maxes = scored.agg(
+        F.max("relevance_raw").alias("mr"), F.max("pop_raw").alias("mp")
+    )
+    blended = (
+        scored.crossJoin(F.broadcast(maxes))
+        .withColumn(
+            "score",
+            0.7 * (F.col("relevance_raw") / F.col("mr"))
+            + 0.3 * (F.col("pop_raw") / F.col("mp")),
+        )
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return blended.select(F.row_number().over(w).cast("long").alias("rank"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_term_tf": q_doc_term_tf,
@@ -449,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "suggestions": q_suggestions,
         "pagerank": q_pagerank,
+        "phrase_match": q_phrase_match,
+        "blended_rank": q_blended_rank,
     }
 
 
@@ -751,6 +821,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT suggestion FROM sugg
             WHERE suggestion ILIKE '%or%'
             ORDER BY suggestion LIMIT 10
+        """,
+        "phrase_match": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS term,
+                       generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS raw_pos
+                FROM documents
+            ), filtered AS (
+                SELECT doc_id, term, raw_pos FROM raw
+                WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+            ), l AS (
+                SELECT doc_id, term,
+                       lead(term) OVER (PARTITION BY doc_id ORDER BY raw_pos) AS nxt
+                FROM filtered
+            )
+            SELECT DISTINCT doc_id FROM l
+            WHERE term = '{PHRASE[0]}' AND nxt = '{PHRASE[1]}'
+        """,
+        "blended_rank": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            cand AS (SELECT * FROM tf WHERE term IN ({QUERY_TERMS_SQL})),
+            n_cand AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_cand FROM cand),
+            term_df AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM cand GROUP BY term
+            ),
+            rel AS (
+                SELECT c.doc_id,
+                       sum( (1.0/3.0) * log10(n.n_cand/(1+d.df))
+                            * (c.tf::DOUBLE/w.total_words) * log10(n.n_cand/(1+d.df)) ) AS relevance_raw
+                FROM cand c
+                JOIN tw w USING (doc_id)
+                JOIN term_df d USING (term)
+                CROSS JOIN n_cand n
+                GROUP BY c.doc_id
+            ),
+            scored AS (
+                SELECT r.doc_id, r.relevance_raw, dd.n_chars::DOUBLE AS pop_raw
+                FROM rel r JOIN documents dd USING (doc_id)
+            ),
+            maxes AS (SELECT max(relevance_raw) AS mr, max(pop_raw) AS mp FROM scored),
+            blended AS (
+                SELECT doc_id,
+                       0.7 * (relevance_raw / m.mr) + 0.3 * (pop_raw / m.mp) AS score
+                FROM scored CROSS JOIN maxes m
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id
+            FROM blended
         """,
         "sessionization": """
             WITH g AS (

@@ -548,6 +548,123 @@ def build_segments(
     return meta
 
 
+def segments_from_postings(
+    spark: SparkSession,
+    postings: DataFrame,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    n_shards: int = 16,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> dict:
+    """Build a queryable segment dir from long-form postings
+    (term, doc_id, positions_*, tf) + doc stats — the bridge from
+    streaming delta segments (or any external postings source) to the
+    serving layout. One pass: number docs, shard, encode blocks, write
+    positions/docmap/terms/meta/manifests.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    numbered = assign_doc_numbers(docs)
+    stats = numbered.agg(
+        F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"] or 1.0) or 1.0
+    shard_size = max(1, math.ceil(n_docs / n_shards))
+    numbered = numbered.withColumn(
+        "shard", (F.col("doc_no") / F.lit(shard_size)).cast("int")
+    ).persist()
+
+    (
+        numbered.select(
+            "doc_id", "doc_no", "shard", "url", "title", "description",
+            "total_words", F.coalesce(F.col("popularity_score"), F.lit(0.0)).alias("popularity_score"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docmap"))
+    )
+    content_cols = [c for c in ("content", "links") if c in docs.columns]
+    (
+        numbered.select("doc_no", *content_cols)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docs_content"))
+    )
+
+    keyed = postings.join(
+        numbered.select("doc_id", "doc_no", "shard", F.col("total_words").alias("dl")),
+        "doc_id",
+    ).persist()
+    (
+        keyed.select(
+            "shard", "term", "doc_no",
+            "positions_title", "positions_desc", "positions_body", "tf",
+            F.col("dl").cast("int").alias("dl"),
+        )
+        .repartition("shard")
+        .sortWithinPartitions("term", "doc_no")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "positions"))
+    )
+    encode = _encode_blocks_stream(avgdl, k1, b, block_size)
+    blocks = (
+        keyed.select("shard", "term", "doc_no", "tf", "dl")
+        .repartition(max(n_shards, spark.sparkContext.defaultParallelism), "shard", "term")
+        .sortWithinPartitions("shard", "term", "doc_no")
+        .mapInPandas(encode, BLOCKS_SCHEMA)
+    )
+    (
+        blocks.sortWithinPartitions("term", "min_doc_no")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+    written = spark.read.parquet(os.path.join(out_dir, "postings"))
+    (
+        written.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks"))
+        .repartitionByRange(4, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "terms"))
+    )
+    meta = {
+        "n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards,
+        "shard_size": shard_size, "block_size": block_size, "k1": k1, "b": b,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    write_manifest_entry(
+        out_dir, {"shard": -1, "status": "done", "stage": "docmap",
+                  "n_docs": n_docs, "wrote_at": time.time()}
+    )
+    per_shard = {
+        r["shard"]: r
+        for r in written.groupBy("shard").agg(
+            F.sum("n_docs").alias("n_postings"), F.count("*").alias("n_blocks"),
+            F.countDistinct("term").alias("n_terms"),
+        ).collect()
+    }
+    for s in range(n_shards):
+        r = per_shard.get(s)
+        write_manifest_entry(
+            out_dir,
+            {"shard": s, "status": "done", "stage": "postings",
+             "n_postings": int(r["n_postings"]) if r else 0,
+             "n_blocks": int(r["n_blocks"]) if r else 0,
+             "n_terms": int(r["n_terms"]) if r else 0,
+             "wrote_at": time.time()},
+        )
+    numbered.unpersist()
+    keyed.unpersist()
+    return meta
+
+
 # ---------------------------------------------------------------------------
 # read side
 # ---------------------------------------------------------------------------

@@ -57,9 +57,9 @@ def stream_ingest(
         postings = build_postings(docs).withColumn("batch_id", F.lit(batch_id))
         stats = doc_stats(docs).withColumn("batch_id", F.lit(batch_id))
         postings.write.mode("append").parquet(os.path.join(out_dir, "delta_postings"))
-        stats.drop("content", "links").write.mode("append").parquet(
-            os.path.join(out_dir, "delta_docs")
-        )
+        # content/links kept: needed when deltas are finalized into
+        # serving segments (enrichment + pagerank)
+        stats.write.mode("append").parquet(os.path.join(out_dir, "delta_docs"))
 
     return (
         pages.writeStream.foreachBatch(process_batch)
@@ -83,6 +83,18 @@ def compact_deltas(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFr
     latest_keys = latest_docs.select("doc_id", "batch_id")
     postings = deltas.join(latest_keys, ["doc_id", "batch_id"], "left_semi").drop("batch_id")
     return postings, latest_docs.drop("batch_id")
+
+
+def finalize_stream_index(
+    spark: SparkSession, stream_out_dir: str, segments_dir: str, **kwargs
+) -> dict:
+    """Compact the streamed delta segments into a queryable segment dir
+    (docmap, compressed blocks, positions, terms, manifests) — the
+    streaming-to-serving bridge. Latest batch wins per doc_id."""
+    from nadry_spark.sources.segments import segments_from_postings
+
+    postings, docs = compact_deltas(spark, stream_out_dir)
+    return segments_from_postings(spark, postings, docs, segments_dir, **kwargs)
 
 
 def crawl_rate_stats(pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -120,3 +120,25 @@ def test_stateful_first_seen_dedups(spark, stream_dirs, tmp_path_factory):
     urls = [r["url"] for r in spark.sql("SELECT url FROM first_seen").collect()]
     assert sorted(urls) == sorted({r["url"] for r in rows})
     assert len(urls) == len(set(urls)) == 6
+
+
+def test_finalize_stream_index_matches_batch_segments(spark, stream_dirs, seg, tmp_path_factory):
+    """Streaming deltas finalized into segments answer BM25 queries
+    identically to the batch-built segments over the same corpus."""
+    from nadry_spark.operators.bm25 import bm25_topk
+    from nadry_spark.sources.segments import SegmentIndex
+    from nadry_spark.streaming.ingest import finalize_stream_index
+
+    _, out_dir, _ = stream_dirs
+    seg_dir = str(tmp_path_factory.mktemp("stream_segments"))
+    meta = finalize_stream_index(spark, out_dir, seg_dir, n_shards=4)
+    assert meta["n_docs"] == 40
+
+    idx_stream = SegmentIndex(spark, seg_dir)
+    idx_batch, _, _ = seg
+    for q in ("news report update", "news 2024"):
+        a = bm25_topk(idx_stream, q, k=10).collect()
+        b = bm25_topk(idx_batch, q, k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 10)) for r in a] == [
+            (r["doc_id"], round(r["score"], 10)) for r in b
+        ], q
