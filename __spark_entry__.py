@@ -141,7 +141,9 @@ def q_additive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 position lists: 0-based positions AFTER filtering, per the
-    reference's enumerate-over-filtered-tokens semantics."""
+    reference's enumerate-over-filtered-tokens semantics. Emitted as
+    flat (doc_id, term, pos) rows — array columns break the driver's
+    canonicalizer (round-1 TypeError: unhashable type 'list')."""
     raw = (
         _docs(spark, sf_dir)
         .select("doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("raw_pos", "term"))
@@ -153,10 +155,8 @@ def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("raw_pos")
     positions = raw.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-    return (
-        positions.groupBy("doc_id", "term")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-        .where(F.col("term").isin(QUERY_TERMS))
+    return positions.where(F.col("term").isin(QUERY_TERMS)).select(
+        "doc_id", "term", "pos"
     )
 
 
@@ -219,14 +219,22 @@ _DOCS_WITH_DUPS_SQL = """
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-hash groups with >1 member (duplicated corpus:
     every text and its identical twin would group — here dups come from
-    exact text collisions in the doubled corpus)."""
+    exact text collisions in the doubled corpus). Member ids emitted as
+    a sorted CSV string, not an array (driver canonicalizer shape)."""
     from nadry_spark.operators.dedup import exact_dup_groups
 
     base = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = base.unionByName(
         base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     )
-    return exact_dup_groups(doubled, "doc_id", "text")
+    grp = exact_dup_groups(doubled, "doc_id", "text")
+    return grp.select(
+        "text_hash",
+        "n_dups",
+        F.array_join(
+            F.transform("ids", lambda x: x.cast("string")), ","
+        ).alias("ids_csv"),
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +255,59 @@ def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = simhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text")
     return sigs.withColumnRenamed("id", "doc_id")
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets over the doubled corpus (identical
+    texts share a signature); member ids as sorted CSV (driver shape)."""
+    from nadry_spark.operators.dedup import simhash_dup_groups
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    grp = simhash_dup_groups(doubled, "doc_id", "text")
+    return grp.select(
+        "simhash",
+        "n",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias(
+            "ids_csv"
+        ),
+    )
+
+
+def q_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivors: min-id doc per identical text over the
+    doubled corpus (first-writer-wins, MongoDBIndexStore.java:222)."""
+    from nadry_spark.operators.dedup import exact_dedup
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return exact_dedup(doubled, "doc_id", "text").select("doc_id")
+
+
+def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, never all-pairs):
+    the corpus is unioned with scaled copies (id+10000, 1.01x) so exact
+    direction-duplicates exist to find."""
+    from nadry_spark.operators.similarity import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doubled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(
+        emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(1.01)
+            ).alias("embedding"),
+        )
+    )
+    pairs = cosine_dup_pairs(doubled, threshold=0.9, dims=[0, 1, 2, 3])
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,6 +432,27 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the third ANN path): deterministic centroids seeded from
+    the first IVF_CENTROIDS vectors by id (iters=0 so the SQL oracle can
+    mirror the assignment exactly), nprobe nearest buckets per query,
+    exact cosine within."""
+    from nadry_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_build(emb, n_centroids=IVF_CENTROIDS, iters=0)
+    out = ivf_topk(
+        assigned, centroids, emb.where(F.col("vec_id") < 5), k=10, nprobe=IVF_NPROBE
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id"
+    )
+
+
 def q_compact_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 compact-string near-dup signature per doc."""
     from nadry_spark.operators.dedup import compact_string_col
@@ -404,10 +486,15 @@ def q_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_suggestions(sugg, "or", limit=10)
 
 
+PAGERANK_ITERS = 15  # fixed-iteration mode: oracle-comparable power iteration
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 PageRank over a deterministic synthetic link graph derived
-    from doc ids (iterative — no SQL oracle; driver records rows-only).
-    Scores on the 1e-9 grid for stability."""
+    from doc ids. Reference semantics (PageRank.java:44-81 incl. the
+    in-degree divisor quirk) with tol=0 -> exactly PAGERANK_ITERS
+    rounds, mirrored by an unrolled DuckDB power iteration. Scores on
+    the 1e-9 grid for cross-engine fp stability."""
     from nadry_spark.operators.pagerank import pagerank
 
     docs = _docs(spark, sf_dir).select(
@@ -418,7 +505,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 97).cast("string"),
         ).alias("links"),
     )
-    ranks = pagerank(docs)
+    ranks = pagerank(docs, tol=0.0, max_iter=PAGERANK_ITERS)
     return ranks.select(
         F.col("url").cast("long").alias("doc_id"),
         F.round("popularity_score", 9).alias("popularity_score"),
@@ -502,8 +589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_positions": q_term_positions,
         "tfidf_rank": q_tfidf_rank,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_keep": q_exact_keep,
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash_sigs,
+        "simhash_groups": q_simhash_groups,
+        "cosine_dups": q_cosine_dups,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -513,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "bm25_rank": q_bm25_rank,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "compact_string": q_compact_string,
         "window_topk": q_window_topk,
         "suggestions": q_suggestions,
@@ -562,6 +653,116 @@ def _minhash_sql() -> str:
     """
 
 
+def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
+    """Unrolled fixed-iteration power iteration mirroring
+    nadry/ranker/PageRank.java:44-81 semantics: vertices = pages with
+    >=1 inlink, contributions divided by the inlinker's IN-degree (the
+    reference quirk), damping 0.85, contributions only from inlinkers
+    that are themselves ranked. All float literals forced ::DOUBLE so
+    DuckDB doesn't fold them as DECIMAL (which would diverge from the
+    Spark side's IEEE doubles)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+            SELECT v.dst,
+                   (SELECT base FROM consts)
+                   + 0.85::DOUBLE * coalesce(sum(r.rank / l.src_indeg), 0.0::DOUBLE) AS rank
+            FROM vertices v
+            LEFT JOIN live l ON l.dst = v.dst
+            LEFT JOIN {prev} r ON r.dst = l.src
+            GROUP BY v.dst
+        )"""
+        )
+        prev = f"r{i}"
+    joined = ",\n        ".join(steps)
+    return f"""
+        WITH graph AS (
+            SELECT doc_id::VARCHAR AS url,
+                   [((doc_id * 7 + 1) % 500)::VARCHAR,
+                    ((doc_id * 13 + 3) % 500)::VARCHAR,
+                    (doc_id % 97)::VARCHAR] AS links
+            FROM documents
+        ),
+        edges AS (
+            SELECT DISTINCT url AS src, l AS dst
+            FROM (SELECT url, unnest(links) AS l FROM graph)
+            WHERE l IN (SELECT url FROM graph)
+        ),
+        vertices AS (SELECT dst, count(*)::BIGINT AS indeg FROM edges GROUP BY dst),
+        consts AS (
+            SELECT count(*)::DOUBLE AS n,
+                   (1.0::DOUBLE - 0.85::DOUBLE) / count(*)::DOUBLE AS base
+            FROM vertices
+        ),
+        live AS (
+            SELECT e.src, e.dst, v.indeg AS src_indeg
+            FROM edges e JOIN vertices v ON v.dst = e.src
+        ),
+        r0 AS (SELECT dst, 1.0::DOUBLE / (SELECT n FROM consts) AS rank FROM vertices),
+        {joined}
+        SELECT dst::BIGINT AS doc_id, round(rank, 9) AS popularity_score FROM {prev}
+    """
+
+
+def _ivf_sql() -> str:
+    """Mirrors ivf_build(iters=0) + ivf_topk: centroids = first
+    IVF_CENTROIDS vectors by id, assignment = argmin squared distance
+    on the 1e-9 grid (ties by cid), probes = IVF_NPROBE nearest
+    centroids per query, exact cosine within probed buckets."""
+    return f"""
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS})
+        ),
+        pair AS (SELECT v.vec_id, c.cid, v.embedding AS vv, c.cvec FROM embeddings v CROSS JOIN cent c),
+        el0 AS (
+            SELECT vec_id, cid,
+                   unnest(vv)::DOUBLE AS a, unnest(cvec)::DOUBLE AS b
+            FROM pair
+        ),
+        dists AS (
+            SELECT vec_id, cid, round(sum((a - b) * (a - b)), 9) AS d2
+            FROM el0 GROUP BY vec_id, cid
+        ),
+        asgn AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dists WHERE vec_id < 5
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        cand AS (
+            SELECT p.query_id AS qid, v.vec_id AS nid, q.qv, v.embedding AS vv
+            FROM probes p
+            JOIN asgn a ON a.cid = p.cid
+            JOIN embeddings v ON v.vec_id = a.vec_id
+            JOIN q ON q.qid = p.query_id
+            WHERE v.vec_id <> p.query_id
+        ),
+        el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM cand),
+        cos AS (
+            SELECT qid, nid, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+            FROM el GROUP BY qid, nid
+        ),
+        ranked AS (
+            SELECT qid AS query_id, nid AS neighbour_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY round(c, 9) DESC, nid ASC) AS rank
+            FROM cos
+        )
+        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+    """
+
+
 def _simhash_sql() -> str:
     high = "('8','9','a','b','c','d','e','f')"
     sums = ",\n               ".join(
@@ -576,6 +777,57 @@ def _simhash_sql() -> str:
         fx AS (SELECT doc_id, md5(tok) AS h FROM ex WHERE length(tok) > 0),
         agg AS (SELECT doc_id, {sums} FROM fx GROUP BY doc_id)
         SELECT doc_id, {concat} AS simhash FROM agg
+    """
+
+
+def _simhash_groups_sql() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN substring(h, {j + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    concat = " || ".join(f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(32))
+    return f"""
+        WITH doubled AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM doubled
+        ),
+        fx AS (SELECT doc_id, md5(tok) AS h FROM ex WHERE length(tok) > 0),
+        agg AS (SELECT doc_id, {sums} FROM fx GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {concat} AS simhash FROM agg)
+        SELECT simhash, count(*)::BIGINT AS n,
+               array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
+        FROM sigs GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+def _cosine_dups_sql() -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(4)
+    )
+    return f"""
+        WITH doubled AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id,
+                   list_transform(embedding, x -> x::DOUBLE * 1.01::DOUBLE) AS embedding
+            FROM embeddings
+        ),
+        tagged AS (SELECT vec_id AS id, embedding, {bucket} AS bucket FROM doubled),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
+            FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id
+        ),
+        el AS (SELECT id_a, id_b, unnest(va)::DOUBLE AS ea, unnest(vb)::DOUBLE AS eb FROM pairs),
+        cos AS (
+            SELECT id_a, id_b, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+            FROM el GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, round(c, 9) AS cosine FROM cos WHERE c >= 0.9
     """
 
 
@@ -669,10 +921,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM raw
                 WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
             )
-            SELECT doc_id, term, list_sort(list(pos)) AS positions
+            SELECT doc_id, term, pos
             FROM filtered
             WHERE term IN ({QUERY_TERMS_SQL})
-            GROUP BY doc_id, term
         """,
         "tfidf_rank": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
@@ -711,11 +962,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000 AS doc_id, text FROM documents
             )
             SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
-                   list_sort(list(doc_id)) AS ids
+                   array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
             FROM doubled GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_pairs": _minhash_sql(),
         "simhash_sigs": _simhash_sql(),
+        "simhash_groups": _simhash_groups_sql(),
+        "cosine_dups": _cosine_dups_sql(),
+        "pagerank": _pagerank_sql(),
+        "ivf_ann": _ivf_sql(),
+        "exact_keep": """
+            WITH doubled AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id FROM doubled GROUP BY md5(text)
+        """,
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "token_counts": r"""

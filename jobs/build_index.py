@@ -25,7 +25,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True, help="input pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True, help="segment output directory")
-    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument(
+        "--shards", type=int, default=None,
+        help="shard count; default derives from corpus size "
+        "(ceil(n_docs / 16384), floored at cluster parallelism)",
+    )
     ap.add_argument("--shards-per-job", type=int, default=8)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--k1", type=float, default=1.2)

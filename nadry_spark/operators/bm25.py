@@ -206,8 +206,14 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
             if aligned:
                 at_pivot = [c for c in live if c.cur == pivot_doc]
                 # block-max check: sum of current block maxes
+                # >= not >: push() admits equal-score items with smaller
+                # doc_no ((score, -doc_no) tuple compare), so a block
+                # whose bound ties the threshold can still host a doc
+                # that displaces the heap minimum on the doc_no
+                # tie-break — skipping it would make bmw disagree with
+                # taat on exact score ties at the k boundary
                 bub = sum(c.block_max() for c in at_pivot)
-                if bub > threshold or len(heap) < k or conjunctive:
+                if bub >= threshold or len(heap) < k or conjunctive:
                     if not conjunctive or len(at_pivot) == n_query_terms:
                         s = sum(c.score_current() for c in at_pivot)
                         push(pivot_doc, s)
@@ -233,13 +239,20 @@ def bm25_topk(
     k: int = 10,
     mode: str = "taat",
     conjunctive: bool = False,
+    tokens: list[str] | None = None,
 ) -> DataFrame:
     """Tokenize -> prune blocks by term -> per-shard top-k -> global top-k.
 
     Returns (doc_id, url, doc_no, score) ordered by (score desc, doc_no).
+
+    `tokens` bypasses tokenization for callers that already hold index
+    terms (QueryEngine): re-tokenizing stems diverges from the index —
+    stems equal to stopwords vanish ('wills'->'will'-> dropped), stems
+    restem ('happili'->'happi'), and special tokens shred ('num:2024'
+    -> 'num','_num_') — which also falsely empties conjunctive mode.
     """
     spark = index.spark
-    tokens = tokenize(query)
+    tokens = tokenize(query) if tokens is None else list(tokens)
     distinct = sorted(set(tokens))
     empty = spark.createDataFrame([], "doc_id string, url string, doc_no long, score double")
     if not distinct:

@@ -111,3 +111,38 @@ def bm25_tfnorm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: fl
     tfs = tfs.astype(np.float64)
     dls = dls.astype(np.float64)
     return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+
+def explode_tf_batches(batches, with_term: bool = True):
+    """mapInPandas body: block rows -> long-form (term?, doc_no, tf).
+
+    Fully vectorized per Arrow batch: one decode per block row, then a
+    single np.concatenate / np.repeat — no per-posting Python loop.
+    Shared by the exact-mode candidate probe and the single-token
+    phrase path (J1/S7/S8)."""
+    import pandas as pd
+
+    for pdf in batches:
+        doc_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        lens: list[int] = []
+        for docs_bin, tfs_bin, dls_bin in zip(
+            pdf["docs_bin"], pdf["tfs_bin"], pdf["dls_bin"]
+        ):
+            d, t, _ = decode_posting_block(docs_bin, tfs_bin, dls_bin)
+            doc_parts.append(d)
+            tf_parts.append(t)
+            lens.append(len(d))
+        if doc_parts:
+            doc_no = np.concatenate(doc_parts).astype("int64")
+            tf = np.concatenate(tf_parts).astype("int32")
+        else:
+            doc_no = np.empty(0, dtype="int64")
+            tf = np.empty(0, dtype="int32")
+        out = {"doc_no": doc_no, "tf": tf}
+        if with_term:
+            out = {
+                "term": np.repeat(pdf["term"].to_numpy(), lens),
+                **out,
+            }
+        yield pd.DataFrame(out)

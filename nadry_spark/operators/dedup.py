@@ -167,8 +167,18 @@ def jaccard_pairs(
         # — the shingle self-join is O(sum df^2) over ALL docs and blows
         # up on common shingles, which is exactly what LSH candidates
         # are supposed to avoid paying.
-        arrs = shingles.groupBy("id").agg(
-            F.collect_list("shingle").alias("sh"), F.count("*").alias("n_sh")
+        # Only docs that appear in a candidate pair need their shingle
+        # array materialized: semi-join BEFORE the wide collect_list agg
+        # so the agg is O(candidate docs), not O(corpus).
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        arrs = (
+            shingles.join(cand_ids, "id", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("sh"), F.count("*").alias("n_sh"))
         )
         a = arrs.select(
             F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -240,12 +250,16 @@ def minhash_dedup_pairs(
     jaccard-verify >= threshold. Returns (id_a, id_b, jaccard).
 
     The shingle frame feeds both the signature aggregation and the
-    jaccard verification — persisted so the explode+md5 work runs once.
+    jaccard verification — persisted so the explode+md5 work runs once,
+    and released once the (small) verified pair set is materialized so
+    long-lived sessions don't accumulate cached shingle blocks.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
-    sigs = minhash_signatures(sh, n_hashes)
-    cand = lsh_candidate_pairs(sigs, n_hashes, bands)
-    return jaccard_pairs(sh, cand, threshold)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, bands)
+    pairs = jaccard_pairs(sh, cand, threshold).persist()
+    pairs.count()
+    sh.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

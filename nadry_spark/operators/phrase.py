@@ -76,15 +76,69 @@ def phrase_match_docs(index: SegmentIndex, tokens: list[str]) -> DataFrame:
     return starts.select("doc_no").distinct()
 
 
+def disjunctive_ranked(
+    index: SegmentIndex, tokens: list[str], with_metadata: bool = False
+) -> DataFrame:
+    """Regular exact-mode search over pre-tokenized index terms: decode
+    candidate tfs from the compressed blocks (term-pruned scan) and run
+    the reference ranking formulas. Unlimited — callers paginate."""
+    from nadry_spark.operators.ranker import rank_exact
+
+    docmap = index.docmap
+    tf = index.decoded_tf(tokens)
+    cand = tf.join(docmap.select("doc_no", "doc_id", "url"), "doc_no").select(
+        "term", "doc_id", "url", "tf"
+    )
+    return rank_exact(
+        index.spark,
+        cand,
+        docmap.select("doc_id", "total_words", "popularity_score"),
+        tokens,
+        with_metadata=with_metadata,
+    )
+
+
+def phrase_ranked(
+    index: SegmentIndex, tokens: list[str], with_metadata: bool = False
+) -> DataFrame:
+    """Multi-token phrase path: positional match -> rank with every
+    term's tf forced to 1 (SearchWrapper.java:357-366). Unlimited —
+    pagination happens AFTER full ranking (:649-666)."""
+    from nadry_spark.operators.ranker import rank_exact
+
+    spark = index.spark
+    matched = phrase_match_docs(index, tokens)
+    docmap = index.docmap
+    docs = docmap.join(matched, "doc_no").select(
+        "doc_id", "url", "total_words", "popularity_score"
+    )
+    terms_df = spark.createDataFrame([(t,) for t in sorted(set(tokens))], "term string")
+    cand = docs.crossJoin(F.broadcast(terms_df)).select(
+        "term", "doc_id", "url", F.lit(1).alias("tf")
+    )
+    return rank_exact(
+        spark,
+        cand,
+        docmap.select("doc_id", "total_words", "popularity_score"),
+        tokens,
+        phrase_mode=True,
+        with_metadata=with_metadata,
+    )
+
+
 def phrase_search(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
     """Full phrase path: tokenize -> positional match -> rank (tf=1).
 
     Returns (doc_id, url, relevance, popularity, score) like the
     disjunctive path; ranking uses the reference-exact formulas with
     phrase_mode tf=1.
-    """
-    from nadry_spark.operators.ranker import rank_exact
 
+    Single-token quirk: the reference delegates to
+    searchWithMetadata(phraseTokens[0]) (SearchWrapper.java:282-284),
+    which RE-tokenizes the already-stemmed token — results differ
+    whenever tokenize(stem(w)) != stem(w) (e.g. a stem that equals a
+    stop word vanishes). Faithfully reproduced.
+    """
     spark = index.spark
     tokens = tokenize(phrase)
     empty = spark.createDataFrame(
@@ -93,50 +147,8 @@ def phrase_search(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
     if not tokens:
         return empty
     if len(tokens) == 1:
-        # reference delegates to regular search (:282-284); exact-mode
-        # equivalent below, with true tf from the index
-        matched = positions_long(
-            index.positions.where(F.col("term") == tokens[0])
-        ).select("doc_no").distinct()
-    else:
-        matched = phrase_match_docs(index, tokens)
-
-    docmap = index.docmap
-    docs = docmap.join(matched, "doc_no").select(
-        "doc_id", "url", "total_words", "popularity_score"
-    )
-    # candidate long form with tf from postings (single-token regular
-    # search) or tf=1 (phrase mode)
-    terms_df = spark.createDataFrame([(t,) for t in sorted(set(tokens))], "term string")
-    cand = docs.crossJoin(F.broadcast(terms_df)).select(
-        "term", "doc_id", "url", F.lit(1).alias("tf")
-    )
-    if len(tokens) == 1:
-        # regular search semantics: true tf from the index
-        blocks = index.blocks.where(F.col("term") == tokens[0])
-        import pandas as pd
-
-        def explode_tf(pdf_iter):
-            from nadry_spark.operators.codecs import decode_posting_block as dec
-
-            for pdf in pdf_iter:
-                rows = {"doc_no": [], "tf": []}
-                for r in pdf.itertuples():
-                    doc_nos, tfs, _ = dec(r.docs_bin, r.tfs_bin, r.dls_bin)
-                    rows["doc_no"].extend(int(x) for x in doc_nos)
-                    rows["tf"].extend(int(x) for x in tfs)
-                yield pd.DataFrame(rows)
-
-        tfdf = blocks.mapInPandas(explode_tf, "doc_no long, tf int")
-        cand = (
-            docmap.join(tfdf, "doc_no")
-            .select(F.lit(tokens[0]).alias("term"), "doc_id", "url", "tf")
-        )
-    ranked = rank_exact(
-        spark,
-        cand,
-        docmap.select("doc_id", "total_words", "popularity_score"),
-        tokens,
-        phrase_mode=len(tokens) > 1,
-    )
-    return ranked.limit(k)
+        retok = tokenize(tokens[0])
+        if not retok:
+            return empty
+        return disjunctive_ranked(index, retok).limit(k)
+    return phrase_ranked(index, tokens).limit(k)

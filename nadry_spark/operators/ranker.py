@@ -16,18 +16,24 @@ Ranker.Rank (api/SearchWrapper.java:123-220, nadry/ranker/Ranker.java:
 5. A10 relevance = raw dot product (cosine normalization is commented
    out in the reference, Ranker.java:152 — faithfully NOT applied).
 6. A11 max-normalizations of popularity and relevance over candidates.
-   Reference quirk: max popularity == 0 gives 0/0 = NaN in Java and the
-   blended score becomes NaN for every doc (undefined final order). We
-   pin popularity_norm = 0.0 in that case — the only deliberate
-   deviation, documented here and in tests.
+   Reference quirks at the zero boundary: max popularity == 0 gives
+   0/0 = NaN in Java (Ranker.java:70-71) and the blended score becomes
+   NaN for every doc (undefined final order) — we pin
+   popularity_norm = 0.0; max relevance == 0 likewise divides by zero
+   (Ranker.java:115) — we pass relevance_raw (= 0.0 for every doc)
+   through unchanged. Both are deliberate NaN-guard deviations; neither
+   affects ordering (all-zero either way), documented here and in tests.
 7. A12 blend 0.7*relevance + 0.3*popularity (Ranker.java:42); full sort
    desc. The reference's tie order is HashMap iteration order
    (nondeterministic); we pin (score desc, doc_id asc) as canonical.
 
 Scale notes: the candidate set (docs matching >=1 query term) is the
 only data that flows; scalar aggregates (N, maxes) travel via 1-row
-broadcast cross-joins, never a driver collect; the doc-stats join
-broadcasts the aggregated candidate side, not the (huge) stats table.
+broadcast cross-joins, never a driver collect. The doc-stats join is
+left to AQE: for selective queries the candidate side lands under the
+broadcast threshold and AQE converts the shuffle join to a broadcast
+at runtime; for stopword-scale candidate sets a forced broadcast would
+OOM the executors, so no static hint is applied on purpose.
 """
 
 from __future__ import annotations
@@ -64,12 +70,20 @@ def rank_exact(
     doc_stats: DataFrame,
     query_tokens: list[str],
     phrase_mode: bool = False,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """Ranker.Rank over a candidate long-form (term, doc_id, url, tf).
 
     Returns (doc_id, url, relevance, popularity, score) sorted by
     (score desc, doc_id asc). In phrase mode every term's tf is forced
     to 1 (SearchWrapper.java:357-366).
+
+    with_metadata=True adds the QueryDocument reflection-dump fields the
+    reference's serving envelope carries (SearchWrapper.toMap over
+    nadry/ranker/QueryDocument.java fields): term_frequency (term->tf),
+    total_words, doc_tfidf (term->doc TF-IDF, Ranker.java:108-110) and
+    query_tfidf (term->query TF-IDF incl. df=0 terms, Ranker.java:94-97
+    — the same map on every row, as in the reference).
     """
     if phrase_mode:
         candidates = candidates.withColumn("tf", F.lit(1))
@@ -100,18 +114,63 @@ def rank_exact(
     q_tfidf = (qtf / F.lit(float(query_len))) * idf
     d_tfidf = (F.col("tf") / F.col("total_words")) * idf
 
+    meta_aggs = []
+    if with_metadata:
+        meta_aggs = [
+            F.first("total_words").alias("total_words"),
+            F.map_from_entries(F.collect_list(F.struct("term", "tf"))).alias(
+                "term_frequency"
+            ),
+            F.map_from_entries(
+                F.collect_list(F.struct("term", F.col("_d_tfidf")))
+            ).alias("doc_tfidf"),
+        ]
     per_doc = (
         cand.withColumn("contrib", q_tfidf * d_tfidf)
+        .withColumn("_d_tfidf", d_tfidf)
         .groupBy("doc_id")
         .agg(
             F.first("url").alias("url"),
             F.first("popularity_score").alias("popularity_raw"),
             F.sum("contrib").alias("relevance_raw"),
+            *meta_aggs,
         )
     )
 
+    if with_metadata:
+        # QUERY_TFIDF covers every query token; tokens absent from all
+        # candidates get df = 0 (Ranker.java:129 getOrDefault) — a tiny
+        # (|query| rows) aggregate broadcast onto every result row
+        qterms = spark.createDataFrame(
+            [(t, c) for t, c in query_bag.items()], "term string, qtf int"
+        )
+        q_vec = (
+            qterms.join(term_df, "term", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "term",
+                (
+                    (F.col("qtf") / F.lit(float(query_len)))
+                    * F.log10(
+                        F.col("n_candidates") / (1 + F.coalesce(F.col("df"), F.lit(0)))
+                    )
+                ).alias("q_tfidf"),
+            )
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "q_tfidf"))
+                ).alias("query_tfidf")
+            )
+        )
+        per_doc = per_doc.crossJoin(F.broadcast(q_vec))
+
     maxes = per_doc.agg(
         F.max("relevance_raw").alias("max_rel"), F.max("popularity_raw").alias("max_pop")
+    )
+    meta_cols = (
+        ["total_words", "term_frequency", "doc_tfidf", "query_tfidf"]
+        if with_metadata
+        else []
     )
     scored = (
         per_doc.crossJoin(F.broadcast(maxes))
@@ -125,6 +184,7 @@ def rank_exact(
             F.when(F.col("max_pop") > 0, F.col("popularity_raw") / F.col("max_pop"))
             .otherwise(0.0)
             .alias("popularity"),
+            *meta_cols,
         )
         .withColumn("score", 0.7 * F.col("relevance") + 0.3 * F.col("popularity"))
     )

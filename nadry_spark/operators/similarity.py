@@ -139,7 +139,11 @@ def lsh_topk(
 def _nearest_centroid_expr(vec_col: str, centroids: list[tuple[int, list[float]]]):
     """argmin over broadcast centroids as a pure column expression:
     array of (squared_dist, cid) structs -> array_min (struct compare
-    orders by dist, then cid — deterministic ties)."""
+    orders by dist, then cid — deterministic ties). Distances are
+    quantized to the 1e-9 grid before the argmin so the assignment is
+    reproducible across engines (summation-order fp noise ~1e-16 can't
+    flip near-equidistant centroids differently in Spark vs the DuckDB
+    oracle); at 1e-9 the quantization is irrelevant to k-means quality."""
     entries = []
     for cid, cvec in centroids:
         carr = F.array(*[F.lit(float(x)) for x in cvec])
@@ -148,7 +152,7 @@ def _nearest_centroid_expr(vec_col: str, centroids: list[tuple[int, list[float]]
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        entries.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+        entries.append(F.struct(F.round(d2, 9).alias("d"), F.lit(cid).alias("cid")))
     return F.array_min(F.array(*entries))["cid"]
 
 
@@ -210,7 +214,9 @@ def ivf_topk(
     probe_rows = []
     for r in qrows:
         qv = np.array(r[vec_col], dtype=np.float64)
-        d2 = ((cmat - qv) ** 2).sum(axis=1)
+        # same 1e-9 quantization as the assignment expr (numpy pairwise
+        # summation differs from sequential fold at ~1e-16)
+        d2 = np.round(((cmat - qv) ** 2).sum(axis=1), 9)
         order = np.lexsort((np.array([cid for cid, _ in centroids]), d2))
         for cid in order[:nprobe]:
             probe_rows.append((int(r[id_col]), int(centroids[cid][0])))

@@ -2,18 +2,27 @@
 
 Reproduces api/SearchController.java:53-111 + SearchWrapper:
 1. quoted-phrase detection: the FIRST quoted phrase switches to phrase
-   mode and REPLACES the query (:63-70, F16);
+   mode and REPLACES the query (:63-70, F16); single-token phrases
+   delegate to regular search, RE-tokenizing the stemmed token
+   (SearchWrapper.java:282-284 quirk);
 2. per-query result cache keyed by the exact search string (:35-46,
    76-97 — quirk preserved: the cache stores one page's enrichment and
    ignores page/limit drift on hit);
 3. disjunctive rank (exact reference formulas) or BM25 top-k;
-4. pagination AFTER full ranking (SearchWrapper.java:649-666);
+4. pagination AFTER full ranking (SearchWrapper.java:649-666) — but
+   computed distributed: totalResults via count(), only the requested
+   page's rows cross the driver boundary (offset/limit), never the
+   full ranked candidate set;
 5. late enrichment of the current page only: title/snippet via the
    F15 pandas UDF + content join (J4, :500-557).
 
 The result envelope mirrors the reference JSON
 {success, data, totalPages, currentPage, totalResults, tokens,
-searchTimeSec} (:102-111).
+searchTimeSec} (:102-111); each data row carries the QueryDocument
+reflection-dump fields (SearchWrapper.toMap, :476-491 over
+nadry/ranker/QueryDocument.java:5-18): url, termFrequency,
+popularityScore, relevenceScore (sic), totalWord, score, title,
+description, DOC_TFIDF, QUERY_TFIDF — plus id/doc_id.
 """
 
 from __future__ import annotations
@@ -24,30 +33,19 @@ from pyspark.sql import functions as F
 
 from nadry_spark.functions.snippets import snippet_udf
 from nadry_spark.functions.tokenizer import tokenize
-from nadry_spark.operators.phrase import extract_quoted_phrases, phrase_search
+from nadry_spark.operators.phrase import (
+    disjunctive_ranked,
+    extract_quoted_phrases,
+    phrase_ranked,
+)
 from nadry_spark.sources.segments import SegmentIndex
 
 
 def decode_tf_for_terms(index: SegmentIndex, terms: list[str]):
     """(term, doc_no, tf) long form decoded from the compressed blocks
-    of the given terms — the exact-mode candidate probe (J1/S7)."""
-    import pandas as pd
-
-    blocks = index.blocks.where(F.col("term").isin(terms))
-
-    def explode_tf(batches):
-        from nadry_spark.operators.codecs import decode_posting_block as dec
-
-        for pdf in batches:
-            out = {"term": [], "doc_no": [], "tf": []}
-            for r in pdf.itertuples():
-                doc_nos, tfs, _ = dec(r.docs_bin, r.tfs_bin, r.dls_bin)
-                out["term"].extend([r.term] * len(doc_nos))
-                out["doc_no"].extend(int(x) for x in doc_nos)
-                out["tf"].extend(int(x) for x in tfs)
-            yield pd.DataFrame(out)
-
-    return blocks.mapInPandas(explode_tf, "term string, doc_no long, tf int")
+    of the given terms — the exact-mode candidate probe (J1/S7).
+    Thin alias over SegmentIndex.decoded_tf (kept for callers/tests)."""
+    return index.decoded_tf(terms)
 
 
 class QueryEngine:
@@ -62,24 +60,10 @@ class QueryEngine:
         if self.scoring == "bm25":
             from nadry_spark.operators.bm25 import bm25_topk
 
-            return bm25_topk(self.index, " ".join(tokens), k=need, mode="taat")
-        # exact mode: decode candidate tfs straight from the compressed
-        # blocks (term-pruned scan; much lighter than exploding the
-        # positions table) and run the reference formulas
-        from nadry_spark.operators.ranker import rank_exact
-
-        idx = self.index
-        tf = decode_tf_for_terms(idx, sorted(set(tokens)))
-        cand = tf.join(idx.docmap.select("doc_no", "doc_id", "url"), "doc_no").select(
-            "term", "doc_id", "url", "tf"
-        )
-        ranked = rank_exact(
-            idx.spark,
-            cand,
-            idx.docmap.select("doc_id", "total_words", "popularity_score"),
-            tokens,
-        )
-        return ranked
+            # tokens are already index terms — do NOT re-tokenize (stems
+            # that equal stopwords would vanish, specials would shred)
+            return bm25_topk(self.index, "", k=need, mode="taat", tokens=tokens)
+        return disjunctive_ranked(self.index, tokens, with_metadata=True)
 
     def search(self, query: str, page: int = 0, page_size: int = 10) -> dict:
         """Full serving path; returns the reference's result envelope."""
@@ -93,22 +77,38 @@ class QueryEngine:
         if cached is not None:
             return cached  # quirk: ignores page/limit drift, like the ref
 
+        need = (page + 1) * page_size
         phrases = extract_quoted_phrases(query)
         if phrases:
             tokens = tokenize(phrases[0])
-            ranked_df = phrase_search(self.index, phrases[0], k=1_000_000_000)
+            if len(tokens) == 1:
+                # reference delegates to searchWithMetadata(tokens[0]),
+                # re-tokenizing the stem (SearchWrapper.java:282-284)
+                tokens = tokenize(tokens[0])
+                ranked_df = self._rank_disjunctive(tokens, need) if tokens else None
+            elif tokens:
+                ranked_df = phrase_ranked(self.index, tokens, with_metadata=True)
+            else:
+                ranked_df = None
         else:
             tokens = tokenize(query)
-            ranked_df = self._rank_disjunctive(tokens, (page + 1) * page_size) if tokens else None
+            ranked_df = self._rank_disjunctive(tokens, need) if tokens else None
 
         if not tokens or ranked_df is None:
             envelope = self._envelope([], 0, page, page_size, tokens, t0)
             self._cache[query] = envelope
             return envelope
 
-        ranked = ranked_df.collect()
-        total = len(ranked)
-        page_rows = ranked[page * page_size : (page + 1) * page_size]
+        # totalResults + one page, both off one cached materialization —
+        # at no point does more than page_size rows reach the driver
+        ranked_df = ranked_df.persist()
+        try:
+            total = ranked_df.count()
+            page_rows = (
+                ranked_df.offset(page * page_size).limit(page_size).collect()
+            )
+        finally:
+            ranked_df.unpersist()
 
         enriched = self._enrich(page_rows, tokens)
         envelope = self._envelope(enriched, total, page, page_size, tokens, t0)
@@ -121,7 +121,7 @@ class QueryEngine:
             return []
         idx = self.index
         spark = idx.spark
-        by_doc_id = {r["doc_id"]: r.asDict() for r in page_rows}
+        by_doc_id = {r["doc_id"]: self._result_row(r) for r in page_rows}
         ids_df = spark.createDataFrame(
             [(d,) for d in by_doc_id], "doc_id string"
         )
@@ -137,7 +137,7 @@ class QueryEngine:
         details = {r["doc_id"]: r for r in detail}
         out = []
         for r in page_rows:
-            row = dict(by_doc_id[r["doc_id"]])
+            row = by_doc_id[r["doc_id"]]
             d = details.get(r["doc_id"])
             row["title"] = d["title"] if d is not None else "No Title Available"
             row["description"] = (
@@ -145,6 +145,26 @@ class QueryEngine:
             )
             out.append(row)
         return out
+
+    @staticmethod
+    def _result_row(r) -> dict:
+        """One result row: QueryDocument reflection-dump keys
+        (api/SearchWrapper.java:476-491) next to the engine-native ones."""
+        row = r.asDict(recursive=True)
+        row["id"] = row.get("doc_id")
+        if "relevance" in row:
+            row["relevenceScore"] = row["relevance"]  # sic, QueryDocument.java:9
+        if "popularity" in row:
+            row["popularityScore"] = row["popularity"]
+        if "term_frequency" in row:
+            row["termFrequency"] = row.pop("term_frequency")
+        if "total_words" in row:
+            row["totalWord"] = row.pop("total_words")
+        if "doc_tfidf" in row:
+            row["DOC_TFIDF"] = row.pop("doc_tfidf")
+        if "query_tfidf" in row:
+            row["QUERY_TFIDF"] = row.pop("query_tfidf")
+        return row
 
     @staticmethod
     def _envelope(data, total, page, page_size, tokens, t0):

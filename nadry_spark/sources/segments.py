@@ -98,6 +98,9 @@ def assign_doc_numbers(docs: DataFrame, num_partitions: int | None = None) -> Da
         "doc_no",
         (F.element_at(offmap, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
     ).drop("_pid")
+    # expose the persisted upstream so callers can release the cache once
+    # their writes complete (long-lived sessions would otherwise leak it)
+    out._nadry_persisted = parted
     return out
 
 
@@ -384,12 +387,24 @@ def _encode_blocks_fn(avgdl: float, k1: float, b: float, block_size: int):
     return encode
 
 
+MAX_DOCS_PER_SHARD = 16_384
+
+
+def derive_n_shards(n_docs: int, parallelism: int) -> int:
+    """Shard count from corpus size: cap docs/shard (one applyInPandas
+    task must hold one shard's token arrays + a shard_size float
+    accumulator, so shard_size is bounded by worker memory, NOT left
+    proportional to the corpus) and floor at the cluster parallelism
+    so small corpora still use every core."""
+    return max(parallelism, math.ceil(n_docs / MAX_DOCS_PER_SHARD))
+
+
 def build_segments(
     spark: SparkSession,
     pages: DataFrame,
     out_dir: str,
     *,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     shards_per_job: int = 8,
     block_size: int = DEFAULT_BLOCK_SIZE,
     k1: float = DEFAULT_K1,
@@ -420,11 +435,14 @@ def build_segments(
     else:
         documents = extract_documents(pages)
         numbered = assign_doc_numbers(documents)
+        persisted = getattr(numbered, "_nadry_persisted", None)
         stats = numbered.agg(
             F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
         ).collect()[0]
         n_docs = int(stats["n_docs"])
         avgdl = float(stats["avgdl"] or 1.0) or 1.0
+        if n_shards is None:
+            n_shards = derive_n_shards(n_docs, spark.sparkContext.defaultParallelism)
         shard_size = max(1, math.ceil(n_docs / n_shards))
         numbered = numbered.withColumn(
             "shard", (F.col("doc_no") / F.lit(shard_size)).cast("int")
@@ -458,6 +476,8 @@ def build_segments(
             .partitionBy("shard")
             .parquet(os.path.join(out_dir, "docs_tokens"))
         )
+        if persisted is not None:
+            persisted.unpersist()  # docmap/docs_tokens written; release cache
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
@@ -718,3 +738,16 @@ class SegmentIndex:
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         rows = self.terms.where(F.col("term").isin(list(set(terms)))).collect()
         return {r["term"]: {"df": r["df"], "n_blocks": r["n_blocks"]} for r in rows}
+
+    def decoded_tf(self, terms: list[str]) -> DataFrame:
+        """(term, doc_no, tf) long form decoded from the compressed
+        blocks of the given terms — the exact-mode candidate probe
+        (J1/S7/S8). Term filter is pushed to the parquet scan; the
+        decode is one vectorized mapInPandas pass per block batch."""
+        from nadry_spark.operators.codecs import explode_tf_batches
+
+        blocks = self.blocks.where(F.col("term").isin(sorted(set(terms))))
+        return blocks.mapInPandas(
+            lambda it: explode_tf_batches(it, with_term=True),
+            "term string, doc_no long, tf int",
+        )

@@ -89,3 +89,18 @@ def test_distributed_generator_matches_driver(spark, tiny_pages_path):
         assert bytes(d["html"]) == r["html"]
         assert d["text"] == r["text"]
         assert d["lang"] == r["lang"]
+
+
+def test_derive_n_shards_bounds():
+    """Shard count caps docs/shard (worker memory bound at scale) and
+    floors at cluster parallelism (small corpora still use every core)."""
+    import math
+
+    from nadry_spark.sources.segments import MAX_DOCS_PER_SHARD, derive_n_shards
+
+    assert derive_n_shards(100, 32) == 32
+    assert derive_n_shards(120_000, 32) == 32  # parallelism floor dominates
+    big = 10_000_000
+    assert derive_n_shards(big, 32) == math.ceil(big / MAX_DOCS_PER_SHARD)
+    # the 10^12-doc regime: shard_size stays bounded, shards scale linearly
+    assert derive_n_shards(big * 100, 32) == math.ceil(big * 100 / MAX_DOCS_PER_SHARD)

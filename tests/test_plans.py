@@ -63,6 +63,45 @@ def test_salted_term_lists_equal_plain(spark, seg):
     assert len(plain) > 50
 
 
+def test_jaccard_verify_semi_joins_candidates(spark):
+    """The MinHash verify stage must restrict the wide collect_list agg
+    to candidate-pair docs (semi-join), not aggregate the whole corpus."""
+    from nadry_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "id long, text string",
+    )
+    sh = word_shingles(df, "id", "text")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = jaccard_pairs(sh, cand)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows == {(1, 2): pytest.approx(2 / 4)}  # shingles abc bcd | bcx cdx -> |int|=2,|un|=4
+
+
+def test_bm25_pretokenized_terms_skip_retokenize(spark, seg):
+    """bm25_topk(tokens=...) must treat the input as index terms: a term
+    whose re-tokenization would diverge (stem==stopword, specials) still
+    probes the index. Regression for the QueryEngine double-tokenize bug."""
+    from nadry_spark.functions.tokenizer import tokenize
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    idx, o_postings, _ = seg
+    from collections import Counter
+
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    stable = next(t for t, _ in cnt.most_common() if tokenize(t) == [t])
+    via_tokens = [r["doc_id"] for r in bm25_topk(idx, "", k=5, tokens=[stable]).collect()]
+    via_string = [r["doc_id"] for r in bm25_topk(idx, stable, k=5).collect()]
+    assert via_tokens == via_string and via_tokens
+    # a term that vanishes under re-tokenization must still work
+    vanishing = next((t for t, _ in o_postings if not tokenize(t)), None)
+    if vanishing is not None:
+        assert bm25_topk(idx, "", k=5, tokens=[vanishing]).count() >= 1
+
+
 def test_broadcast_join_on_candidates(spark, seg):
     """The doc-stats enrichment join must broadcast the small top-k side."""
     from nadry_spark.operators.bm25 import bm25_topk

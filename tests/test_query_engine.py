@@ -33,6 +33,50 @@ def test_envelope_shape_and_pagination(engine, seg):
         assert row["doc_id"] and row["url"]
 
 
+def test_envelope_reference_reflection_keys(engine, seg):
+    """Each result row carries the QueryDocument reflection-dump keys
+    (api/SearchWrapper.java:476-491 toMap over QueryDocument.java:5-18),
+    incl. the reference's 'relevenceScore' spelling."""
+    _, o_postings, _ = seg
+    from collections import Counter
+
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    q = " ".join(t for t, _ in cnt.most_common(2)) + " zz-reflection-probe"
+    res = engine.search(q, page=0, page_size=3)
+    assert res["data"]
+    expected = {
+        "id", "url", "termFrequency", "popularityScore", "relevenceScore",
+        "totalWord", "score", "title", "description", "DOC_TFIDF", "QUERY_TFIDF",
+    }
+    for row in res["data"]:
+        assert expected <= set(row), sorted(row)
+        assert isinstance(row["termFrequency"], dict) and row["termFrequency"]
+        assert isinstance(row["totalWord"], int) and row["totalWord"] > 0
+        # DOC_TFIDF covers the doc's matched terms; QUERY_TFIDF covers
+        # every query token (df=0 terms included, Ranker.java:94-97)
+        assert set(row["DOC_TFIDF"]) <= set(row["QUERY_TFIDF"])
+        assert set(row["termFrequency"]) == set(row["DOC_TFIDF"])
+        assert row["relevenceScore"] == row["relevance"]
+
+
+def test_search_only_pages_cross_driver(engine, seg):
+    """totalResults reflects the full candidate set while only one
+    page of rows is fetched (no full-rank collect on the driver)."""
+    _, o_postings, _ = seg
+    from collections import Counter
+
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    term = cnt.most_common(1)[0][0]
+    res = engine.search(term + " zz-paging-probe", page=0, page_size=2)
+    assert len(res["data"]) <= 2
+    assert res["totalResults"] >= len(res["data"])
+    if res["totalResults"] > 2:
+        res2 = engine.search(term + " zz-paging-probe2", page=1, page_size=2)
+        assert res2["currentPage"] == 1
+        ids0 = {r["id"] for r in res["data"]}
+        assert all(r["id"] not in ids0 for r in res2["data"])
+
+
 def test_cache_hit_is_same_object(engine, seg):
     _, o_postings, _ = seg
     term = next(t for t, _ in o_postings if ":" not in t)
