@@ -306,7 +306,7 @@ def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    pairs = cosine_dup_pairs(doubled, threshold=0.9, dims=[0, 1, 2, 3])
+    pairs = cosine_dup_pairs(doubled, threshold=0.9, dims=[0, 1, 2, 3, 4, 5])
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
@@ -404,6 +404,43 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = tf.where(F.col("term").isin(QUERY_TERMS))
     scored = (
         cand.join(tw, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "tfnorm",
+            F.col("tf") * (1.2 + 1.0)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("total_words") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tfnorm")).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return scored.select(F.row_number().over(w).cast("long").alias("rank"), "doc_id")
+
+
+def q_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 conjunctive AND mode: only docs containing ALL query terms
+    survive (posting-list intersection via semi-join), ranked with the
+    same BM25 formula as q_bm25_rank."""
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    corpus = tw.agg(
+        F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
+    )
+    cand = tf.where(F.col("term").isin(QUERY_TERMS))
+    df_t = cand.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    full = (
+        cand.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(QUERY_TERMS))
+        .select("doc_id")
+    )
+    scored = (
+        cand.join(full, "doc_id", "left_semi")
+        .join(tw, "doc_id")
         .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
@@ -602,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "bm25_rank": q_bm25_rank,
+        "bm25_conj": q_bm25_conj,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "compact_string": q_compact_string,
@@ -807,7 +845,7 @@ def _simhash_groups_sql() -> str:
 
 def _cosine_dups_sql() -> str:
     bucket = " || ".join(
-        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(4)
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(6)
     )
     return f"""
         WITH doubled AS (
@@ -1031,6 +1069,34 @@ def oracle_sql() -> dict[str, str]:
                 JOIN df_t d USING (term)
                 CROSS JOIN corpus n
                 WHERE c.term IN ({QUERY_TERMS_SQL})
+                GROUP BY c.doc_id
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id
+            FROM scored
+        """,
+        "bm25_conj": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            cand AS (SELECT * FROM tf WHERE term IN ({QUERY_TERMS_SQL})),
+            df_t AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM cand GROUP BY term
+            ),
+            conj AS (
+                SELECT doc_id FROM cand GROUP BY doc_id
+                HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+            ),
+            scored AS (
+                SELECT c.doc_id,
+                       sum( ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+                            * (c.tf * (1.2 + 1.0)
+                               / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.total_words / n.avgdl))) ) AS score
+                FROM cand c
+                JOIN conj f USING (doc_id)
+                JOIN tw w USING (doc_id)
+                JOIN df_t d USING (term)
+                CROSS JOIN corpus n
                 GROUP BY c.doc_id
             )
             SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id

@@ -574,7 +574,7 @@ def segments_from_postings(
     docs: DataFrame,
     out_dir: str,
     *,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
@@ -589,11 +589,14 @@ def segments_from_postings(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     numbered = assign_doc_numbers(docs)
+    inner_persisted = getattr(numbered, "_nadry_persisted", None)
     stats = numbered.agg(
         F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
     ).collect()[0]
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"] or 1.0) or 1.0
+    if n_shards is None:
+        n_shards = derive_n_shards(n_docs, spark.sparkContext.defaultParallelism)
     shard_size = max(1, math.ceil(n_docs / n_shards))
     numbered = numbered.withColumn(
         "shard", (F.col("doc_no") / F.lit(shard_size)).cast("int")
@@ -682,6 +685,8 @@ def segments_from_postings(
         )
     numbered.unpersist()
     keyed.unpersist()
+    if inner_persisted is not None:
+        inner_persisted.unpersist()
     return meta
 
 
