@@ -3,7 +3,7 @@ efficiency >= 0.8 between N and 4N executors; evidenced in this sandbox
 as local[8] vs local[32] on IDENTICAL input — no real cluster here).
 
 Runs the index build + BM25 query suite as separate subprocesses (a
-Spark master cannot change within one JVM) and writes BENCH/BASELINE.md.
+Spark master cannot change within one JVM) and writes BENCH/SCALING.md.
 
     python bench/scaling.py [--pages 60000] [--low 8] [--high 32]
 """
@@ -106,10 +106,13 @@ def main() -> None:
     }
     print(json.dumps(report, indent=2))
 
+    # SCALING.md holds the raw evidence of the latest run; BASELINE.md is
+    # hand-curated (saturation analysis, round-over-round notes) and must
+    # not be clobbered by a re-run
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — measured numbers (sandbox local mode)
+            f"""# BENCH/SCALING — latest scaling run (sandbox local mode)
 
 North-rule scaling criterion evidenced as local[{args.low}] vs
 local[{args.high}] (no real cluster in this sandbox), each run PINNED
@@ -132,7 +135,7 @@ x{ratio:.0f} cores): {eff_build:.3f}** (target >= 0.8: {'MET' if eff_build >= 0.
 Reproduce: `python bench/scaling.py --pages {args.pages} --low {args.low} --high {args.high}`
 """
         )
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/SCALING.md")
 
 
 if __name__ == "__main__":

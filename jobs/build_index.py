@@ -23,7 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="input pages parquet (url, warc_ts, html, text, lang)")
+    ap.add_argument(
+        "--pages", required=True,
+        help="input pages table (url, warc_ts, html, text, lang): a parquet "
+        "path, parquet:<path>, or iceberg:<catalog.db.table> (needs the "
+        "Iceberg runtime jar on the classpath)",
+    )
     ap.add_argument("--out", required=True, help="segment output directory")
     ap.add_argument(
         "--shards", type=int, default=None,
@@ -40,11 +45,12 @@ def main() -> None:
     args = ap.parse_args()
 
     from nadry_spark.session import get_spark
+    from nadry_spark.sources.catalog import read_table
     from nadry_spark.sources.segments import build_segments, read_manifest
 
     spark = get_spark("nadry_build_index", master=args.master)
     t0 = time.time()
-    pages = spark.read.parquet(args.pages)
+    pages = read_table(spark, args.pages)
     meta = build_segments(
         spark,
         pages,

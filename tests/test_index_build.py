@@ -104,3 +104,18 @@ def test_derive_n_shards_bounds():
     assert derive_n_shards(big, 32) == math.ceil(big / MAX_DOCS_PER_SHARD)
     # the 10^12-doc regime: shard_size stays bounded, shards scale linearly
     assert derive_n_shards(big * 100, 32) == math.ceil(big * 100 / MAX_DOCS_PER_SHARD)
+
+
+def test_catalog_read_table_schemes(spark, tiny_pages_path):
+    """parquet path + parquet: scheme read; iceberg: scheme either reads
+    (jar present) or fails with an actionable error (this sandbox)."""
+    import pytest
+
+    from nadry_spark.sources.catalog import iceberg_available, read_table
+
+    bare = read_table(spark, tiny_pages_path)
+    assert bare.count() == 40
+    assert read_table(spark, "parquet:" + tiny_pages_path).columns == bare.columns
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            read_table(spark, "iceberg:main.db.pages")
