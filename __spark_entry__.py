@@ -95,7 +95,9 @@ def entry(spark: SparkSession) -> DataFrame:
     doc_stats = docs.select("doc_id", "total_words", F.lit(0.0).alias("popularity_score"))
     q_tokens = tokenize("join hash filter")
     cand = candidates_for_terms(postings, q_tokens)
-    return rank_exact(spark, cand, doc_stats, q_tokens).limit(10)
+    # materialize: the candidate-relative aggregates fan out over cand —
+    # without it every branch re-runs the tokenizer UDF over the corpus
+    return rank_exact(spark, cand, doc_stats, q_tokens, materialize=True).limit(10)
 
 
 # ---------------------------------------------------------------------------

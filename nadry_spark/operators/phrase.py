@@ -95,6 +95,7 @@ def disjunctive_ranked(
         docmap.select("doc_id", "total_words", "popularity_score"),
         tokens,
         with_metadata=with_metadata,
+        materialize=True,
     )
 
 
@@ -123,6 +124,7 @@ def phrase_ranked(
         tokens,
         phrase_mode=True,
         with_metadata=with_metadata,
+        materialize=True,
     )
 
 

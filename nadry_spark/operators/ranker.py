@@ -71,6 +71,7 @@ def rank_exact(
     query_tokens: list[str],
     phrase_mode: bool = False,
     with_metadata: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Ranker.Rank over a candidate long-form (term, doc_id, url, tf).
 
@@ -84,6 +85,14 @@ def rank_exact(
     total_words, doc_tfidf (term->doc TF-IDF, Ranker.java:108-110) and
     query_tfidf (term->query TF-IDF incl. df=0 terms, Ranker.java:94-97
     — the same map on every row, as in the reference).
+
+    materialize=True localCheckpoints the joined candidate set before
+    the aggregates fan out. The candidate-set-relative formulas consume
+    the same frame from 3+ branches (N, per-term DF, the scoring join,
+    QUERY_TFIDF) and Spark does not dedupe common subplans — without
+    materialization each branch re-scans and re-decodes the postings
+    blocks (observed 6 scans in one serving plan). One bounded
+    candidate materialization per query is the serving-path trade.
     """
     if phrase_mode:
         candidates = candidates.withColumn("tf", F.lit(1))
@@ -91,10 +100,12 @@ def rank_exact(
     query_bag = Counter(query_tokens)
     query_len = sum(query_bag.values())
 
-    # doc stats join (J3) — broadcast the small candidate side
+    # doc stats join (J3) — AQE broadcasts whichever side fits at runtime
     cand = candidates.join(
         doc_stats.select("doc_id", "total_words", "popularity_score"), "doc_id", "inner"
     )
+    if materialize:
+        cand = cand.localCheckpoint()
 
     # A8: DF(t) over candidates; N = candidate count — via 1-row broadcast
     n_df = cand.agg(F.countDistinct("doc_id").alias("n_candidates"))
