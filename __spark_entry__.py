@@ -341,6 +341,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md5_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing passage fingerprints (MOSS): token 3-grams, window 4,
+    min-hash per window — localizes shared passages, not just whole-doc
+    dups."""
+    from nadry_spark.operators.textstats import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=3, w=4)
+    return fp.withColumnRenamed("id", "doc_id")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from nadry_spark.operators.similarity import brute_force_topk
@@ -637,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "winnow_fp": q_winnow_fp,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
@@ -1030,6 +1041,28 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": r"""
             SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "winnow_fp": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(t) - 2),
+                           i -> md5(array_to_string(t[i:i+2], ' ')) || '|' || lpad((i-1)::VARCHAR, 10, '0')) AS g
+                FROM toks
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(g) - 3),
+                           s -> list_min(g[s:s+3]))) AS chosen
+                FROM grams
+            ),
+            ex AS (SELECT doc_id, unnest(chosen) AS s FROM sel)
+            SELECT doc_id, split_part(s, '|', 2)::BIGINT AS pos, split_part(s, '|', 1) AS fp
+            FROM ex
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -154,3 +154,61 @@ def rolling_fingerprints_udf(text: pd.Series) -> pd.Series:
         return h % (1 << 62)
 
     return text.map(fps)
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD'03 — public
+    algorithm): hash token k-grams, slide a w-window over the hash
+    sequence, keep one minimal hash per window, dedupe. Any run of
+    >= w+k-1 shared tokens between two documents is guaranteed to share
+    a fingerprint, so matching fingerprints localize near-dup passages
+    (not just whole-doc dups like md5_fingerprint).
+
+    Scale shape: pure column expressions in whole-stage codegen — the
+    only wide op is the final explode; selection happens inside the
+    array domain, no window-function shuffle. md5-based and mirrored
+    exactly by a DuckDB oracle. Tie rule: min over (md5hex, zero-padded
+    position) strings — leftmost-by-hash, deterministic (the original
+    paper prefers the rightmost minimum; documented deviation).
+
+    Output: (id, pos, fp) — pos is the 0-based k-gram start.
+    """
+    empty = F.array().cast("array<string>")
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    n_g = F.size(F.col("_t")) - F.lit(k - 1)
+    grams = base.select(
+        "id",
+        F.when(
+            n_g >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.concat(
+                    F.md5(F.array_join(F.slice(F.col("_t"), i, k), " ")),
+                    F.lit("|"),
+                    F.lpad((i - 1).cast("string"), 10, "0"),
+                ),
+            ),
+        ).otherwise(empty).alias("_g"),
+    )
+    n_w = F.size(F.col("_g")) - F.lit(w - 1)
+    sel = grams.select(
+        "id",
+        F.when(
+            n_w >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_w),
+                    lambda s: F.array_min(F.slice(F.col("_g"), s, w)),
+                )
+            ),
+        ).otherwise(empty).alias("_sel"),
+    )
+    out = sel.select("id", F.explode("_sel").alias("_s"))
+    return out.select(
+        "id",
+        F.split("_s", r"\|")[1].cast("long").alias("pos"),
+        F.split("_s", r"\|")[0].alias("fp"),
+    )

@@ -229,3 +229,33 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     # determinism: rebuilding gives identical assignments
     assigned2, centroids2 = ivf_build(emb, n_centroids=8, iters=2)
     assert centroids == centroids2
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= w+k-1 (= 6 for k=3,w=4) share at least one fingerprint; disjoint
+    docs share none."""
+    from nadry_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # positions are valid 0-based k-gram starts
+    assert all(r["pos"] >= 0 for r in rows)
+    # short docs (< k tokens) produce no fingerprints, no errors
+    tiny = spark.createDataFrame([(9, "one two")], "doc_id long, text string")
+    assert winnowing_fingerprints(tiny, "doc_id", "text").count() == 0
