@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
@@ -175,9 +176,19 @@ def _remove_dot_segments(path: str) -> str:
 
 def normalize_url(url: str | None, base_url: str) -> str | None:
     """Reference normalizeUrl: resolve vs base, strip #fragment, lowercase,
-    collapse ``/+`` except after ``https:``, sort query params, validate."""
+    collapse ``/+`` except after ``https:``, sort query params, validate.
+
+    Memoized on (url, base_url): pure function, and absolute hrefs (the
+    common case on the web — nav/footer links repeat across pages)
+    resolve identically under any base, so the per-worker cache hits
+    across documents. urljoin/urlparse dominate the cost otherwise."""
     if url is None or not url.strip():
         return None
+    return _normalize_url_cached(url, base_url)
+
+
+@lru_cache(maxsize=1 << 16)
+def _normalize_url_cached(url: str, base_url: str) -> str | None:
     try:
         encoded = url.replace(" ", "%20").replace("|", "%7C")
         absolute = urljoin(base_url, encoded)

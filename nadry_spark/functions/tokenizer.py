@@ -33,6 +33,24 @@ import re
 import unicodedata
 
 from nadry_spark.functions.porter2 import stem
+
+# stem() is a pure function and web-text tokens are Zipf-distributed:
+# a bounded memo turns ~500 stem calls/doc into dict hits (the memo is
+# per Python worker process; 2^17 entries ~ a few MB). A plain dict
+# beats lru_cache here: no lock, no recency bookkeeping; on overflow we
+# just reset (Zipf head repopulates in one batch).
+_STEM_MEMO: dict[str, str] = {}
+_STEM_MEMO_MAX = 1 << 17
+
+
+def _stem_cached(token: str) -> str:
+    s = _STEM_MEMO.get(token)
+    if s is None:
+        if len(_STEM_MEMO) >= _STEM_MEMO_MAX:
+            _STEM_MEMO.clear()
+        s = stem(token)
+        _STEM_MEMO[token] = s
+    return s
 from nadry_spark.functions.stopwords import STOP_WORDS
 
 EMAIL_PATTERN = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}", re.ASCII)
@@ -42,6 +60,10 @@ NUMBER_PATTERN = re.compile(r"\b\d+(?:\.\d+)?\b", re.ASCII)
 # Java: replaceAll("[^a-z0-9\\s_]", " ") with ASCII \s
 _NON_TOKEN = re.compile(r"[^a-z0-9 \t\n\x0b\f\r_]", re.ASCII)
 _WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+", re.ASCII)
+# one findall == sub(non-token -> space) + collapse + split: tokens are
+# exactly the maximal runs of kept characters (hot path; equivalence
+# pinned by the tokenizer goldens)
+_TOKEN_RUN = re.compile(r"[a-z0-9_]+", re.ASCII)
 
 
 def extract_special_tokens(text: str) -> list[str]:
@@ -67,7 +89,7 @@ def replace_special_tokens(text: str) -> str:
 def _apply_stemming(token: str) -> str:
     if len(token) <= 3 or token == "_email_" or token == "_num_":
         return token
-    return stem(token)
+    return _stem_cached(token)
 
 
 def tokenize(text: str | None) -> list[str]:
@@ -78,8 +100,7 @@ def tokenize(text: str | None) -> list[str]:
     specials = extract_special_tokens(text)
     processable = replace_special_tokens(text)
 
-    cleaned = _WS_RUN.sub(" ", _NON_TOKEN.sub(" ", processable.lower())).strip()
-    raw_tokens = cleaned.split(" ") if cleaned else []
+    raw_tokens = _TOKEN_RUN.findall(processable.lower())
 
     out: list[str] = []
     for tok in raw_tokens:

@@ -85,20 +85,28 @@ def compact_string_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — distinct word n-grams over lowercased \\s+ tokens.
 
-    Expressed with transform over a sequence of start offsets so the
-    whole thing stays in whole-stage codegen.
+    Row-based: one posexplode + lead() window per doc, then distinct.
+    (A transform-over-slice array formulation re-evaluates the inlined
+    split() per lambda element once CollapseProject folds the
+    projections — O(tokens^2) per doc; lead/concat_ws stay in
+    whole-stage codegen and the per-doc window partition is bounded by
+    document length.)
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n_sh = F.size(toks) - F.lit(n - 1)
-    shingles = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, n)]
+    shingle = F.when(
+        F.lead("tok", n - 1).over(w_ord).isNotNull(), F.concat_ws(" ", *parts)
+    )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        toks.select("id", shingle.alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
     )
 
 

@@ -166,47 +166,47 @@ def winnowing_fingerprints(
     a fingerprint, so matching fingerprints localize near-dup passages
     (not just whole-doc dups like md5_fingerprint).
 
-    Scale shape: pure column expressions in whole-stage codegen — the
-    only wide op is the final explode; selection happens inside the
-    array domain, no window-function shuffle. md5-based and mirrored
-    exactly by a DuckDB oracle. Tie rule: min over (md5hex, zero-padded
-    position) strings — leftmost-by-hash, deterministic (the original
-    paper prefers the rightmost minimum; documented deviation).
+    Formulation: ONE posexplode of the token stream, k-grams via
+    lead() and window-min selection over per-doc windows — lead/min/
+    count are codegen'd window functions and the only shuffles are the
+    per-doc window partition and the final distinct. (An earlier
+    array-of-arrays formulation was O(n^3)/doc: CollapseProject inlines
+    the tokenize expression into nested transform() lambdas, so every
+    window element re-tokenized the document.) Per-doc partitions are
+    bounded by document length — no skew at corpus scale. md5-based and
+    mirrored exactly by a DuckDB oracle. Tie rule: min over (md5hex,
+    zero-padded position) strings — leftmost-by-hash, deterministic
+    (the original paper prefers the rightmost minimum; documented
+    deviation).
 
     Output: (id, pos, fp) — pos is the 0-based k-gram start.
     """
-    empty = F.array().cast("array<string>")
-    toks = _tokens(text_col)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
-    n_g = F.size(F.col("_t")) - F.lit(k - 1)
-    grams = base.select(
-        "id",
-        F.when(
-            n_g >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_g),
-                lambda i: F.concat(
-                    F.md5(F.array_join(F.slice(F.col("_t"), i, k), " ")),
-                    F.lit("|"),
-                    F.lpad((i - 1).cast("string"), 10, "0"),
-                ),
-            ),
-        ).otherwise(empty).alias("_g"),
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
     )
-    n_w = F.size(F.col("_g")) - F.lit(w - 1)
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_ord) for i in range(1, k)
+    ]
+    gram_h = F.when(
+        F.lead("tok", k - 1).over(w_ord).isNotNull(),
+        F.concat(
+            F.md5(F.concat_ws(" ", *gram_parts)),
+            F.lit("|"),
+            F.lpad(F.col("pos").cast("string"), 10, "0"),
+        ),
+    )
+    grams = toks.select("id", "pos", gram_h.alias("gh"))
+    w_win = w_ord.rowsBetween(0, w - 1)
     sel = grams.select(
         "id",
-        F.when(
-            n_w >= 1,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n_w),
-                    lambda s: F.array_min(F.slice(F.col("_g"), s, w)),
-                )
-            ),
-        ).otherwise(empty).alias("_sel"),
+        F.min("gh").over(w_win).alias("_s"),
+        F.count("gh").over(w_win).alias("_cnt"),
     )
-    out = sel.select("id", F.explode("_sel").alias("_s"))
+    out = sel.where(F.col("_cnt") == w).select("id", "_s").distinct()
     return out.select(
         "id",
         F.split("_s", r"\|")[1].cast("long").alias("pos"),

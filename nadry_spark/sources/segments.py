@@ -411,11 +411,14 @@ def build_segments(
     b: float = DEFAULT_B,
     resume: bool = True,
     with_positions: bool = True,
+    timings: dict | None = None,
 ) -> dict:
     """Full resumable index build: pages -> segments at out_dir.
 
     Returns the meta dict. Stage 0 (extract + docmap) is one atomic
     unit; shard groups commit independently with manifest rows.
+    Pass a dict as `timings` to get per-stage wall seconds back
+    (extract_number, stage0_writes, positions, postings, terms_dict).
     """
     from nadry_spark.operators.index_build import extract_documents
     from nadry_spark.session import ship_package
@@ -433,6 +436,7 @@ def build_segments(
         with open(meta_path) as f:
             meta = json.load(f)
     else:
+        _t = time.time()
         documents = extract_documents(pages)
         numbered = assign_doc_numbers(documents)
         persisted = getattr(numbered, "_nadry_persisted", None)
@@ -444,6 +448,9 @@ def build_segments(
         if n_shards is None:
             n_shards = derive_n_shards(n_docs, spark.sparkContext.defaultParallelism)
         shard_size = max(1, math.ceil(n_docs / n_shards))
+        if timings is not None:
+            timings["extract_number"] = round(time.time() - _t, 2)
+            _t = time.time()
         numbered = numbered.withColumn(
             "shard", (F.col("doc_no") / F.lit(shard_size)).cast("int")
         )
@@ -478,6 +485,8 @@ def build_segments(
         )
         if persisted is not None:
             persisted.unpersist()  # docmap/docs_tokens written; release cache
+        if timings is not None:
+            timings["stage0_writes"] = round(time.time() - _t, 2)
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
@@ -514,18 +523,49 @@ def build_segments(
         group_docs = docs_tokens.where(F.col("shard").isin(group))
         grouped = group_docs.groupBy("shard")
         if with_positions:
+            _t = time.time()
             (
                 grouped.applyInPandas(_positions_fn, POSITIONS_SCHEMA)
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(os.path.join(out_dir, "positions"))
             )
+            if timings is not None:
+                timings["positions"] = timings.get("positions", 0.0) + round(time.time() - _t, 2)
+        _t = time.time()
+        if with_positions:
+            # blocks derive from the positions table just written: a
+            # column-pruned read (term/doc_no/tf/dl — the position
+            # arrays are skipped by parquet) into the streaming block
+            # encoder. This halves the dominant per-shard cost: the
+            # token->postings build (_shard_postings_pdf) runs ONCE per
+            # shard instead of once for positions and once for blocks.
+            # Each shard is one file written by one task, sorted by
+            # (term, doc_no); the stream encoder carries (shard, term)
+            # runs across batch/split boundaries, and a run split across
+            # partitions just yields more (still disjoint, still sorted)
+            # blocks for that term.
+            pos_cols = (
+                spark.read.parquet(os.path.join(out_dir, "positions"))
+                .where(F.col("shard").isin(group))
+                .select("shard", "term", "doc_no", "tf", "dl")
+            )
+            blocks_df = pos_cols.mapInPandas(
+                _encode_blocks_stream(
+                    meta["avgdl"], meta["k1"], meta["b"], meta["block_size"]
+                ),
+                BLOCKS_SCHEMA,
+            )
+        else:
+            blocks_df = grouped.applyInPandas(blocks_fn, BLOCKS_SCHEMA)
         (
-            grouped.applyInPandas(blocks_fn, BLOCKS_SCHEMA)
+            blocks_df
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(os.path.join(out_dir, "postings"))
         )
+        if timings is not None:
+            timings["postings"] = timings.get("postings", 0.0) + round(time.time() - _t, 2)
         # per-shard metrics -> manifest (lineage + metrics per north_rule)
         written = spark.read.parquet(os.path.join(out_dir, "postings")).where(
             F.col("shard").isin(group)
@@ -556,6 +596,7 @@ def build_segments(
             )
 
     # ---- terms dictionary ----
+    _t = time.time()
     blocks_all = spark.read.parquet(os.path.join(out_dir, "postings"))
     (
         blocks_all.groupBy("term")
@@ -565,6 +606,8 @@ def build_segments(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "terms"))
     )
+    if timings is not None:
+        timings["terms_dict"] = round(time.time() - _t, 2)
     return meta
 
 

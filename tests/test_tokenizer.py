@@ -109,3 +109,22 @@ def test_query_like_phrase():
         "nation",
         "librari",
     ]
+
+
+def test_token_run_findall_equals_spec_pipeline():
+    """The hot-path findall formulation must equal the spec's
+    sub(non-token)->collapse->split pipeline for arbitrary input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nadry_spark.functions.tokenizer import _NON_TOKEN, _TOKEN_RUN, _WS_RUN
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def check(s):
+        low = s.lower()
+        cleaned = _WS_RUN.sub(" ", _NON_TOKEN.sub(" ", low)).strip()
+        spec = cleaned.split(" ") if cleaned else []
+        assert _TOKEN_RUN.findall(low) == spec
+
+    check()
