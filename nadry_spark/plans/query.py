@@ -73,12 +73,18 @@ class QueryEngine:
         if page_size <= 0:
             page_size = 10
 
-        cached = self._cache.get(query)
+        # SearchController.java:63-76 quirks: the FIRST quoted phrase
+        # REPLACES the query AND becomes the cache key (so '"a b"' and
+        # 'x "a b" y' share a cache entry); the envelope's `tokens` are
+        # tokenize(ORIGINAL full query) (:100) while ranking + snippet
+        # enrichment use the phrase tokens (SearchWrapper.java:388)
+        phrases = extract_quoted_phrases(query)
+        search_query = phrases[0] if phrases else query
+        cached = self._cache.get(search_query)
         if cached is not None:
             return cached  # quirk: ignores page/limit drift, like the ref
 
         need = (page + 1) * page_size
-        phrases = extract_quoted_phrases(query)
         if phrases:
             tokens = tokenize(phrases[0])
             if len(tokens) == 1:
@@ -94,9 +100,10 @@ class QueryEngine:
             tokens = tokenize(query)
             ranked_df = self._rank_disjunctive(tokens, need) if tokens else None
 
+        meta_tokens = tokenize(query)
         if not tokens or ranked_df is None:
-            envelope = self._envelope([], 0, page, page_size, tokens, t0)
-            self._cache[query] = envelope
+            envelope = self._envelope([], 0, page, page_size, meta_tokens, t0)
+            self._cache[search_query] = envelope
             return envelope
 
         # totalResults + one page, both off one cached materialization —
@@ -111,8 +118,8 @@ class QueryEngine:
             ranked_df.unpersist()
 
         enriched = self._enrich(page_rows, tokens)
-        envelope = self._envelope(enriched, total, page, page_size, tokens, t0)
-        self._cache[query] = envelope
+        envelope = self._envelope(enriched, total, page, page_size, meta_tokens, t0)
+        self._cache[search_query] = envelope
         return envelope
 
     def _enrich(self, page_rows, tokens):

@@ -142,3 +142,24 @@ def test_deterministic():
     a = process_document(SAMPLE, BASE)
     b = process_document(SAMPLE, BASE)
     assert a == b
+
+
+def test_hostile_link_schemes_dropped():
+    """javascript:/mailto:/data: hrefs must never survive extraction;
+    only http(s) links do (and http:// dies to the slash-collapse quirk)."""
+    from nadry_spark.functions.htmlextract import extract_links, parse_html
+
+    html = (
+        "<html><body>"
+        '<a href="javascript:alert(1)">x</a>'
+        '<a href="mailto:a@b.com">m</a>'
+        '<a href="data:text/html;base64,AAAA">d</a>'
+        '<a href="ftp://files.example.com/f">f</a>'
+        '<a href="  ">blank</a>'
+        '<a href="https://ok.example.com/page">ok</a>'
+        '<a href="http://gone.example.com/">http-quirk</a>'
+        "</body></html>"
+    )
+    root = parse_html(html)
+    links = extract_links(root, "https://base.example.com/")
+    assert links == {"https://ok.example.com/page"}

@@ -108,9 +108,18 @@ def test_phrase_mode_switches(engine, seg):
         if pair:
             break
     assert pair
-    res = engine.search(f'ignored "{pair[0]} {pair[1]}" also-ignored')
-    assert res["tokens"] == list(pair)  # phrase REPLACES the query
+    from nadry_spark.functions.tokenizer import tokenize as tok
+
+    raw = f'ignored "{pair[0]} {pair[1]}" also-ignored'
+    res = engine.search(raw)
+    # phrase REPLACES the query for ranking/caching, but the envelope's
+    # tokens come from the ORIGINAL full query (SearchController.java:100)
+    assert res["tokens"] == tok(raw)
     assert res["totalResults"] >= 1
+    # cache key is the extracted phrase, not the raw query
+    # (SearchController.java:63-76): a different wrapper, same phrase -> HIT
+    res2 = engine.search(f'zz-other "{pair[0]} {pair[1]}" tail-words')
+    assert res2 is res
 
 
 def test_snippet_semantics():
