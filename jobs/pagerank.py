@@ -21,6 +21,12 @@ def main() -> None:
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument(
+        "--check-every", type=int, default=5,
+        help="convergence-poll cadence (iterations per driver action); "
+        "1 = reference-exact per-iteration stopping, >1 is conservative "
+        "(never stops earlier, ~k x fewer driver actions)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -40,6 +46,7 @@ def main() -> None:
         damping=args.damping,
         tol=args.tol,
         max_iter=args.max_iter,
+        check_every=args.check_every,
     )
     updated = apply_pagerank(docmap, ranks)
     tmp = os.path.join(args.segments, "docmap_new")

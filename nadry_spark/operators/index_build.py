@@ -51,11 +51,14 @@ def extract_documents(pages: DataFrame) -> DataFrame:
     # Parquet split planning packs small page files into few splits
     # (128MB default), which would run the CPU-heavy extraction UDF on
     # 1-2 cores regardless of cluster size. Re-split to the session
-    # parallelism first — bytes-cheap, and the UDF stage is the cost.
+    # parallelism first — bytes-cheap (raw pages, BEFORE extraction
+    # fattens each row with content + token arrays), and hash-by-url so
+    # the resulting partitioning is deterministic: doc numbering
+    # (assign_doc_numbers(assume_partitioned=True)) can then reuse it
+    # without a second, full-corpus shuffle of the extracted output.
     spark = pages.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
-    if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target)
+    pages = pages.repartition(target, "url")
     extracted = (
         pages.select("url", extract_udf(F.col("html"), F.col("url")).alias("doc"))
         .where(F.col("doc.content").isNotNull())

@@ -68,20 +68,40 @@ BLOCKS_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
-def assign_doc_numbers(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_numbers(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    assume_partitioned: bool = False,
+) -> DataFrame:
     """Add a dense, deterministic 0-based doc_no.
 
     Two-phase: hash-partition by doc_id (deterministic, and unlike
     repartitionByRange there is NO sampling job that would execute the
     expensive extraction UDF twice), count per partition (P tiny rows
-    to the driver), then offset + local row_number ordered by doc_id.
-    No global window, no data collect — scales to any corpus size.
-    doc_no is dense and stable for a given corpus; it does not need to
-    equal the global doc_id rank for delta compression to work.
+    to the driver), then offset + per-partition sequence ordered by
+    doc_id. The sequence comes from sortWithinPartitions +
+    monotonically_increasing_id (partition id in the upper 31 bits,
+    row number within the partition in the lower 33) — all JVM, ZERO
+    additional exchange. (The obvious Window.partitionBy(_pid)
+    formulation inserts an ENSURE_REQUIREMENTS hash exchange of the
+    whole corpus because Spark cannot see that _pid already IS the
+    physical partitioning.)
+
+    assume_partitioned=True skips the doc_id repartition for inputs
+    that are already deterministically partitioned (e.g. the extraction
+    output, hash-partitioned by url) — saves a full-corpus shuffle of
+    the extracted representation.
+
+    doc_no is dense and stable for a given corpus + partitioning; it
+    does not need to equal the global doc_id rank for delta compression
+    to work.
     """
     spark = docs.sparkSession
-    p = num_partitions or max(2, spark.sparkContext.defaultParallelism)
-    parted = docs.repartition(p, "doc_id")
+    if assume_partitioned:
+        parted = docs
+    else:
+        p = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+        parted = docs.repartition(p, "doc_id")
     parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
@@ -93,11 +113,15 @@ def assign_doc_numbers(docs: DataFrame, num_partitions: int | None = None) -> Da
     for pid, off in offsets.items():
         items.extend([F.lit(pid), F.lit(off)])
     offmap = F.create_map(*items) if items else F.create_map()
-    w = Window.partitionBy("_pid").orderBy("doc_id")
-    out = parted.withColumn(
-        "doc_no",
-        (F.element_at(offmap, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
-    ).drop("_pid")
+    seq = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    out = (
+        parted.sortWithinPartitions("doc_id")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "doc_no", (F.element_at(offmap, F.col("_pid")) + seq).cast("long")
+        )
+        .drop("_pid", "_mid")
+    )
     # expose the persisted upstream so callers can release the cache once
     # their writes complete (long-lived sessions would otherwise leak it)
     out._nadry_persisted = parted
@@ -438,7 +462,10 @@ def build_segments(
     else:
         _t = time.time()
         documents = extract_documents(pages)
-        numbered = assign_doc_numbers(documents)
+        # extraction hash-partitions raw pages by url, so the extracted
+        # frame is already deterministically partitioned — number in
+        # place instead of reshuffling the (fatter) extracted corpus
+        numbered = assign_doc_numbers(documents, assume_partitioned=True)
         persisted = getattr(numbered, "_nadry_persisted", None)
         stats = numbered.agg(
             F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
