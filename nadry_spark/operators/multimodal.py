@@ -2,16 +2,25 @@
 
 Images/audio/video ride as ``binary`` columns next to typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
-STUBBED (no image/audio libraries in this container — clearly marked
-``NotImplementedError`` + a deterministic fake) but the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real
-and tested, so swapping in PIL/ffmpeg later is a one-function change.
+Arrow-batched ``mapInPandas`` stages.
+
+Decode support is honest about the environment:
+
+* **REAL stdlib kernels** for container formats that need no external
+  libraries: PPM (P6) images are parsed with a header scan + numpy
+  reshape, WAV PCM audio with the stdlib ``wave`` module. Resize is
+  nearest-neighbour numpy index slicing. These run end-to-end in tests.
+* **Stub** for codecs that genuinely require PIL/soundfile/ffmpeg
+  (JPEG/PNG/MP3/MP4): ``real_decode`` raises ``NotImplementedError``
+  for them; ``featurize(mode="auto")`` falls back to the deterministic
+  byte-histogram fake so the distributed plumbing always runs.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -24,27 +33,144 @@ MEDIA_SCHEMA_DDL = (
     "meta struct<width:int, height:int, duration_ms:int, codec:string>"
 )
 
-FEATURES_DDL = "media_id long, kind string, n_bytes int, sha256 string, features array<float>"
+FEATURES_DDL = (
+    "media_id long, kind string, n_bytes int, sha256 string, "
+    "decoded boolean, features array<float>"
+)
+
+FEATURE_DIM = 16
+
+
+# ---------------------------------------------------------------------------
+# real stdlib decode kernels
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval <= 255) into a (H, W, 3) uint8
+    array. Pure stdlib + numpy."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = width * height * 3
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return pixels.reshape(height, width, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) bytes (test-fixture writer)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV bytes -> (float64 mono samples in [-1, 1], rate).
+    Stdlib ``wave``; 8/16/32-bit PCM."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit WAV not supported")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM WAV bytes (fixture writer)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize of a (H, W, C) array via index slicing."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[rows][:, cols]
 
 
 def real_decode(payload: bytes, kind: str):
-    """The real decode kernel — requires PIL / soundfile / ffmpeg.
+    """Decode a payload by container sniffing.
 
-    Not available in this environment; the pipeline uses
-    fake_features() instead. Kept as the single swap point.
+    Returns ("image", (H, W, 3) array) for PPM, ("audio", (samples,
+    rate)) for WAV. Raises NotImplementedError for codecs that need
+    external libraries (JPEG/PNG/MP3/MP4/...) — this is the single swap
+    point where PIL/soundfile/ffmpeg would be wired in.
     """
+    if payload.startswith(b"P6"):
+        return "image", decode_ppm(payload)
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "audio", decode_wav(payload)
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; wire PIL/soundfile here and featurize() picks it up"
+        f"no stdlib decoder for this {kind} payload; JPEG/PNG/MP3/MP4 "
+        "require image/audio libraries not present in this container"
     )
 
 
-def fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
+def real_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Fixed-width features from a REAL decode: per-channel mean/std +
+    shape for images; duration/RMS/zero-crossing-rate/peak for audio."""
+    tag, decoded = real_decode(payload, kind)
+    out = np.zeros(dim, dtype=np.float32)
+    if tag == "image":
+        arr = decoded.astype(np.float64)
+        h, w, _ = arr.shape
+        out[0] = 1.0  # modality tag
+        out[1], out[2] = float(w), float(h)
+        out[3:6] = arr.mean(axis=(0, 1)) / 255.0
+        out[6:9] = arr.std(axis=(0, 1)) / 255.0
+        thumb = resize_nearest(decoded, 2, 2).astype(np.float64).mean(axis=2)
+        out[9:13] = thumb.reshape(-1) / 255.0
+    else:
+        samples, rate = decoded
+        n = max(1, len(samples))
+        out[0] = 2.0
+        out[1] = float(rate)
+        out[2] = n / float(rate)  # duration sec
+        out[3] = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+        out[4] = float(np.abs(samples).max()) if len(samples) else 0.0
+        out[5] = float((np.diff(np.signbit(samples)) != 0).sum()) / n  # ZCR
+    return out
+
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in features: byte-histogram projections.
 
-    Fully reproducible from the payload alone, so the distributed
-    plumbing (batching, schema, joins downstream) is testable without
-    codecs.
+    Fully reproducible from the payload alone — the fallback for
+    payloads no stdlib decoder understands.
     """
     if not payload:
         return np.zeros(dim, dtype=np.float32)
@@ -56,25 +182,45 @@ def fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return folded.astype(np.float32)
 
 
-def featurize(media: DataFrame, dim: int = 16, use_real_decode: bool = False) -> DataFrame:
-    """mapInPandas featurize stage: (media rows) -> FEATURES_DDL rows."""
+def featurize(media: DataFrame, dim: int = FEATURE_DIM, mode: str = "auto") -> DataFrame:
+    """mapInPandas featurize stage: (media rows) -> FEATURES_DDL rows.
+
+    mode: "auto" (real decode where a stdlib kernel matches, fake
+    fallback otherwise — `decoded` column records which), "real"
+    (raise on undecodable payloads), "fake" (histogram features only).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, shas, sizes = [], [], []
+            feats, shas, sizes, dec = [], [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
-                if use_real_decode:
-                    real_decode(raw, kind)  # raises NotImplementedError
-                feats.append(fake_features(raw, dim).tolist())
+                decoded = False
+                if mode in ("auto", "real"):
+                    try:
+                        f = real_features(raw, kind, dim)
+                        decoded = True
+                    except NotImplementedError:
+                        if mode == "real":
+                            raise
+                        f = fake_features(raw, dim)
+                    except ValueError:
+                        if mode == "real":
+                            raise
+                        f = fake_features(raw, dim)
+                else:
+                    f = fake_features(raw, dim)
+                feats.append(f.tolist())
                 shas.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
+                dec.append(decoded)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": sizes,
                     "sha256": shas,
+                    "decoded": dec,
                     "features": feats,
                 }
             )
@@ -101,7 +247,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table for tests/benches."""
+    """Deterministic media table: REAL PPM payloads for images, REAL WAV
+    payloads for audio (both stdlib-decodable), opaque bytes for video
+    (exercises the fake-fallback path)."""
     import random
 
     rng = random.Random(seed)
@@ -109,18 +257,22 @@ def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-        rows.append(
-            (
-                i,
-                kind,
-                payload,
-                (
-                    rng.randint(16, 64) if kind == "image" else 0,
-                    rng.randint(16, 64) if kind == "image" else 0,
-                    rng.randint(1000, 10000) if kind != "image" else 0,
-                    "fake",
-                ),
-            )
-        )
+        if kind == "image":
+            w, h = rng.randint(4, 24), rng.randint(4, 24)
+            arr = np.array(
+                [rng.randrange(256) for _ in range(w * h * 3)], dtype=np.uint8
+            ).reshape(h, w, 3)
+            payload = encode_ppm(arr)
+            meta = (w, h, 0, "ppm")
+        elif kind == "audio":
+            rate = 8000
+            dur = rng.randint(100, 400)  # ms
+            t = np.arange(int(rate * dur / 1000.0))
+            freq = rng.uniform(100.0, 1000.0)
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t / rate), rate)
+            meta = (0, 0, dur, "pcm16")
+        else:
+            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+            meta = (0, 0, rng.randint(1000, 10000), "fake")
+        rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)

@@ -184,26 +184,74 @@ def test_multimodal_featurize_and_frame_plan(spark):
         featurize,
         frame_sample_plan,
         real_decode,
+        real_features,
         synthetic_media,
     )
 
     media = synthetic_media(spark, n=30)
-    feats = featurize(media).collect()
+    feats = featurize(media).collect()  # mode="auto"
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
-    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    raw_rows = {r["media_id"]: r for r in media.collect()}
+    raw = {mid: bytes(r["payload"]) for mid, r in raw_rows.items()}
     for mid, r in by_id.items():
         assert r["sha256"] == hashlib.sha256(raw[mid]).hexdigest()
         assert r["n_bytes"] == len(raw[mid])
-        assert r["features"] == pytest.approx(fake_features(raw[mid]).tolist())
-        assert abs(sum(r["features"]) - 1.0) < 1e-5
+        kind = raw_rows[mid]["kind"]
+        if kind in ("image", "audio"):
+            # REAL stdlib decode (PPM / WAV)
+            assert r["decoded"] is True
+            assert r["features"] == pytest.approx(
+                real_features(raw[mid], kind).tolist()
+            )
+            if kind == "image":
+                assert r["features"][0] == 1.0
+                assert r["features"][1] == raw_rows[mid]["meta"]["width"]
+                assert r["features"][2] == raw_rows[mid]["meta"]["height"]
+            else:
+                assert r["features"][0] == 2.0
+                assert r["features"][2] == pytest.approx(
+                    raw_rows[mid]["meta"]["duration_ms"] / 1000.0, abs=0.01
+                )
+        else:  # video payloads have no stdlib codec -> fake fallback
+            assert r["decoded"] is False
+            assert r["features"] == pytest.approx(fake_features(raw[mid]).tolist())
+            assert abs(sum(r["features"]) - 1.0) < 1e-5
 
     plan = frame_sample_plan(media, every_ms=1000).collect()
     assert all(r["frame_ts_ms"] % 1000 == 0 for r in plan)
     assert len(plan) > 0
 
     with pytest.raises(NotImplementedError):
-        real_decode(b"xx", "image")
+        real_decode(b"\x89PNG not decodable", "image")
+
+
+def test_multimodal_stdlib_codecs_roundtrip():
+    import numpy as np
+
+    from nadry_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        resize_nearest,
+    )
+
+    arr = ((np.arange(5 * 7 * 3) * 3) % 256).astype(np.uint8).reshape(5, 7, 3)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    # PPM comments in the header parse correctly
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + arr.tobytes()
+    assert (decode_ppm(with_comment) == arr).all()
+
+    t = np.arange(800)
+    wav = encode_wav(0.25 * np.sin(2 * np.pi * 440 * t / 8000), rate=8000)
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and len(samples) == 800
+    assert float(np.abs(samples).max()) == pytest.approx(0.25, abs=0.01)
+
+    small = resize_nearest(arr, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert (resize_nearest(arr, 7, 5) == arr).all()  # identity resize
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
