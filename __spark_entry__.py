@@ -351,6 +351,28 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumnRenamed("id", "doc_id")
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal featurize over a deterministic synthetic media table
+    (real stdlib PPM/WAV decode for image/audio, histogram fallback for
+    video). No SQL oracle — binary decode is not SQL-expressible; the
+    driver records the weaker rows-only check. Flat columns only (the
+    features array is summarized to its L1 norm)."""
+    from nadry_spark.operators.multimodal import featurize, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    out = featurize(media, mode="auto")
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        "decoded",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias(
+            "feat_l1"
+        ),
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from nadry_spark.operators.similarity import brute_force_topk
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "winnow_fp": q_winnow_fp,
+        "media_features": q_media_features,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
