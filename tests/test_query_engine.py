@@ -135,3 +135,16 @@ def test_snippet_semantics():
     assert "needle" in out3 and len(out3) <= 246 and out3.startswith("...")
     # no content
     assert find_first_context_match(None, ["a"]).startswith("No content")
+
+
+def test_missing_term_queries_return_empty(engine, seg):
+    """Terms absent from the index: empty result, no errors, in all
+    modes (disjunctive, multi-token phrase, single-token phrase)."""
+    for q in (
+        "zzznonexistent qqqmissing",
+        '"zzznonexistent qqqmissing"',
+        '"zzznonexistent"',
+    ):
+        res = engine.search(q)
+        assert res["success"] is True
+        assert res["totalResults"] == 0 and res["data"] == []
