@@ -901,7 +901,7 @@ def _cosine_dups_sql() -> str:
             SELECT id_a, id_b, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
             FROM el GROUP BY id_a, id_b
         )
-        SELECT id_a, id_b, round(c, 9) AS cosine FROM cos WHERE c >= 0.9
+        SELECT id_a, id_b, round(c, 9) AS cosine FROM cos WHERE round(c, 9) >= 0.9::DOUBLE
     """
 
 
@@ -1119,9 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT c.doc_id,
-                       sum( ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
-                            * (c.tf * (1.2 + 1.0)
-                               / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.total_words / n.avgdl))) ) AS score
+                       sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ) AS score
                 FROM tf c
                 JOIN tw w USING (doc_id)
                 JOIN df_t d USING (term)
@@ -1147,9 +1147,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT c.doc_id,
-                       sum( ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
-                            * (c.tf * (1.2 + 1.0)
-                               / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * w.total_words / n.avgdl))) ) AS score
+                       sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ) AS score
                 FROM cand c
                 JOIN conj f USING (doc_id)
                 JOIN tw w USING (doc_id)

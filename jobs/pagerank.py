@@ -22,10 +22,12 @@ def main() -> None:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument(
-        "--check-every", type=int, default=5,
+        "--check-every", type=int, default=1,
         help="convergence-poll cadence (iterations per driver action); "
-        "1 = reference-exact per-iteration stopping, >1 is conservative "
-        "(never stops earlier, ~k x fewer driver actions)",
+        "1 (default) = reference-exact per-iteration stopping; >1 cuts "
+        "driver actions ~k x but can stop at a different iteration "
+        "than the reference (the k-step L1 delta is usually, not "
+        "provably, larger than the per-iteration delta)",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()

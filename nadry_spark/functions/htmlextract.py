@@ -181,9 +181,14 @@ def normalize_url(url: str | None, base_url: str) -> str | None:
     Memoized on (url, base_url): pure function, and absolute hrefs (the
     common case on the web — nav/footer links repeat across pages)
     resolve identically under any base, so the per-worker cache hits
-    across documents. urljoin/urlparse dominate the cost otherwise."""
+    across documents. urljoin/urlparse dominate the cost otherwise.
+    Oversized hrefs (multi-MB data:/javascript: payloads on hostile
+    pages) bypass the cache so the entry-bounded LRU cannot pin
+    megabyte keys in worker memory."""
     if url is None or not url.strip():
         return None
+    if len(url) > 2048 or len(base_url) > 2048:
+        return _normalize_url_cached.__wrapped__(url, base_url)
     return _normalize_url_cached(url, base_url)
 
 

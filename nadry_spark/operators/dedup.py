@@ -259,13 +259,16 @@ def minhash_dedup_pairs(
 
     The shingle frame feeds both the signature aggregation and the
     jaccard verification — persisted so the explode+md5 work runs once,
-    and released once the (small) verified pair set is materialized so
-    long-lived sessions don't accumulate cached shingle blocks.
+    and released as soon as the (small) verified pair set is
+    materialized. localCheckpoint (not persist) on the result: it
+    TRUNCATES lineage, so the returned frame never needs the shingles
+    again (re-reads hit the checkpoint blocks, which the ContextCleaner
+    frees once the caller drops the DataFrame — no unpersist ownership
+    to hand over).
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, bands)
-    pairs = jaccard_pairs(sh, cand, threshold).persist()
-    pairs.count()
+    pairs = jaccard_pairs(sh, cand, threshold).localCheckpoint()
     sh.unpersist()
     return pairs
 

@@ -159,7 +159,7 @@ def real_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.ndarr
         n = max(1, len(samples))
         out[0] = 2.0
         out[1] = float(rate)
-        out[2] = n / float(rate)  # duration sec
+        out[2] = n / float(max(rate, 1))  # duration sec (rate=0 headers exist)
         out[3] = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
         out[4] = float(np.abs(samples).max()) if len(samples) else 0.0
         out[5] = float((np.diff(np.signbit(samples)) != 0).sum()) / n  # ZCR
@@ -189,6 +189,8 @@ def featurize(media: DataFrame, dim: int = FEATURE_DIM, mode: str = "auto") -> D
     fallback otherwise — `decoded` column records which), "real"
     (raise on undecodable payloads), "fake" (histogram features only).
     """
+    if mode not in ("auto", "real", "fake"):
+        raise ValueError(f"featurize mode must be auto|real|fake, got {mode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,11 +202,12 @@ def featurize(media: DataFrame, dim: int = FEATURE_DIM, mode: str = "auto") -> D
                     try:
                         f = real_features(raw, kind, dim)
                         decoded = True
-                    except NotImplementedError:
-                        if mode == "real":
-                            raise
-                        f = fake_features(raw, dim)
-                    except ValueError:
+                    except Exception:
+                        # untrusted bytes fail in arbitrary ways (truncated
+                        # RIFF chunks raise wave.Error/EOFError, bad headers
+                        # struct.error, ...): auto mode must never let one
+                        # corrupt payload kill the whole job — fall back to
+                        # the deterministic histogram features instead
                         if mode == "real":
                             raise
                         f = fake_features(raw, dim)

@@ -53,10 +53,12 @@ def pagerank(
 
     check_every=1 (default) reproduces the reference's per-iteration
     convergence test (PageRank.java:49-76) exactly. check_every=k>1
-    trades reference-exact stopping for ~k× fewer driver actions
-    (ranks land at or past the reference's stopping point — the delta
-    is compared against the vector from the LAST check, so the
-    criterion is strictly conservative). tol<=0 selects fixed-iteration
+    trades reference-exact stopping for ~k× fewer driver actions: the
+    delta is compared against the vector from the LAST check, which in
+    practice over-estimates the per-iteration delta (so the loop runs
+    at or past the reference's stopping point), but mixed-sign rank
+    movements can in principle cancel across k steps, so k>1 is a
+    throughput knob, not a parity mode. tol<=0 selects fixed-iteration
     mode: exactly max_iter rounds, zero mid-loop actions — the
     oracle-comparable and benchmark configuration."""
     spark = documents.sparkSession

@@ -252,7 +252,12 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     dims: list[int] | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold, LSH-bucketed."""
+    """Embedding-cosine near-dup pairs above threshold, LSH-bucketed.
+
+    The threshold applies to the cosine quantized to the 1e-9 grid so a
+    pair sitting within fp-summation noise of the boundary is included
+    or excluded identically in any engine (same rationale as the IVF
+    distance quantization)."""
     dims = dims or [0, 1, 2, 3, 4, 5]
     tagged = vectors.select(
         F.col(id_col).alias("id"),
@@ -268,5 +273,5 @@ def cosine_dup_pairs(
             F.col("b.id").alias("id_b"),
             cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+        .where(F.round(F.col("cosine"), 9) >= threshold)
     )

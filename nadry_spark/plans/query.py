@@ -85,6 +85,7 @@ class QueryEngine:
             return cached  # quirk: ignores page/limit drift, like the ref
 
         need = (page + 1) * page_size
+        meta_tokens = tokenize(query)
         if phrases:
             tokens = tokenize(phrases[0])
             if len(tokens) == 1:
@@ -97,10 +98,8 @@ class QueryEngine:
             else:
                 ranked_df = None
         else:
-            tokens = tokenize(query)
+            tokens = meta_tokens
             ranked_df = self._rank_disjunctive(tokens, need) if tokens else None
-
-        meta_tokens = tokenize(query)
         if not tokens or ranked_df is None:
             envelope = self._envelope([], 0, page, page_size, meta_tokens, t0)
             self._cache[search_query] = envelope
