@@ -56,6 +56,16 @@ def main() -> None:
     spark.range(100).select(
         tokenize_udf(F.concat(F.lit("warming tokens "), F.col("id").cast("string")))
     ).collect()
+    # compile the explode+agg shape the first queries use, so the first
+    # recorded number measures the plan rather than codegen warmup
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(50)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .count()
+    )
 
     # ---- operator queries over testdata ----
     for name, fn in entry_mod.queries().items():
