@@ -351,6 +351,28 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumnRenamed("id", "doc_id")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus seeded with synthetic emails/urls/numbers
+    (the raw documents contain few): redacted-text md5 + per-category
+    match counts, reference masking order (EMAIL -> URL -> NUM)."""
+    from nadry_spark.operators.textstats import redact_pii
+
+    seeded = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.org/page id "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded, "doc_id", "text")
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal featurize over a deterministic synthetic media table
     (real stdlib PPM/WAV decode for image/audio, histogram fallback for
@@ -670,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "winnow_fp": q_winnow_fp,
+        "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
@@ -1064,6 +1087,31 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": r"""
             SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+
+        "pii_redact": r"""
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR || '@example.com or https://ex'
+                            || doc_id::VARCHAR || '.example.org/page id ' || doc_id::VARCHAR AS text
+                FROM documents
+            ),
+            steps AS (
+                SELECT doc_id, text,
+                       regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}', '<EMAIL>', 'g') AS s1
+                FROM seeded
+            ),
+            steps2 AS (
+                SELECT doc_id, text, s1,
+                       regexp_replace(s1, '(?:https?://|www\.)[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}[^\s]*', '<URL>', 'g') AS s2
+                FROM steps
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(s2, '\b\d+(?:\.\d+)?\b', '<NUM>', 'g')) AS redacted_md5,
+                   len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(s1, '(?:https?://|www\.)[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}[^\s]*'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(s2, '\b\d+(?:\.\d+)?\b'))::BIGINT AS n_nums
+            FROM steps2
         """,
         "winnow_fp": r"""
             WITH toks AS (

@@ -212,3 +212,36 @@ def winnowing_fingerprints(
         F.split("_s", r"\|")[1].cast("long").alias("pos"),
         F.split("_s", r"\|")[0].alias("fp"),
     )
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-data PII scrub: emails -> <EMAIL>, URLs -> <URL>,
+    numbers -> <NUM>, applied in the reference tokenizer's masking
+    order (Tokenizer.java:92-97 — EMAIL, then URL, then NUM, each over
+    the previous result). Patterns are the tokenizer's own RE2-safe
+    regexes, so Spark (Java regex) and the DuckDB oracle (RE2) agree
+    byte-for-byte. Pure column expressions; also emits per-category
+    match counts (corpus PII audit columns).
+
+    Output: (id, redacted_md5, n_emails, n_urls, n_nums).
+    """
+    from nadry_spark.functions.tokenizer import (
+        EMAIL_PATTERN,
+        NUMBER_PATTERN,
+        URL_PATTERN,
+    )
+
+    email_re = EMAIL_PATTERN.pattern
+    url_re = URL_PATTERN.pattern
+    num_re = NUMBER_PATTERN.pattern
+    txt = F.col(text_col)
+    step1 = F.regexp_replace(txt, email_re, "<EMAIL>")
+    step2 = F.regexp_replace(step1, url_re, "<URL>")
+    step3 = F.regexp_replace(step2, num_re, "<NUM>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(step3).alias("redacted_md5"),
+        F.regexp_count(txt, F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(step1, F.lit(url_re)).cast("long").alias("n_urls"),
+        F.regexp_count(step2, F.lit(num_re)).cast("long").alias("n_nums"),
+    )

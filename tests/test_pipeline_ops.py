@@ -307,3 +307,23 @@ def test_winnowing_shared_passage_guarantee(spark):
     # short docs (< k tokens) produce no fingerprints, no errors
     tiny = spark.createDataFrame([(9, "one two")], "doc_id long, text string")
     assert winnowing_fingerprints(tiny, "doc_id", "text").count() == 0
+
+
+def test_redact_pii_masks_in_reference_order(spark):
+    from nadry_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@site.com and https://ex.org/a?x=1 costs 12.5 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_urls"], out[1]["n_nums"]) == (1, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_urls"], out[2]["n_nums"]) == (0, 0, 0)
+    import hashlib
+
+    want = "mail <EMAIL> and <URL> costs <NUM> now"
+    assert out[1]["redacted_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert out[2]["redacted_md5"] == hashlib.md5(b"no pii here at all").hexdigest()
