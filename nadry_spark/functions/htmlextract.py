@@ -182,17 +182,19 @@ def normalize_url(url: str | None, base_url: str) -> str | None:
     common case on the web — nav/footer links repeat across pages)
     resolve identically under any base, so the per-worker cache hits
     across documents. urljoin/urlparse dominate the cost otherwise.
-    Oversized hrefs (multi-MB data:/javascript: payloads on hostile
-    pages) bypass the cache so the entry-bounded LRU cannot pin
-    megabyte keys in worker memory."""
+    Oversized hrefs (data:/javascript: payloads on hostile pages)
+    bypass the cache so the LRU cannot pin large keys in worker
+    memory: 512-char cutoff x 32Ki entries bounds the worst-case
+    cache footprint at ~32 MB of key strings per Python worker (real
+    nav/footer hrefs are far shorter, so the hit rate is unaffected)."""
     if url is None or not url.strip():
         return None
-    if len(url) > 2048 or len(base_url) > 2048:
+    if len(url) > 512 or len(base_url) > 512:
         return _normalize_url_cached.__wrapped__(url, base_url)
     return _normalize_url_cached(url, base_url)
 
 
-@lru_cache(maxsize=1 << 16)
+@lru_cache(maxsize=1 << 15)
 def _normalize_url_cached(url: str, base_url: str) -> str | None:
     try:
         encoded = url.replace(" ", "%20").replace("|", "%7C")

@@ -205,13 +205,17 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
             aligned = all(c.cur == pivot_doc for c in live if c.cur <= pivot_doc)
             if aligned:
                 at_pivot = [c for c in live if c.cur == pivot_doc]
-                # block-max check: sum of current block maxes
-                # >= not >: push() admits equal-score items with smaller
-                # doc_no ((score, -doc_no) tuple compare), so a block
-                # whose bound ties the threshold can still host a doc
-                # that displaces the heap minimum on the doc_no
-                # tie-break — skipping it would make bmw disagree with
-                # taat on exact score ties at the k boundary
+                # block-max check: sum of current block maxes.
+                # `>=` is a conservative no-op, not a correctness
+                # requirement: WAND scores candidates in strictly
+                # increasing doc_no order, and push()'s (score, -doc_no)
+                # tuple compare only displaces the heap min on a tie
+                # when the NEW doc_no is smaller — which a later
+                # candidate never is. Equal-to-threshold blocks are
+                # therefore admitted purely to keep this bound check
+                # visibly safe; the strict `acc > threshold` pivot
+                # selection and `ub <= threshold` conjunctive break
+                # above are correct for the same reason.
                 bub = sum(c.block_max() for c in at_pivot)
                 if bub >= threshold or len(heap) < k or conjunctive:
                     if not conjunctive or len(at_pivot) == n_query_terms:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -202,12 +203,16 @@ def featurize(media: DataFrame, dim: int = FEATURE_DIM, mode: str = "auto") -> D
                     try:
                         f = real_features(raw, kind, dim)
                         decoded = True
-                    except Exception:
-                        # untrusted bytes fail in arbitrary ways (truncated
-                        # RIFF chunks raise wave.Error/EOFError, bad headers
-                        # struct.error, ...): auto mode must never let one
-                        # corrupt payload kill the whole job — fall back to
-                        # the deterministic histogram features instead
+                    except (ValueError, NotImplementedError, wave.Error,
+                            EOFError, struct.error, IndexError):
+                        # the expected corrupt/unsupported-payload errors:
+                        # truncated RIFF chunks raise wave.Error/EOFError,
+                        # bad headers ValueError/struct.error/IndexError,
+                        # library-needing codecs NotImplementedError. Auto
+                        # mode falls back to the deterministic histogram
+                        # features for these; anything else is a genuine
+                        # kernel bug and must propagate, not silently
+                        # downgrade the corpus to decoded=False
                         if mode == "real":
                             raise
                         f = fake_features(raw, dim)

@@ -72,8 +72,14 @@ def assign_doc_numbers(
     docs: DataFrame,
     num_partitions: int | None = None,
     assume_partitioned: bool = False,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Add a dense, deterministic 0-based doc_no.
+
+    Returns ``(numbered, persisted)``: the numbered frame plus the
+    persisted upstream handle the caller must ``unpersist()`` once its
+    downstream writes complete (an explicit tuple — a dynamic attribute
+    on the DataFrame would silently vanish after any transformation and
+    leak the cache in long-lived sessions).
 
     Two-phase: hash-partition by doc_id (deterministic, and unlike
     repartitionByRange there is NO sampling job that would execute the
@@ -122,10 +128,7 @@ def assign_doc_numbers(
         )
         .drop("_pid", "_mid")
     )
-    # expose the persisted upstream so callers can release the cache once
-    # their writes complete (long-lived sessions would otherwise leak it)
-    out._nadry_persisted = parted
-    return out
+    return out, parted
 
 
 # ---------------------------------------------------------------------------
@@ -465,8 +468,7 @@ def build_segments(
         # extraction hash-partitions raw pages by url, so the extracted
         # frame is already deterministically partitioned — number in
         # place instead of reshuffling the (fatter) extracted corpus
-        numbered = assign_doc_numbers(documents, assume_partitioned=True)
-        persisted = getattr(numbered, "_nadry_persisted", None)
+        numbered, persisted = assign_doc_numbers(documents, assume_partitioned=True)
         stats = numbered.agg(
             F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
         ).collect()[0]
@@ -658,8 +660,7 @@ def segments_from_postings(
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    numbered = assign_doc_numbers(docs)
-    inner_persisted = getattr(numbered, "_nadry_persisted", None)
+    numbered, inner_persisted = assign_doc_numbers(docs)
     stats = numbered.agg(
         F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
     ).collect()[0]
