@@ -730,7 +730,15 @@ def _minhash_sql() -> str:
         ),
         sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL),
         sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
-        banded AS ({bands}),
+        banded0 AS ({bands}),
+        -- mirror of dedup.DEFAULT_BUCKET_CAP: band buckets over 1000
+        -- members are skipped before the self-join
+        kept AS (
+            SELECT band, sig FROM banded0 GROUP BY band, sig HAVING count(*) <= 1000
+        ),
+        banded AS (
+            SELECT b.* FROM banded0 b JOIN kept k ON k.band = b.band AND k.sig = b.sig
+        ),
         cand AS (
             SELECT DISTINCT l.id AS id_a, r.id AS id_b
             FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
@@ -914,7 +922,11 @@ def _cosine_dups_sql() -> str:
                    list_transform(embedding, x -> x::DOUBLE * 1.01::DOUBLE) AS embedding
             FROM embeddings
         ),
-        tagged AS (SELECT vec_id AS id, embedding, {bucket} AS bucket FROM doubled),
+        tagged0 AS (SELECT vec_id AS id, embedding, {bucket} AS bucket FROM doubled),
+        -- mirror of cosine_dup_pairs bucket_cap=1000: oversized sign
+        -- buckets are skipped before the self-join
+        kept AS (SELECT bucket FROM tagged0 GROUP BY bucket HAVING count(*) <= 1000),
+        tagged AS (SELECT t.* FROM tagged0 t JOIN kept k USING (bucket)),
         pairs AS (
             SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
             FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id

@@ -21,10 +21,22 @@ one or two shuffles:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_LOG = logging.getLogger("nadry_spark.dedup")
+
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+# Default LSH band-bucket cap: a degenerate band signature (boilerplate
+# or empty docs sharing every minhash) would otherwise make ONE
+# bucket's self-join quadratic in bucket size — the classic LSH blowup
+# at corpus scale. Buckets over the cap are SKIPPED (standard
+# practice: a bucket that large is boilerplate, not near-dup signal)
+# and the drop is logged/returned — never silent.
+DEFAULT_BUCKET_CAP = 1000
 
 
 # ---------------------------------------------------------------------------
@@ -131,13 +143,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing at least one LSH band.
 
     Banding is ONE explode over an array of band structs (a 4-way
     union would recompute the signature aggregation per band); the
     bucket self-join reuses the same exchange on both sides.
+
+    ``bucket_cap`` bounds the per-bucket self-join: buckets with more
+    than ``bucket_cap`` members are skipped entirely (degenerate band
+    signatures — empty/boilerplate docs sharing all minhashes — make
+    one bucket quadratic at corpus scale). Skips are logged with the
+    upper-bound pair count dropped and reported through ``stats``
+    (keys ``skipped_buckets`` / ``max_pairs_dropped``) — no silent
+    truncation. ``bucket_cap=None`` disables the cap.
     """
     rows = n_hashes // bands
     band_structs = [
@@ -150,6 +174,25 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("n_bucket"))
+        skipped = sizes.where(F.col("n_bucket") > bucket_cap).agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("n_bucket") * (F.col("n_bucket") - 1) / 2).alias("max_dropped"),
+        ).collect()[0]
+        n_skipped = int(skipped["n_buckets"] or 0)
+        max_dropped = int(skipped["max_dropped"] or 0)
+        if stats is not None:
+            stats["skipped_buckets"] = n_skipped
+            stats["max_pairs_dropped"] = max_dropped
+        if n_skipped:
+            _LOG.warning(
+                "lsh_candidate_pairs: skipped %d band buckets over cap=%d "
+                "(up to %d candidate pairs dropped)",
+                n_skipped, bucket_cap, max_dropped,
+            )
+        keep = sizes.where(F.col("n_bucket") <= bucket_cap).select("band", "sig")
+        banded = banded.join(keep, ["band", "sig"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -253,8 +296,11 @@ def minhash_dedup_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: shingle -> minhash -> band-bucket ->
+    """Full MinHash-LSH pipeline: shingle -> minhash -> band-bucket
+    (capped at ``bucket_cap`` members per bucket, skips logged) ->
     jaccard-verify >= threshold. Returns (id_a, id_b, jaccard).
 
     The shingle frame feeds both the signature aggregation and the
@@ -267,7 +313,10 @@ def minhash_dedup_pairs(
     to hand over).
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, bands)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes), n_hashes, bands,
+        bucket_cap=bucket_cap, stats=stats,
+    )
     pairs = jaccard_pairs(sh, cand, threshold).localCheckpoint()
     sh.unpersist()
     return pairs

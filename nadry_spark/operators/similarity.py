@@ -251,19 +251,48 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: list[int] | None = None,
+    bucket_cap: int | None = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold, LSH-bucketed.
 
     The threshold applies to the cosine quantized to the 1e-9 grid so a
     pair sitting within fp-summation noise of the boundary is included
     or excluded identically in any engine (same rationale as the IVF
-    distance quantization)."""
+    distance quantization).
+
+    ``bucket_cap`` bounds the per-bucket self-join exactly like
+    ``dedup.lsh_candidate_pairs``: embeddings clustered on one orthant
+    would otherwise make a single sign bucket quadratic. Over-cap
+    buckets are skipped, logged, and reported via ``stats``
+    (``skipped_buckets`` / ``max_pairs_dropped``) — never silent."""
+    import logging
+
     dims = dims or [0, 1, 2, 3, 4, 5]
     tagged = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_lsh_bucket(vec_col, dims).alias("bucket"),
     )
+    if bucket_cap is not None:
+        sizes = tagged.groupBy("bucket").agg(F.count("*").alias("n_bucket"))
+        skipped = sizes.where(F.col("n_bucket") > bucket_cap).agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("n_bucket") * (F.col("n_bucket") - 1) / 2).alias("max_dropped"),
+        ).collect()[0]
+        n_skipped = int(skipped["n_buckets"] or 0)
+        max_dropped = int(skipped["max_dropped"] or 0)
+        if stats is not None:
+            stats["skipped_buckets"] = n_skipped
+            stats["max_pairs_dropped"] = max_dropped
+        if n_skipped:
+            logging.getLogger("nadry_spark.similarity").warning(
+                "cosine_dup_pairs: skipped %d sign buckets over cap=%d "
+                "(up to %d candidate pairs dropped)",
+                n_skipped, bucket_cap, max_dropped,
+            )
+        keep = sizes.where(F.col("n_bucket") <= bucket_cap).select("bucket")
+        tagged = tagged.join(keep, "bucket", "left_semi")
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (

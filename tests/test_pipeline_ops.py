@@ -63,6 +63,51 @@ def test_minhash_lsh_finds_near_dups(docs_df):
             assert r["jaccard"] == pytest.approx(1.0)
 
 
+def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
+    """1,200 identical docs collapse into one band bucket per band; with
+    the cap they are SKIPPED (no quadratic self-join) and the drop is
+    reported — never silent."""
+    from nadry_spark.operators.dedup import minhash_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated on every page of the site")
+         for i in range(1200)],
+        "id long, text string",
+    )
+    stats: dict = {}
+    pairs = minhash_dedup_pairs(
+        df, "id", "text", threshold=0.5, bucket_cap=100, stats=stats
+    ).collect()
+    assert pairs == []  # the only bucket exceeded the cap -> skipped
+    assert stats["skipped_buckets"] >= 1
+    # every band bucket holds all 1200 docs -> 4 * C(1200,2) upper bound
+    assert stats["max_pairs_dropped"] == 4 * (1200 * 1199) // 2
+    # sub-cap corpora are unaffected by the cap
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps"), (2, "alpha beta gamma delta eps")],
+        "id long, text string",
+    )
+    capped = minhash_dedup_pairs(small, "id", "text", threshold=0.5, bucket_cap=100)
+    uncapped = minhash_dedup_pairs(small, "id", "text", threshold=0.5, bucket_cap=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_cosine_bucket_cap_skips_hot_orthant(spark):
+    from nadry_spark.operators.similarity import cosine_dup_pairs
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    stats: dict = {}
+    out = cosine_dup_pairs(vecs, threshold=0.9, bucket_cap=50, stats=stats).collect()
+    assert out == []
+    assert stats["skipped_buckets"] == 1
+    assert stats["max_pairs_dropped"] == (300 * 299) // 2
+    ok = cosine_dup_pairs(vecs.where(F.col("vec_id") < 3), threshold=0.9, bucket_cap=50)
+    assert ok.count() == 3  # all 3 identical vectors pair up under the cap
+
+
 def test_jaccard_exact_value(spark):
     from nadry_spark.operators.dedup import jaccard_pairs, word_shingles
 
