@@ -905,7 +905,7 @@ def _simhash_groups_sql() -> str:
         agg AS (SELECT doc_id, {sums} FROM fx GROUP BY doc_id),
         sigs AS (SELECT doc_id, {concat} AS simhash FROM agg)
         SELECT simhash, count(*)::BIGINT AS n,
-               array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
+               array_to_string(list_sort(list(doc_id))[1:100], ',') AS ids_csv
         FROM sigs GROUP BY simhash HAVING count(*) > 1
     """
 
@@ -1071,7 +1071,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000 AS doc_id, text FROM documents
             )
             SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
-                   array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
+                   -- [1:100] mirrors exact_dup_groups id_cap=100 (ids
+                   -- are the 100 smallest members; n_dups stays exact)
+                   array_to_string(list_sort(list(doc_id))[1:100], ',') AS ids_csv
             FROM doubled GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_pairs": _minhash_sql(),

@@ -44,15 +44,37 @@ DEFAULT_BUCKET_CAP = 1000
 # ---------------------------------------------------------------------------
 
 
-def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(text_hash, n_dups, doc_ids) for texts occurring more than once."""
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
-        )
-        .where(F.col("n_dups") > 1)
+def exact_dup_membership(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded dup membership: one row per (text_hash, n_dups, id) for
+    texts occurring more than once — the 100TB-scale output shape.
+
+    Window count, NO per-group array: a pathological group (e.g. every
+    doc empty) stays exploded rows across tasks instead of one
+    corpus-sized collect_list through a single reducer."""
+    from pyspark.sql import Window
+
+    h = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+    w = Window.partitionBy("text_hash")
+    return h.withColumn("n_dups", F.count("*").over(w)).where(F.col("n_dups") > 1)
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, id_cap: int = 100
+) -> DataFrame:
+    """(text_hash, n_dups, ids) for texts occurring more than once.
+
+    Display/driver shape over :func:`exact_dup_membership`: ``n_dups``
+    is the exact total, ``ids`` holds only the ``id_cap`` smallest
+    member ids (row_number before the collect), so one degenerate
+    group can never build a corpus-sized array in a single reducer.
+    Consumers needing full membership take the exploded form."""
+    from pyspark.sql import Window
+
+    mem = exact_dup_membership(df, id_col, text_col)
+    w = Window.partitionBy("text_hash").orderBy("id")
+    capped = mem.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= id_cap)
+    return capped.groupBy("text_hash", "n_dups").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
 
 
@@ -350,11 +372,22 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     return per_doc.select("id", F.concat(*bit_chars).alias("simhash"))
 
 
-def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """Docs sharing an identical simhash signature (near-dup buckets)."""
+def simhash_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, id_cap: int = 100
+) -> DataFrame:
+    """Docs sharing an identical simhash signature (near-dup buckets).
+
+    Bounded like :func:`exact_dup_groups`: exact ``n`` via window
+    count, ``ids`` capped at the ``id_cap`` smallest members so a
+    degenerate signature bucket never funnels a corpus-sized array
+    through one reducer."""
+    from pyspark.sql import Window
+
     sigs = simhash_signatures(df, id_col, text_col, bits)
-    return (
-        sigs.groupBy("simhash")
-        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
-        .where(F.col("n") > 1)
+    w = Window.partitionBy("simhash")
+    mem = sigs.withColumn("n", F.count("*").over(w)).where(F.col("n") > 1)
+    wo = Window.partitionBy("simhash").orderBy("id")
+    capped = mem.withColumn("_rn", F.row_number().over(wo)).where(F.col("_rn") <= id_cap)
+    return capped.groupBy("simhash", "n").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )

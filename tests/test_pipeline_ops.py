@@ -63,6 +63,30 @@ def test_minhash_lsh_finds_near_dups(docs_df):
             assert r["jaccard"] == pytest.approx(1.0)
 
 
+def test_dup_group_id_arrays_are_bounded(spark):
+    """A degenerate group (every doc identical) must not build a
+    corpus-sized id array in one reducer: ids capped, n_dups exact,
+    exploded membership carries the full set."""
+    from nadry_spark.operators.dedup import (
+        exact_dup_groups,
+        exact_dup_membership,
+        simhash_dup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "identical text everywhere") for i in range(500)],
+        "id long, text string",
+    )
+    grp = exact_dup_groups(df, "id", "text", id_cap=10).collect()
+    assert len(grp) == 1
+    assert grp[0]["n_dups"] == 500
+    assert grp[0]["ids"] == list(range(10))  # 10 smallest ids
+    mem = exact_dup_membership(df, "id", "text")
+    assert mem.count() == 500  # full membership stays exploded rows
+    sg = simhash_dup_groups(df, "id", "text", id_cap=7).collect()
+    assert len(sg) == 1 and sg[0]["n"] == 500 and sg[0]["ids"] == list(range(7))
+
+
 def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
     """1,200 identical docs collapse into one band bucket per band; with
     the cap they are SKIPPED (no quadratic self-join) and the drop is
