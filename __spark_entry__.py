@@ -373,26 +373,81 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
+MEDIA_PARQUET = "/tmp/nadry_media_oracle.parquet"
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal featurize over a deterministic synthetic media table
     (real stdlib PPM/WAV decode for image/audio, histogram fallback for
-    video). No SQL oracle — binary decode is not SQL-expressible; the
-    driver records the weaker rows-only check. Flat columns only (the
-    features array is summarized to its L1 norm)."""
-    from nadry_spark.operators.multimodal import featurize, synthetic_media
+    video), PARTIALLY oracle-checked: the media table is written to
+    parquet (pyarrow, no Spark) so DuckDB reads the identical bytes and
+    independently derives every output column —
 
-    media = synthetic_media(spark, n=64)
-    out = featurize(media, mode="auto")
-    return out.select(
+      n_bytes      octet_length(payload)
+      payload_sha  sha256(hex(payload))   (DuckDB 1.0 sha256 is
+                   VARCHAR-only, so both engines hash the uppercase
+                   hex encoding of the raw bytes)
+      sha_ok       pipeline hashlib sha256 == Spark sha2(payload)
+                   (TRUE in the oracle: cross-checks the decode
+                   pipeline's hash against the JVM's over the same
+                   parquet bytes)
+      decoded      kind IN (image, audio)  (all synthetic payloads of
+                   those kinds are well-formed PPM/WAV)
+      img_w/img_h  from the REAL decode's features vs meta.width/height
+                   stored independently in the parquet — a genuine
+                   header-parse check
+      audio_rate   from the decode's features vs the fixed WAV rate
+
+    The float feature vector itself (histograms, RMS, thumbnails) is
+    not SQL-expressible and stays covered by the pytest kernel tests
+    (tests/test_pipeline_ops.py multimodal cases) — documented column
+    subset, per VERDICT r02 #2."""
+    from nadry_spark.operators.multimodal import (
+        featurize,
+        write_synthetic_media_parquet,
+    )
+
+    write_synthetic_media_parquet(MEDIA_PARQUET, n=64)
+    media = spark.read.parquet(MEDIA_PARQUET)
+    feats = featurize(media, mode="auto")
+    joined = feats.join(media.select("media_id", "payload"), "media_id")
+    return joined.select(
         "media_id",
         "kind",
-        "n_bytes",
-        "sha256",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.hex(F.col("payload")), 256)).alias("payload_sha"),
+        (F.col("sha256") == F.lower(F.sha2(F.col("payload"), 256))).alias("sha_ok"),
         "decoded",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias(
-            "feat_l1"
-        ),
+        F.when(F.col("kind") == "image", F.element_at("features", 2).cast("long"))
+        .otherwise(0).alias("img_w"),
+        F.when(F.col("kind") == "image", F.element_at("features", 3).cast("long"))
+        .otherwise(0).alias("img_h"),
+        F.when(F.col("kind") == "audio", F.element_at("features", 2).cast("long"))
+        .otherwise(F.lit(0)).alias("audio_rate"),
     )
+
+
+def _media_sql() -> str:
+    """Writes the media parquet as a side effect so the oracle works
+    regardless of whether the driver runs SQL or Spark first."""
+    from nadry_spark.operators.multimodal import (
+        AUDIO_RATE,
+        write_synthetic_media_parquet,
+    )
+
+    write_synthetic_media_parquet(MEDIA_PARQUET, n=64)
+    return f"""
+        SELECT media_id,
+               kind,
+               octet_length(payload)::BIGINT AS n_bytes,
+               lower(sha256(hex(payload))) AS payload_sha,
+               TRUE AS sha_ok,
+               kind IN ('image', 'audio') AS decoded,
+               (CASE WHEN kind = 'image' THEN meta.width ELSE 0 END)::BIGINT AS img_w,
+               (CASE WHEN kind = 'image' THEN meta.height ELSE 0 END)::BIGINT AS img_h,
+               (CASE WHEN kind = 'audio' THEN {AUDIO_RATE} ELSE 0 END)::BIGINT AS audio_rate
+        FROM read_parquet('{MEDIA_PARQUET}')
+    """
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             FROM doubled GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_pairs": _minhash_sql(),
+        "media_features": _media_sql(),
         "simhash_sigs": _simhash_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "cosine_dups": _cosine_dups_sql(),

@@ -254,10 +254,15 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic media table: REAL PPM payloads for images, REAL WAV
+AUDIO_RATE = 8000
+
+
+def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
+    """Deterministic media rows: REAL PPM payloads for images, REAL WAV
     payloads for audio (both stdlib-decodable), opaque bytes for video
-    (exercises the fake-fallback path)."""
+    (exercises the fake-fallback path). Pure Python/numpy — usable with
+    or without a SparkSession (the oracle parquet writer needs it
+    Spark-free)."""
     import random
 
     rng = random.Random(seed)
@@ -273,7 +278,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             payload = encode_ppm(arr)
             meta = (w, h, 0, "ppm")
         elif kind == "audio":
-            rate = 8000
+            rate = AUDIO_RATE
             dur = rng.randint(100, 400)  # ms
             t = np.arange(int(rate * dur / 1000.0))
             freq = rng.uniform(100.0, 1000.0)
@@ -283,4 +288,41 @@ def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
             meta = (0, 0, rng.randint(1000, 10000), "fake")
         rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic media table as a DataFrame (see synthetic_media_rows)."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA_DDL)
+
+
+def write_synthetic_media_parquet(path: str, n: int = 64, seed: int = 7) -> str:
+    """Write the deterministic media table to a single parquet file
+    (pyarrow, no Spark) so a DuckDB oracle and the Spark query can read
+    the IDENTICAL bytes. Atomic replace; safe to call from both sides
+    regardless of execution order (same seed -> same values)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = synthetic_media_rows(n, seed)
+    meta_type = pa.struct(
+        [("width", pa.int32()), ("height", pa.int32()),
+         ("duration_ms", pa.int32()), ("codec", pa.string())]
+    )
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+            "meta": pa.array(
+                [dict(zip(("width", "height", "duration_ms", "codec"), r[3])) for r in rows],
+                meta_type,
+            ),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
