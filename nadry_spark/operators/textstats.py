@@ -8,6 +8,7 @@ n-gram-window form that SQL can't express cheaply.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -120,38 +121,54 @@ def md5_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 _FP_SCHEMA = T.ArrayType(T.LongType())
 
-_B = 1_000_000_007
-_M = (1 << 61) - 1
+_FP_W = 32  # window bytes
+_FP_B = 131  # polynomial base
+# Mersenne-31 modulus: with B^j < 2^31 every term byte*B^j < 2^39 and a
+# 32-term window sum < 2^44, so the whole windows-x-powers product/sum
+# stays exact in uint64 — the key to a FULLY numpy-vectorized hash (the
+# previous 2^61-1 modulus forced a per-byte Python recurrence because
+# two ~2^61 factors overflow uint64)
+_FP_M = (1 << 31) - 1
+
+# pows[j] = B^(W-1-j) mod M, so hash(window) = sum(window[j]*pows[j]) % M
+_FP_POWS = np.empty(_FP_W, dtype=np.uint64)
+_FP_POWS[_FP_W - 1] = 1
+for _j in range(_FP_W - 2, -1, -1):
+    _FP_POWS[_j] = (int(_FP_POWS[_j + 1]) * _FP_B) % _FP_M
 
 
 @F.pandas_udf(_FP_SCHEMA)
 def rolling_fingerprints_udf(text: pd.Series) -> pd.Series:
-    """Rabin-Karp rolling hashes of 32-byte windows, sampled via 0 mod 8
-    (winnowing-style): the document's robust local fingerprints."""
+    """Polynomial hashes of every 32-byte window, sampled via 0 mod 8
+    (winnowing-style): the document's robust local fingerprints.
+
+    Vectorized as W contiguous shifted multiply-adds (h[i] = sum_j
+    d[i+j] * B^(W-1-j), one fused pass per j over the whole byte
+    buffer, single mod at the end — exact in uint64 by the modulus
+    choice above) — no per-byte Python, no strided window gather.
+    Chunked at 1Mi windows to bound the accumulator at ~8 MB."""
 
     def fps(s):
         if s is None:
             return []
-        data = s.encode("utf-8", errors="replace")
-        w = 32
-        if len(data) < w:
-            return [_hash_bytes(data)] if data else []
-        h = 0
-        pw = pow(_B, w - 1, _M)
-        out = []
-        for i, c in enumerate(data):
-            if i >= w:
-                h = (h - data[i - w] * pw) % _M
-            h = (h * _B + c) % _M
-            if i >= w - 1 and h % 8 == 0:
-                out.append(h % (1 << 62))
-        return sorted(set(out))[:64]
-
-    def _hash_bytes(bs):
-        h = 0
-        for c in bs:
-            h = (h * _B + c) % _M
-        return h % (1 << 62)
+        data = np.frombuffer(s.encode("utf-8", errors="replace"), dtype=np.uint8)
+        if data.size == 0:
+            return []
+        d = data.astype(np.uint64)
+        if d.size < _FP_W:
+            h = int((d * _FP_POWS[_FP_W - d.size:]).sum() % _FP_M)
+            return [h]
+        n_win = d.size - _FP_W + 1
+        parts = []
+        for st in range(0, n_win, 1 << 20):
+            m = min(1 << 20, n_win - st)
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(_FP_W):
+                acc += d[st + j : st + j + m] * _FP_POWS[j]
+            acc %= _FP_M
+            parts.append(acc[acc % 8 == 0])
+        hs = np.unique(np.concatenate(parts))
+        return hs[:64].astype(np.int64).tolist()
 
     return text.map(fps)
 
