@@ -9,10 +9,18 @@ streaming-native equivalent for continuous corpus growth:
   appends a *delta segment* (LSM L0) under out/delta_postings +
   out/delta_docs, tagged with batch_id. foreachBatch gives exactly-once
   per-batch output with the stream checkpoint.
-* ``compact_deltas`` — folds delta segments into postings long form,
-  keeping the LATEST batch per doc (re-crawled urls supersede older
-  rows — first-writer-wins inverted to last-writer, the streaming
-  analog of the reference's idempotent upsert S5/S6).
+* ``promote_deltas`` — tiered LSM compaction: folds L0 delta batches
+  into a versioned L1 tier (``out/l1/v{N}``), recording the folded
+  watermark in ``l1_state.json`` (atomic replace — readers always see
+  a fully-written version). Without it a long-lived stream's finalize
+  would re-read ALL delta history; with it the read set is
+  O(L1) + O(batches since the watermark).
+* ``compact_deltas`` — folds L1 + the unpromoted L0 batches into
+  postings long form, keeping the LATEST batch per doc (re-crawled
+  urls supersede older rows — first-writer-wins inverted to
+  last-writer, the streaming analog of the reference's idempotent
+  upsert S5/S6). Deltas are written partitioned by batch_id so the
+  watermark filter prunes whole partitions at the parquet scan.
 * ``crawl_rate_stats`` — watermarked tumbling-window counts over
   warc_ts: the late-data-tolerant monitoring aggregation.
 * ``stateful_first_seen`` — applyInPandasWithState dedup: only the
@@ -56,10 +64,20 @@ def stream_ingest(
         docs = extract_documents(batch_df)
         postings = build_postings(docs).withColumn("batch_id", F.lit(batch_id))
         stats = doc_stats(docs).withColumn("batch_id", F.lit(batch_id))
-        postings.write.mode("append").parquet(os.path.join(out_dir, "delta_postings"))
+        # partitioned by batch_id so the L1 watermark filter in
+        # compact_deltas prunes whole directories at the parquet scan
+        (
+            postings.write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "delta_postings"))
+        )
         # content/links kept: needed when deltas are finalized into
         # serving segments (enrichment + pagerank)
-        stats.write.mode("append").parquet(os.path.join(out_dir, "delta_docs"))
+        (
+            stats.write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "delta_docs"))
+        )
 
     return (
         pages.writeStream.foreachBatch(process_batch)
@@ -69,13 +87,126 @@ def stream_ingest(
     )
 
 
-def compact_deltas(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Fold delta segments -> (postings, doc_stats), latest batch wins
-    per doc_id (re-ingested urls supersede)."""
+_L1_STATE = "l1_state.json"
+
+
+def _read_l1_state(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, _L1_STATE)
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_l1_state(out_dir: str, state: dict) -> None:
+    import json
+
+    path = os.path.join(out_dir, _L1_STATE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _l1_dirs(out_dir: str, version: int) -> tuple[str, str]:
+    base = os.path.join(out_dir, "l1", f"v{version}")
+    return os.path.join(base, "postings"), os.path.join(base, "docs")
+
+
+def promote_deltas(spark: SparkSession, out_dir: str) -> dict:
+    """Tiered LSM compaction: fold the L0 delta batches past the
+    current watermark into a NEW L1 version (latest batch wins per
+    doc_id; rows superseded by a re-crawl are tombstoned out — they
+    simply don't survive the fold).
+
+    Crash-safe via versioned directories: ``out/l1/v{N+1}`` is written
+    completely, then ``l1_state.json`` is atomically replaced to point
+    at it (version + folded_through watermark). A crash at any point
+    leaves the state referencing a fully-written version; L0 deltas
+    are never deleted, so the worst case is a re-fold. Returns the new
+    state dict.
+    """
+    import shutil
+
     from pyspark.sql import Window
 
-    deltas = spark.read.parquet(os.path.join(out_dir, "delta_postings"))
-    docs = spark.read.parquet(os.path.join(out_dir, "delta_docs"))
+    state = _read_l1_state(out_dir)
+    folded = state["folded_through"] if state else -1
+    version = state["version"] if state else 0
+
+    l0_post = spark.read.parquet(os.path.join(out_dir, "delta_postings")).where(
+        F.col("batch_id") > folded
+    )
+    l0_docs = spark.read.parquet(os.path.join(out_dir, "delta_docs")).where(
+        F.col("batch_id") > folded
+    )
+    max_row = l0_docs.agg(F.max("batch_id").alias("mb")).collect()[0]
+    if max_row["mb"] is None:
+        return state or {"version": 0, "folded_through": -1}
+    new_watermark = int(max_row["mb"])
+
+    post, docs = l0_post, l0_docs
+    if state is not None:
+        l1_post_dir, l1_docs_dir = _l1_dirs(out_dir, version)
+        post = spark.read.parquet(l1_post_dir).unionByName(post)
+        docs = spark.read.parquet(l1_docs_dir).unionByName(docs)
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    latest_docs = (
+        docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    latest_keys = latest_docs.select("doc_id", "batch_id")
+    latest_post = post.join(latest_keys, ["doc_id", "batch_id"], "left_semi")
+
+    new_version = version + 1
+    new_post_dir, new_docs_dir = _l1_dirs(out_dir, new_version)
+    latest_post.write.mode("overwrite").parquet(new_post_dir)
+    latest_docs.write.mode("overwrite").parquet(new_docs_dir)
+    new_state = {"version": new_version, "folded_through": new_watermark}
+    _write_l1_state(out_dir, new_state)
+    if state is not None:  # old version unreferenced now; best-effort GC
+        shutil.rmtree(os.path.join(out_dir, "l1", f"v{version}"), ignore_errors=True)
+    return new_state
+
+
+def compact_deltas(
+    spark: SparkSession, out_dir: str, stats: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Fold L1 + unpromoted L0 delta batches -> (postings, doc_stats),
+    latest batch wins per doc_id (re-ingested urls supersede).
+
+    Reads O(L1) + O(batches past the L1 watermark) — NOT all delta
+    history: the ``batch_id > folded_through`` filter prunes whole
+    batch partitions at the parquet scan, and everything older lives
+    pre-folded in the current L1 version. Without any ``promote_deltas``
+    call this degrades gracefully to the full-history fold. ``stats``
+    (optional out-param) records l0_docs_rows / l1_docs_rows /
+    folded_through for observability and tests."""
+    from pyspark.sql import Window
+
+    state = _read_l1_state(out_dir)
+    folded = state["folded_through"] if state else -1
+
+    deltas = spark.read.parquet(os.path.join(out_dir, "delta_postings")).where(
+        F.col("batch_id") > folded
+    )
+    docs = spark.read.parquet(os.path.join(out_dir, "delta_docs")).where(
+        F.col("batch_id") > folded
+    )
+    if stats is not None:
+        stats["folded_through"] = folded
+        stats["l0_docs_rows"] = docs.count()
+        stats["l1_docs_rows"] = 0
+    if state is not None:
+        l1_post_dir, l1_docs_dir = _l1_dirs(out_dir, state["version"])
+        l1_docs = spark.read.parquet(l1_docs_dir)
+        deltas = spark.read.parquet(l1_post_dir).unionByName(deltas)
+        docs = l1_docs.unionByName(docs)
+        if stats is not None:
+            stats["l1_docs_rows"] = l1_docs.count()
+
     w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
     latest_docs = (
         docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

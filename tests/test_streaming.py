@@ -122,6 +122,77 @@ def test_stateful_first_seen_dedups(spark, stream_dirs, tmp_path_factory):
     assert len(urls) == len(set(urls)) == 6
 
 
+def test_tiered_compaction_bounds_reads_and_matches_full(
+    spark, tiny_pages_path, tmp_path_factory
+):
+    """Three ingest+finalize cycles with promotion between: results
+    stay identical to the full-history fold (== the batch build), and
+    the third compaction's L0 read is bounded by the NEWEST batch, not
+    3x history (VERDICT r02 #3)."""
+    from nadry_spark.operators.index_build import build_index
+    from nadry_spark.streaming.ingest import (
+        compact_deltas,
+        promote_deltas,
+        stream_ingest,
+    )
+
+    base = tmp_path_factory.mktemp("lsm")
+    input_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+    os.makedirs(input_dir)
+    table = pq.read_table(tiny_pages_path)
+    n = table.num_rows
+    slices = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    cycle_stats = []
+    for i, (lo, hi) in enumerate(slices):
+        pq.write_table(
+            table.slice(lo, hi - lo), os.path.join(input_dir, f"part{i}.parquet")
+        )
+        q = stream_ingest(spark, input_dir, out_dir, ckpt)
+        q.awaitTermination(300)
+        stats: dict = {}
+        postings, docs = compact_deltas(spark, out_dir, stats=stats)
+        assert docs.count() == hi  # every doc ingested so far survives
+        cycle_stats.append(stats)
+        if i < len(slices) - 1:
+            promote_deltas(spark, out_dir)
+
+    # (b) bounded read: cycle 3 scans only the newest batch from L0
+    s3 = cycle_stats[-1]
+    newest = slices[-1][1] - slices[-1][0]
+    assert s3["folded_through"] >= 1
+    assert s3["l0_docs_rows"] == newest
+    assert s3["l1_docs_rows"] == n - newest
+    # cycle 1 had no L1 yet: full-history degradation path
+    assert cycle_stats[0]["l1_docs_rows"] == 0
+
+    # (a) identical to the ground-truth batch build over the full corpus
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in postings.collect()
+    }
+    postings_b, _ = build_index(spark.read.parquet(tiny_pages_path))
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in postings_b.collect()
+    }
+    assert got == want
+
+    # re-crawl across the tier boundary: re-ingest the FIRST slice; the
+    # re-crawled docs supersede their L1 rows, nothing duplicates
+    promote_deltas(spark, out_dir)
+    pq.write_table(table.slice(0, slices[0][1]), os.path.join(input_dir, "part3.parquet"))
+    q = stream_ingest(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    stats4: dict = {}
+    postings4, docs4 = compact_deltas(spark, out_dir, stats=stats4)
+    assert docs4.count() == n
+    assert stats4["l0_docs_rows"] == slices[0][1]  # only the re-crawl batch
+    got4 = {
+        (r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in postings4.collect()
+    }
+    assert got4 == want
+
+
 def test_finalize_stream_index_matches_batch_segments(spark, stream_dirs, seg, tmp_path_factory):
     """Streaming deltas finalized into segments answer BM25 queries
     identically to the batch-built segments over the same corpus."""
