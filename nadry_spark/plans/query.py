@@ -49,11 +49,24 @@ def decode_tf_for_terms(index: SegmentIndex, terms: list[str]):
 
 
 class QueryEngine:
-    def __init__(self, index: SegmentIndex, scoring: str = "exact"):
+    def __init__(
+        self,
+        index: SegmentIndex,
+        scoring: str = "exact",
+        count_cap: int | None = None,
+    ):
         """scoring: 'exact' (reference-identical TF-IDF blend) or
-        'bm25' (block-max WAND fast path)."""
+        'bm25' (block-max WAND fast path).
+
+        count_cap: optional count-up-to bound on totalResults — the
+        envelope counts at most count_cap+1 candidates (limit n+1 +
+        count, so a stopword-scale query never pays a full candidate
+        count for a totalPages nobody paginates to); when the cap is
+        hit the envelope carries totalResultsIsLowerBound=True.
+        Default None keeps the reference-exact full count."""
         self.index = index
         self.scoring = scoring
+        self.count_cap = count_cap
         self._cache: dict[str, dict] = {}
 
     def _rank_disjunctive(self, tokens: list[str], need: int):
@@ -109,7 +122,13 @@ class QueryEngine:
         # at no point does more than page_size rows reach the driver
         ranked_df = ranked_df.persist()
         try:
-            total = ranked_df.count()
+            if self.count_cap is not None:
+                # count-up-to: CollectLimit stops scanning once
+                # count_cap+1 rows exist — bounded work however many
+                # candidates the query matches
+                total = ranked_df.limit(self.count_cap + 1).count()
+            else:
+                total = ranked_df.count()
             page_rows = (
                 ranked_df.offset(page * page_size).limit(page_size).collect()
             )
@@ -172,11 +191,10 @@ class QueryEngine:
             row["QUERY_TFIDF"] = row.pop("query_tfidf")
         return row
 
-    @staticmethod
-    def _envelope(data, total, page, page_size, tokens, t0):
+    def _envelope(self, data, total, page, page_size, tokens, t0):
         import math
 
-        return {
+        out = {
             "success": True,
             "data": data,
             "totalResults": total,
@@ -185,3 +203,8 @@ class QueryEngine:
             "tokens": list(tokens) if tokens else [],
             "searchTimeSec": round(time.time() - t0, 4),
         }
+        if self.count_cap is not None:
+            # count-up-to mode: totalResults == count_cap+1 means
+            # "more than count_cap" — flagged, never silently wrong
+            out["totalResultsIsLowerBound"] = total > self.count_cap
+        return out

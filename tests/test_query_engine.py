@@ -59,6 +59,36 @@ def test_envelope_reference_reflection_keys(engine, seg):
         assert row["relevenceScore"] == row["relevance"]
 
 
+def test_count_cap_bounds_total_results(seg):
+    """count_up_to mode: totalResults counted only to cap+1, flagged as
+    a lower bound when the cap is hit; exact mode stays the default."""
+    from nadry_spark.plans.query import QueryEngine
+
+    idx, o_postings, _ = seg
+    from collections import Counter
+
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    term = cnt.most_common(1)[0][0]
+
+    exact = QueryEngine(idx, scoring="exact").search(term, page=0, page_size=3)
+    assert "totalResultsIsLowerBound" not in exact  # reference-parity default
+    full_total = exact["totalResults"]
+    assert full_total > 2
+
+    capped = QueryEngine(idx, scoring="exact", count_cap=2).search(
+        term, page=0, page_size=3
+    )
+    assert capped["totalResults"] == 3  # cap+1 = "more than 2"
+    assert capped["totalResultsIsLowerBound"] is True
+    assert capped["data"] == exact["data"]  # page content identical
+
+    roomy = QueryEngine(idx, scoring="exact", count_cap=10_000).search(
+        term, page=0, page_size=3
+    )
+    assert roomy["totalResults"] == full_total
+    assert roomy["totalResultsIsLowerBound"] is False
+
+
 def test_search_only_pages_cross_driver(engine, seg):
     """totalResults reflects the full candidate set while only one
     page of rows is fetched (no full-rank collect on the driver)."""
