@@ -85,6 +85,64 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def encode_position_lists(arrays) -> tuple[list[bytes], np.ndarray]:
+    """Delta-gap + varint encode a sequence of per-row ASCENDING
+    position lists in one vectorized pass.
+
+    All rows' values are concatenated, gaps computed with a reset at
+    each row start (first value absolute), varint-encoded ONCE, and
+    per-row byte ranges sliced from the value end-offsets — the same
+    no-per-value-Python pattern as the posting block encoder. Returns
+    (buffers, counts); empty/None rows encode as b"".
+    """
+    n = len(arrays)
+    counts = np.fromiter(
+        (len(a) if a is not None else 0 for a in arrays), dtype=np.int64, count=n
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return [b""] * n, counts
+    vals = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in arrays if a is not None and len(a)]
+    ).astype(np.uint64)
+    ends = np.cumsum(counts)
+    row_starts = ends - counts
+    first = np.zeros(total, dtype=bool)
+    first[row_starts[counts > 0]] = True
+    gaps = vals.copy()
+    idx = np.nonzero(~first)[0]
+    gaps[idx] -= vals[idx - 1]
+    buf, off = varint_encode_with_offsets(gaps)
+    byte_start = np.where(row_starts > 0, off[np.maximum(row_starts - 1, 0)], 0)
+    byte_end = np.where(ends > 0, off[np.maximum(ends - 1, 0)], 0)
+    buffers = [
+        buf[s:e] if c else b"" for s, e, c in zip(byte_start, byte_end, counts)
+    ]
+    return buffers, counts
+
+
+def decode_position_lists(buffers, counts) -> np.ndarray:
+    """Inverse of encode_position_lists: absolute positions for all
+    rows concatenated in row order (length == counts.sum()).
+
+    One varint decode over the JOINED buffers (b''.join is C-level and
+    varints are self-delimiting) + a segmented cumsum: global cumsum of
+    the gaps minus each segment's entry offset — no per-row decode
+    calls, no per-position Python.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    buf = b"".join(buffers)
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    total = np.cumsum(gaps.astype(np.int64))
+    nz = counts[counts > 0]
+    ends = np.cumsum(nz)
+    starts = ends - nz
+    seg_off = total[starts] - gaps[starts].astype(np.int64)
+    return total - np.repeat(seg_off, nz)
+
+
 def encode_posting_block(doc_nos: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     """One block: (doc ids delta+varint, tfs varint, doc lengths varint)."""
     return {

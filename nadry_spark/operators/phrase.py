@@ -35,25 +35,41 @@ def extract_quoted_phrases(query: str) -> list[str]:
 
 
 def positions_long(positions: DataFrame) -> DataFrame:
-    """Segment positions table -> (doc_no, term, field, pos) long form."""
-    parts = []
-    for field, col in (
-        ("title", "positions_title"),
-        ("description", "positions_desc"),
-        ("body", "positions_body"),
-    ):
-        parts.append(
-            positions.select(
-                "doc_no",
-                "term",
-                F.lit(field).alias("field"),
-                F.explode(col).alias("pos"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Segment positions table (delta-varint binary per field) ->
+    (doc_no, term, field, pos) long form.
+
+    One vectorized mapInPandas pass: per Arrow batch and field the row
+    buffers are joined into ONE byte string (C-level; varints are
+    self-delimiting), decoded in a single codecs.decode_position_lists
+    call, and absolute positions recovered with a segmented cumsum —
+    no per-row decode calls, no per-position Python. Callers filter by
+    term FIRST so the parquet scan prunes (tests/test_plans.py asserts
+    the pushdown) and only query-term rows ever reach the decoder."""
+    import numpy as np
+    import pandas as pd
+
+    from nadry_spark.operators.codecs import decode_position_lists
+    from nadry_spark.sources.segments import _POS_FIELDS
+
+    def gen(batches):
+        for pdf in batches:
+            for field, ncol, bcol in _POS_FIELDS:
+                counts = pdf[ncol].to_numpy(dtype=np.int64)
+                if counts.sum() == 0:
+                    continue
+                pos = decode_position_lists(list(pdf[bcol]), counts)
+                yield pd.DataFrame(
+                    {
+                        "doc_no": np.repeat(pdf["doc_no"].to_numpy(np.int64), counts),
+                        "term": np.repeat(pdf["term"].to_numpy(dtype=object), counts),
+                        "field": field,
+                        "pos": pos.astype(np.int32),
+                    }
+                )
+
+    return positions.mapInPandas(
+        gen, "doc_no long, term string, field string, pos int"
+    )
 
 
 def phrase_match_docs(index: SegmentIndex, tokens: list[str]) -> DataFrame:

@@ -11,7 +11,10 @@ term-sorted, block-compressed Parquet layout:
       postings/shard=S/       (term, min_doc_no, max_doc_no, n_docs,
                                docs_bin, tfs_bin, dls_bin, max_tfnorm)
                               sorted by (term, min_doc_no) within files
-      positions/shard=S/      (term, doc_no, positions_title/desc/body)
+      positions/shard=S/      (term, doc_no, n_title/desc/body,
+                               pos_title/desc/body_bin) — per-field
+                               position lists as delta-gap varint
+                               binary (decode: codecs.decode_position_lists)
       terms/                  (term, df, n_blocks)  — the dictionary
       meta.json               n_docs, avgdl, k1, b, block_size, ...
       manifest/shard_K.json   per-shard lineage + metrics rows
@@ -236,10 +239,20 @@ def _encode_partition_frame(
     )
 
 
+# tf is NOT stored: it is exactly n_title + n_desc + n_body (derived
+# JVM-side where needed); dl IS stored — it keeps the block encode
+# shuffle-free (no docmap join inside the per-shard build)
 POSITIONS_SCHEMA = (
     "shard int, term string, doc_no long, "
-    "positions_title array<int>, positions_desc array<int>, "
-    "positions_body array<int>, tf int, dl int"
+    "n_title int, n_desc int, n_body int, "
+    "pos_title_bin binary, pos_desc_bin binary, pos_body_bin binary, "
+    "dl int"
+)
+
+_POS_FIELDS = (
+    ("title", "n_title", "pos_title_bin"),
+    ("description", "n_desc", "pos_desc_bin"),
+    ("body", "n_body", "pos_body_bin"),
 )
 
 _FIELD_COLS = (("tokens_title", 0), ("tokens_desc", 1), ("tokens_body", 2))
@@ -248,9 +261,12 @@ _FIELD_COLS = (("tokens_title", 0), ("tokens_desc", 1), ("tokens_body", 2))
 def _shard_postings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-shard LOCAL posting build (no Spark shuffle): one shard's
     docs (token arrays) -> one row per (term, doc_no) with per-field
-    position lists, tf and dl. pandas C groupby does the heavy lifting;
+    position lists encoded delta-gap+varint (n_* counts + *_bin
+    buffers), tf and dl. pandas C groupby does the heavy lifting;
     per-shard input is bounded by shard_size docs by construction.
     """
+    from nadry_spark.operators.codecs import encode_position_lists
+
     term_parts, doc_parts, field_parts, pos_parts = [], [], [], []
     for col, field_id in _FIELD_COLS:
         for doc_no, toks in zip(pdf["doc_no"], pdf[col]):
@@ -263,8 +279,9 @@ def _shard_postings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             pos_parts.append(np.arange(n, dtype=np.int32))
     if not term_parts:
         return pd.DataFrame(
-            columns=["term", "doc_no", "positions_title", "positions_desc",
-                     "positions_body", "tf", "dl"]
+            columns=["term", "doc_no", "n_title", "n_desc", "n_body",
+                     "pos_title_bin", "pos_desc_bin", "pos_body_bin",
+                     "tf", "dl"]
         )
     terms = np.concatenate(term_parts)
     doc_nos = np.concatenate(doc_parts)
@@ -308,23 +325,45 @@ def _shard_postings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     dl_map = dict(zip(pdf["doc_no"].to_numpy(), pdf["total_words"].to_numpy()))
     dl = np.fromiter((dl_map[d] for d in out_doc_nos), dtype=np.int32, count=n_postings)
 
-    return pd.DataFrame(
-        {
-            "term": uniq_terms[tc[posting_start]],
-            "doc_no": out_doc_nos,
-            "positions_title": cols[0],
-            "positions_desc": cols[1],
-            "positions_body": cols[2],
-            "tf": tf,
-            "dl": dl,
-        }
-    )
+    # compress per-field position lists: one delta+varint pass per field
+    out = {
+        "term": uniq_terms[tc[posting_start]],
+        "doc_no": out_doc_nos,
+    }
+    for (name, ncol, bcol), c in zip(_POS_FIELDS, cols):
+        bufs, counts = encode_position_lists(c)
+        out[ncol] = counts.astype(np.int32)
+        out[bcol] = bufs
+    out["tf"] = tf
+    out["dl"] = dl
+    return pd.DataFrame(out)
 
 
 def _positions_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    out = _shard_postings_pdf(pdf)
+    out = _shard_postings_pdf(pdf).drop(columns=["tf"])  # derived column
     out.insert(0, "shard", np.int32(key[0]))
     return out
+
+
+def _encode_positions_stream(batches):
+    """mapInPandas: long-form position ARRAY columns -> the compressed
+    POSITIONS_SCHEMA (delta-gap varint binary per field). One
+    vectorized encode per field per Arrow batch."""
+    from nadry_spark.operators.codecs import encode_position_lists
+
+    array_cols = ("positions_title", "positions_desc", "positions_body")
+    for pdf in batches:
+        out = {
+            "shard": pdf["shard"],
+            "term": pdf["term"],
+            "doc_no": pdf["doc_no"],
+        }
+        for (name, ncol, bcol), acol in zip(_POS_FIELDS, array_cols):
+            bufs, counts = encode_position_lists(list(pdf[acol]))
+            out[ncol] = counts.astype(np.int32)
+            out[bcol] = bufs
+        out["dl"] = pdf["dl"]
+        yield pd.DataFrame(out)
 
 
 def _blocks_fn_factory(avgdl: float, k1: float, b: float, block_size: int):
@@ -490,12 +529,14 @@ def build_segments(
             )
             .repartitionByRange(max(2, n_shards // 2), "doc_no")
             .write.mode("overwrite")
+            .option("compression", "zstd")
             .parquet(docmap_path)
         )
         (
             numbered.select("doc_no", "content", "links")
             .repartitionByRange(max(2, n_shards // 2), "doc_no")
             .write.mode("overwrite")
+            .option("compression", "zstd")
             .parquet(os.path.join(out_dir, "docs_content"))
         )
         # per-doc token cache for the shard jobs: compact (arrays per
@@ -556,6 +597,7 @@ def build_segments(
             (
                 grouped.applyInPandas(_positions_fn, POSITIONS_SCHEMA)
                 .write.mode("overwrite")
+                .option("compression", "zstd")
                 .partitionBy("shard")
                 .parquet(os.path.join(out_dir, "positions"))
             )
@@ -577,7 +619,11 @@ def build_segments(
             pos_cols = (
                 spark.read.parquet(os.path.join(out_dir, "positions"))
                 .where(F.col("shard").isin(group))
-                .select("shard", "term", "doc_no", "tf", "dl")
+                .select(
+                    "shard", "term", "doc_no",
+                    (F.col("n_title") + F.col("n_desc") + F.col("n_body")).alias("tf"),
+                    "dl",
+                )
             )
             blocks_df = pos_cols.mapInPandas(
                 _encode_blocks_stream(
@@ -590,6 +636,7 @@ def build_segments(
         (
             blocks_df
             .write.mode("overwrite")
+            .option("compression", "zstd")
             .partitionBy("shard")
             .parquet(os.path.join(out_dir, "postings"))
         )
@@ -633,6 +680,7 @@ def build_segments(
         .repartitionByRange(4, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(os.path.join(out_dir, "terms"))
     )
     if timings is not None:
@@ -679,12 +727,14 @@ def segments_from_postings(
             "total_words", F.coalesce(F.col("popularity_score"), F.lit(0.0)).alias("popularity_score"),
         )
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(os.path.join(out_dir, "docmap"))
     )
     content_cols = [c for c in ("content", "links") if c in docs.columns]
     (
         numbered.select("doc_no", *content_cols)
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(os.path.join(out_dir, "docs_content"))
     )
 
@@ -695,12 +745,17 @@ def segments_from_postings(
     (
         keyed.select(
             "shard", "term", "doc_no",
-            "positions_title", "positions_desc", "positions_body", "tf",
+            "positions_title", "positions_desc", "positions_body",
             F.col("dl").cast("int").alias("dl"),
         )
         .repartition("shard")
         .sortWithinPartitions("term", "doc_no")
+        # arrays -> delta-varint binary (mapInPandas preserves the
+        # within-partition sort, so blocks derived from this table stay
+        # (term, doc_no)-ordered)
+        .mapInPandas(_encode_positions_stream, POSITIONS_SCHEMA)
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .partitionBy("shard")
         .parquet(os.path.join(out_dir, "positions"))
     )
@@ -714,6 +769,7 @@ def segments_from_postings(
     (
         blocks.sortWithinPartitions("term", "min_doc_no")
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .partitionBy("shard")
         .parquet(os.path.join(out_dir, "postings"))
     )
@@ -725,6 +781,7 @@ def segments_from_postings(
         .repartitionByRange(4, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(os.path.join(out_dir, "terms"))
     )
     meta = {

@@ -36,18 +36,21 @@ def test_salted_term_lists_equal_plain(spark, seg):
     from nadry_spark.operators.index_build import term_posting_lists
 
     idx, o_postings, _ = seg
-    # long-form postings straight from the segment positions (tf is a
-    # column of the positions table)
+    # long-form postings straight from the segment positions (tf and
+    # the per-field counts are columns; the compressed position
+    # buffers ride through the collected structs untouched)
     postings = (
         idx.positions.join(idx.docmap.select("doc_no", "doc_id", "url"), "doc_no")
         .select(
             "term", "doc_id", "url",
-            "positions_title", "positions_desc", "positions_body",
-            "tf",
+            F.col("pos_title_bin").alias("positions_title"),
+            F.col("pos_desc_bin").alias("positions_desc"),
+            F.col("pos_body_bin").alias("positions_body"),
+            (F.col("n_title") + F.col("n_desc") + F.col("n_body")).alias("tf"),
             (
-                F.size("positions_title") * 3.0
-                + F.size("positions_desc") * 1.5
-                + F.size("positions_body") * 1.0
+                F.col("n_title") * 3.0
+                + F.col("n_desc") * 1.5
+                + F.col("n_body") * 1.0
             ).alias("weight"),
         )
     )

@@ -66,14 +66,20 @@ def test_blocks_roundtrip_vs_oracle(seg):
 
 
 def test_positions_vs_oracle(seg):
+    from nadry_spark.operators.codecs import decode_position_lists
+
     idx, o_postings, _ = seg
     docmap = {r["doc_no"]: r["doc_id"] for r in idx.docmap.collect()}
     pos_rows = idx.positions.collect()
+
+    def dec(r, bcol, ncol):
+        return decode_position_lists([r[bcol] or b""], [r[ncol]]).tolist()
+
     got = {
         (r["term"], docmap[r["doc_no"]]): (
-            list(r["positions_title"]),
-            list(r["positions_desc"]),
-            list(r["positions_body"]),
+            dec(r, "pos_title_bin", "n_title"),
+            dec(r, "pos_desc_bin", "n_desc"),
+            dec(r, "pos_body_bin", "n_body"),
         )
         for r in pos_rows
     }
