@@ -113,8 +113,87 @@ def main() -> None:
             bm25_topk(idx, q, k=10, mode=mode).collect()
         timings[f"bm25_{mode}_p50"] = round((time.time() - t0) / len(queries), 3)
 
+    # WAND-favorable case: the 3 highest-DF index terms, k=10 — long
+    # posting lists with selective score spread is where block-max
+    # skipping should earn its keep (VERDICT r02 #6); measured skip
+    # rates land in extras either way.
+    from pyspark.sql import functions as F2
+
+    from nadry_spark.operators.bm25 import bmw_block_stats
+
+    highdf = [
+        r["term"]
+        for r in idx.terms.where(~F2.col("term").contains(":"))
+        .orderBy(F2.desc("df"), "term").limit(3).collect()
+    ]
+    bm25_topk(idx, "", k=10, mode="bmw", tokens=highdf).collect()  # warm
+    for mode in ("taat", "bmw"):
+        t0 = time.time()
+        for _ in range(3):
+            bm25_topk(idx, "", k=10, mode=mode, tokens=highdf).collect()
+        timings[f"bm25_{mode}_highdf_p50"] = round((time.time() - t0) / 3, 3)
+    bs = bmw_block_stats(idx, "", k=10, tokens=highdf)
+    extras["bmw_highdf_terms"] = ",".join(highdf)
+    extras["bmw_blocks_total"] = bs["n_blocks"]
+    extras["bmw_blocks_decoded"] = bs["n_decoded"]
+    extras["bmw_block_skip_rate"] = bs["skip_rate"]
+
+    # The case WAND is built for: COARSE shards (long per-task posting
+    # lists) + conjunctive rare-AND-common query — the rare cursor
+    # drives seek() past almost every common-term block without decode.
+    coarse_dir = os.path.join(CACHE_ROOT, f"segments_coarse_{N_PAGES}")
+    if not os.path.exists(os.path.join(coarse_dir, "meta.json")):
+        shutil.rmtree(coarse_dir, ignore_errors=True)
+        build_segments(spark, pages, coarse_dir, n_shards=4, shards_per_job=4)
+    cidx = SegmentIndex(spark, coarse_dir).warm()
+    rare = [
+        r["term"]
+        for r in cidx.terms.where(
+            ~F2.col("term").contains(":") & (F2.col("df").between(5, 20))
+        ).orderBy("df", "term").limit(1).collect()
+    ]
+    conj_tokens = rare + highdf[:2]
+    bm25_topk(cidx, "", k=10, mode="bmw", tokens=conj_tokens, conjunctive=True).collect()
+    for mode in ("taat", "bmw"):
+        t0 = time.time()
+        for _ in range(3):
+            bm25_topk(
+                cidx, "", k=10, mode=mode, tokens=conj_tokens, conjunctive=True
+            ).collect()
+        timings[f"bm25_{mode}_conj_coarse_p50"] = round((time.time() - t0) / 3, 3)
+    cbs = bmw_block_stats(cidx, "", k=10, tokens=conj_tokens, conjunctive=True)
+    extras["bmw_conj_terms"] = ",".join(conj_tokens)
+    extras["bmw_conj_blocks_total"] = cbs["n_blocks"]
+    extras["bmw_conj_blocks_decoded"] = cbs["n_decoded"]
+    extras["bmw_conj_skip_rate"] = cbs["skip_rate"]
+    extras["bmw_analysis"] = (
+        f"disjunctive high-DF case: decoded {bs['n_decoded']}/{bs['n_blocks']} "
+        f"blocks (skip {bs['skip_rate']}) — at shard_size<=16384 each "
+        "per-shard list is 1-3 blocks of 128, nothing to skip, so TAAT's "
+        "vectorized dense accumulator wins; conjunctive rare+common on "
+        f"4 coarse shards: decoded {cbs['n_decoded']}/{cbs['n_blocks']} "
+        f"(skip {cbs['skip_rate']}) — the rare cursor's seek() skips "
+        "common-term blocks by max_doc_no without decoding, which is the "
+        "regime (long per-task lists, selective conjunctions) where "
+        "block-max WAND earns its keep"
+    )
+
     t, _ = _timed(lambda: phrase_search(idx, "news report", k=10).collect())
     timings["phrase_search"] = round(t, 3)
+
+    # honesty guard: flag any query >1.15x its round-2 time at the same
+    # sf so round-over-round deltas stay visible in the bench output
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
+    if os.path.exists(prev_path) and SF_DIR.rstrip("/").endswith("sf0.1"):
+        with open(prev_path) as f:
+            prev = json.load(f).get("parsed", {}).get("queries", {})
+        regressions = {
+            name: {"r02": prev[name], "now": t}
+            for name, t in timings.items()
+            if name in prev and prev[name] > 0.05 and t > prev[name] * 1.15
+        }
+        if regressions:
+            extras["regressions_vs_r02"] = regressions
 
     total = round(sum(timings.values()), 3)
     print(

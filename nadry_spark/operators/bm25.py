@@ -81,9 +81,11 @@ def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
 class _TermCursor:
     """Cursor over one term's blocks within a shard (lazy block decode)."""
 
-    __slots__ = ("idf", "blocks", "bi", "pi", "doc_nos", "tfnorms", "max_score", "cur", "_k1b")
+    __slots__ = ("idf", "blocks", "bi", "pi", "doc_nos", "tfnorms", "max_score", "cur",
+                 "_k1b", "_decodes")
 
-    def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float):
+    def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float,
+                 decodes: list | None = None):
         self.idf = idf
         # blocks sorted by min_doc_no: list of dicts w/ bins + max_tfnorm
         self.blocks = blocks
@@ -93,11 +95,14 @@ class _TermCursor:
         self.tfnorms = None
         self.max_score = idf * max(blk["max_tfnorm"] for blk in blocks)
         self._k1b = (k1, b, avgdl)
+        self._decodes = decodes  # shared [count] cell for skip-rate evidence
         self.cur = -1
         self._next_block()
 
     def _decode(self, blk):
         k1, b, avgdl = self._k1b
+        if self._decodes is not None:
+            self._decodes[0] += 1
         doc_nos, tfs, dls = decode_posting_block(
             blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"]
         )
@@ -148,8 +153,10 @@ class _TermCursor:
 
 
 def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
-               idf_map: dict[str, float], n_query_terms: int, conjunctive: bool):
+               idf_map: dict[str, float], n_query_terms: int, conjunctive: bool,
+               stats_mode: bool = False):
     def score(key, pdf: pd.DataFrame):
+        decodes = [0]
         cursors: list[_TermCursor] = []
         for term, tpdf in pdf.groupby("term"):
             blocks = (
@@ -158,8 +165,15 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
                 ]
                 .to_dict("records")
             )
-            cursors.append(_TermCursor(idf_map[term], blocks, k1, b, avgdl))
+            cursors.append(
+                _TermCursor(idf_map[term], blocks, k1, b, avgdl, decodes=decodes)
+            )
         if conjunctive and len(cursors) < n_query_terms:
+            if stats_mode:
+                return pd.DataFrame(
+                    {"shard": [int(key[0])], "n_blocks": [len(pdf)],
+                     "n_decoded": [decodes[0]]}
+                )
             return pd.DataFrame({"doc_no": [], "score": []}).astype(
                 {"doc_no": "int64", "score": "float64"}
             )
@@ -229,6 +243,11 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
                         c.seek(pivot_doc)
             live = [c for c in live if c.cur is not None]
 
+        if stats_mode:
+            return pd.DataFrame(
+                {"shard": [int(key[0])], "n_blocks": [len(pdf)],
+                 "n_decoded": [decodes[0]]}
+            )
         rows = sorted(((s, -negd) for s, negd in heap), key=lambda x: (-x[0], x[1]))
         return pd.DataFrame(
             {"doc_no": [d for _, d in rows], "score": [s for s, _ in rows]}
@@ -288,3 +307,49 @@ def bm25_topk(
         .select("doc_id", "url", "doc_no", "score")
         .orderBy(F.desc("score"), F.asc("doc_no"))
     )
+
+
+BMW_STATS_SCHEMA = "shard int, n_blocks long, n_decoded long"
+
+
+def bmw_block_stats(
+    index: SegmentIndex,
+    query: str,
+    k: int = 10,
+    conjunctive: bool = False,
+    tokens: list[str] | None = None,
+) -> dict:
+    """Measured block-skip evidence for the BMW scorer: runs the exact
+    WAND loop over the query's blocks but reports, per shard, how many
+    blocks existed vs how many the cursors actually DECODED (seek()
+    skips whole blocks by max_doc_no without decoding; the block-max
+    threshold check skips scoring). Returns
+    ``{"n_blocks", "n_decoded", "skip_rate"}`` totals.
+    """
+    spark = index.spark
+    toks = tokenize(query) if tokens is None else list(tokens)
+    terms = sorted(set(toks))
+    stats = index.term_stats(terms)
+    terms = [t for t in terms if t in stats]
+    if not terms:
+        return {"n_blocks": 0, "n_decoded": 0, "skip_rate": 0.0}
+    meta = index.meta
+    idf_map = {t: bm25_idf(meta["n_docs"], stats[t]["df"]) for t in terms}
+    scorer = _shard_bmw(
+        k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
+        idf_map=idf_map, n_query_terms=len(terms), conjunctive=conjunctive,
+        stats_mode=True,
+    )
+    rows = (
+        index.blocks.where(F.col("term").isin(terms))
+        .groupBy("shard")
+        .applyInPandas(scorer, BMW_STATS_SCHEMA)
+        .collect()
+    )
+    total = sum(r["n_blocks"] for r in rows)
+    decoded = sum(r["n_decoded"] for r in rows)
+    return {
+        "n_blocks": int(total),
+        "n_decoded": int(decoded),
+        "skip_rate": round(1.0 - decoded / total, 3) if total else 0.0,
+    }

@@ -65,6 +65,19 @@ def test_blocks_roundtrip_vs_oracle(seg):
     assert got == want
 
 
+def test_bmw_block_stats_counts_decodes(spark, seg):
+    from nadry_spark.operators.bm25 import bmw_block_stats
+
+    idx, o_postings, _ = seg
+    s = bmw_block_stats(idx, "news report", k=10)
+    assert s["n_blocks"] > 0
+    assert 0 < s["n_decoded"] <= s["n_blocks"]
+    assert s["skip_rate"] == round(1 - s["n_decoded"] / s["n_blocks"], 3)
+    assert bmw_block_stats(idx, "zzznotaterm") == {
+        "n_blocks": 0, "n_decoded": 0, "skip_rate": 0.0
+    }
+
+
 def test_positions_vs_oracle(seg):
     from nadry_spark.operators.codecs import decode_position_lists
 
