@@ -149,7 +149,7 @@ def main() -> None:
     rare = [
         r["term"]
         for r in cidx.terms.where(
-            ~F2.col("term").contains(":") & (F2.col("df").between(5, 20))
+            ~F2.col("term").contains(":") & (F2.col("df") >= 3)
         ).orderBy("df", "term").limit(1).collect()
     ]
     conj_tokens = rare + highdf[:2]

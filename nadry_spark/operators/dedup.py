@@ -54,7 +54,12 @@ def exact_dup_membership(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     from pyspark.sql import Window
 
     h = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
-    w = Window.partitionBy("text_hash")
+    # count over the id-ordered spec with an unbounded frame: same
+    # result as an orderless window but shares ONE sort with the
+    # row_number the capped-groups consumer adds on top
+    w = Window.partitionBy("text_hash").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return h.withColumn("n_dups", F.count("*").over(w)).where(F.col("n_dups") > 1)
 
 
@@ -197,13 +202,17 @@ def lsh_candidate_pairs(
         "id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     if bucket_cap is not None:
+        # ONE small agg job finds the over-cap buckets. Degenerate
+        # buckets are by definition FEW (each holds >cap members), so
+        # they collect to the driver and become a literal NOT-IN filter
+        # on the main plan — the common zero-degenerate case adds no
+        # join and no extra shuffle to the pair computation at all. A
+        # pathological flood of over-cap buckets (>4096) falls back to
+        # an anti-join.
         sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("n_bucket"))
-        skipped = sizes.where(F.col("n_bucket") > bucket_cap).agg(
-            F.count("*").alias("n_buckets"),
-            F.sum(F.col("n_bucket") * (F.col("n_bucket") - 1) / 2).alias("max_dropped"),
-        ).collect()[0]
-        n_skipped = int(skipped["n_buckets"] or 0)
-        max_dropped = int(skipped["max_dropped"] or 0)
+        skipped_rows = sizes.where(F.col("n_bucket") > bucket_cap).collect()
+        n_skipped = len(skipped_rows)
+        max_dropped = sum(r["n_bucket"] * (r["n_bucket"] - 1) // 2 for r in skipped_rows)
         if stats is not None:
             stats["skipped_buckets"] = n_skipped
             stats["max_pairs_dropped"] = max_dropped
@@ -213,8 +222,14 @@ def lsh_candidate_pairs(
                 "(up to %d candidate pairs dropped)",
                 n_skipped, bucket_cap, max_dropped,
             )
-        keep = sizes.where(F.col("n_bucket") <= bucket_cap).select("band", "sig")
-        banded = banded.join(keep, ["band", "sig"], "left_semi")
+            if n_skipped <= 4096:
+                skip_keys = [f"{r['band']}\x00{r['sig']}" for r in skipped_rows]
+                banded = banded.where(
+                    ~F.concat_ws("\x00", F.col("band").cast("string"), F.col("sig")).isin(skip_keys)
+                )
+            else:
+                keep = sizes.where(F.col("n_bucket") <= bucket_cap).select("band", "sig")
+                banded = banded.join(keep, ["band", "sig"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -335,12 +350,17 @@ def minhash_dedup_pairs(
     to hand over).
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    # signatures persisted too: with a bucket_cap the banded frame is
+    # consumed by the sizes job AND both sides of the bucket self-join —
+    # caching the (n_docs x 16) signature frame keeps the 16-way min
+    # aggregation from running three times
+    sigs = minhash_signatures(sh, n_hashes).persist()
     cand = lsh_candidate_pairs(
-        minhash_signatures(sh, n_hashes), n_hashes, bands,
-        bucket_cap=bucket_cap, stats=stats,
+        sigs, n_hashes, bands, bucket_cap=bucket_cap, stats=stats
     )
     pairs = jaccard_pairs(sh, cand, threshold).localCheckpoint()
     sh.unpersist()
+    sigs.unpersist()
     return pairs
 
 
@@ -384,9 +404,9 @@ def simhash_dup_groups(
     from pyspark.sql import Window
 
     sigs = simhash_signatures(df, id_col, text_col, bits)
-    w = Window.partitionBy("simhash")
-    mem = sigs.withColumn("n", F.count("*").over(w)).where(F.col("n") > 1)
     wo = Window.partitionBy("simhash").orderBy("id")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mem = sigs.withColumn("n", F.count("*").over(w)).where(F.col("n") > 1)
     capped = mem.withColumn("_rn", F.row_number().over(wo)).where(F.col("_rn") <= id_cap)
     return capped.groupBy("simhash", "n").agg(
         F.sort_array(F.collect_list("id")).alias("ids")

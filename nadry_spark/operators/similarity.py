@@ -275,13 +275,14 @@ def cosine_dup_pairs(
         sign_lsh_bucket(vec_col, dims).alias("bucket"),
     )
     if bucket_cap is not None:
+        # sign-bucket cardinality is <= 2^len(dims) (64 by default):
+        # one tiny agg job names the over-cap buckets, which become a
+        # literal NOT-IN filter — no join, no extra shuffle in the
+        # main pair plan, and zero plan change when nothing is over cap
         sizes = tagged.groupBy("bucket").agg(F.count("*").alias("n_bucket"))
-        skipped = sizes.where(F.col("n_bucket") > bucket_cap).agg(
-            F.count("*").alias("n_buckets"),
-            F.sum(F.col("n_bucket") * (F.col("n_bucket") - 1) / 2).alias("max_dropped"),
-        ).collect()[0]
-        n_skipped = int(skipped["n_buckets"] or 0)
-        max_dropped = int(skipped["max_dropped"] or 0)
+        skipped_rows = sizes.where(F.col("n_bucket") > bucket_cap).collect()
+        n_skipped = len(skipped_rows)
+        max_dropped = sum(r["n_bucket"] * (r["n_bucket"] - 1) // 2 for r in skipped_rows)
         if stats is not None:
             stats["skipped_buckets"] = n_skipped
             stats["max_pairs_dropped"] = max_dropped
@@ -291,8 +292,9 @@ def cosine_dup_pairs(
                 "(up to %d candidate pairs dropped)",
                 n_skipped, bucket_cap, max_dropped,
             )
-        keep = sizes.where(F.col("n_bucket") <= bucket_cap).select("bucket")
-        tagged = tagged.join(keep, "bucket", "left_semi")
+            tagged = tagged.where(
+                ~F.col("bucket").isin([r["bucket"] for r in skipped_rows])
+            )
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (
