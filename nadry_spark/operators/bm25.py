@@ -43,7 +43,8 @@ def bm25_idf(n_docs: int, df: int) -> float:
 
 
 def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
-                idf_map: dict[str, float], n_query_terms: int, conjunctive: bool):
+                idf_map: dict[str, float], n_query_terms: int, conjunctive: bool,
+                exclude: frozenset = frozenset()):
     def score(key, pdf: pd.DataFrame):
         base = int(key[0]) * shard_size
         scores = np.zeros(shard_size, dtype=np.float64)
@@ -62,6 +63,11 @@ def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
         else:
             mask = seen_terms > 0
         cand = np.nonzero(mask)[0]
+        if exclude and cand.size:
+            # tombstoned doc_nos (re-crawls superseded by a newer
+            # segment) drop BEFORE top-k selection so the k slots fill
+            # with live docs
+            cand = cand[~np.isin(cand + base, np.fromiter(exclude, dtype=np.int64))]
         if cand.size == 0:
             return pd.DataFrame({"doc_no": [], "score": []}).astype(
                 {"doc_no": "int64", "score": "float64"}
@@ -82,10 +88,10 @@ class _TermCursor:
     """Cursor over one term's blocks within a shard (lazy block decode)."""
 
     __slots__ = ("idf", "blocks", "bi", "pi", "doc_nos", "tfnorms", "max_score", "cur",
-                 "_k1b", "_decodes")
+                 "_k1b", "_decodes", "_bscale")
 
     def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float,
-                 decodes: list | None = None):
+                 decodes: list | None = None, bound_scale: float = 1.0):
         self.idf = idf
         # blocks sorted by min_doc_no: list of dicts w/ bins + max_tfnorm
         self.blocks = blocks
@@ -93,7 +99,15 @@ class _TermCursor:
         self.pi = 0
         self.doc_nos = None
         self.tfnorms = None
-        self.max_score = idf * max(blk["max_tfnorm"] for blk in blocks)
+        # bound_scale: stored max_tfnorm was computed with the SEGMENT's
+        # build-time avgdl; under a larger query-time (global) avgdl the
+        # true tfnorm can exceed it by at most avgdl_g/avgdl_s (the
+        # denominator D = tf + k1(1-b) + k1*b*dl/avgdl satisfies
+        # D_s/D_g <= avgdl_g/avgdl_s for avgdl_g >= avgdl_s), so
+        # scaling the bound keeps block-max skipping admissible in
+        # multi-segment mode
+        self._bscale = bound_scale
+        self.max_score = idf * max(blk["max_tfnorm"] for blk in blocks) * bound_scale
         self._k1b = (k1, b, avgdl)
         self._decodes = decodes  # shared [count] cell for skip-rate evidence
         self.cur = -1
@@ -119,7 +133,7 @@ class _TermCursor:
         self.cur = int(self.doc_nos[0])
 
     def block_max(self) -> float:
-        return self.idf * self.blocks[self.bi]["max_tfnorm"]
+        return self.idf * self.blocks[self.bi]["max_tfnorm"] * self._bscale
 
     def score_current(self) -> float:
         return self.idf * float(self.tfnorms[self.pi])
@@ -154,7 +168,8 @@ class _TermCursor:
 
 def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
                idf_map: dict[str, float], n_query_terms: int, conjunctive: bool,
-               stats_mode: bool = False):
+               stats_mode: bool = False, exclude: frozenset = frozenset(),
+               bound_inflation: float = 1.0):
     def score(key, pdf: pd.DataFrame):
         decodes = [0]
         cursors: list[_TermCursor] = []
@@ -166,7 +181,8 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
                 .to_dict("records")
             )
             cursors.append(
-                _TermCursor(idf_map[term], blocks, k1, b, avgdl, decodes=decodes)
+                _TermCursor(idf_map[term], blocks, k1, b, avgdl, decodes=decodes,
+                            bound_scale=bound_inflation)
             )
         if conjunctive and len(cursors) < n_query_terms:
             if stats_mode:
@@ -232,7 +248,9 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
                 # above are correct for the same reason.
                 bub = sum(c.block_max() for c in at_pivot)
                 if bub >= threshold or len(heap) < k or conjunctive:
-                    if not conjunctive or len(at_pivot) == n_query_terms:
+                    if (not conjunctive or len(at_pivot) == n_query_terms) and (
+                        pivot_doc not in exclude
+                    ):
                         s = sum(c.score_current() for c in at_pivot)
                         push(pivot_doc, s)
                 for c in at_pivot:
@@ -307,6 +325,92 @@ def bm25_topk(
         .select("doc_id", "url", "doc_no", "score")
         .orderBy(F.desc("score"), F.asc("doc_no"))
     )
+
+
+def bm25_topk_multi(
+    msi,
+    query: str,
+    k: int = 10,
+    mode: str = "taat",
+    conjunctive: bool = False,
+    tokens: list[str] | None = None,
+) -> DataFrame:
+    """BM25 top-k over a MultiSegmentIndex — the incremental-serving
+    path: per-segment exact scoring with GLOBAL statistics, k-way merge
+    of per-segment top-ks, ties on doc_id (cluster-size independent).
+
+    Global statistics are tombstone-exact: N/avgdl come from the
+    index's live-doc meta, and per-term df subtracts superseded docs
+    containing the term (probed from each older segment's blocks for
+    its excluded doc_nos — a term-pruned, tiny read), so scores are
+    rank-identical to a fresh single-segment rebuild of the latest
+    corpus. BMW mode inflates each segment's stored block maxima by
+    max(1, avgdl_global/avgdl_segment) to stay admissible under the
+    global length normalization (see _TermCursor.bound_scale).
+
+    Returns (doc_id, url, score) ordered by (score desc, doc_id asc).
+    """
+    spark = msi.spark
+    toks = tokenize(query) if tokens is None else list(tokens)
+    distinct = sorted(set(toks))
+    empty = spark.createDataFrame([], "doc_id string, url string, score double")
+    if not distinct:
+        return empty
+    stats = msi.term_stats(distinct)
+    terms = [t for t in distinct if t in stats]
+    if not terms:
+        return empty
+    # df correction: superseded docs still sit in their segment's terms
+    # table; subtract the excluded docs that actually contain each term
+    df_corr: dict[str, int] = {}
+    for seg, excl in zip(msi.segments, msi.excluded):
+        if not excl:
+            continue
+        rows = (
+            seg.decoded_tf(terms)
+            .where(F.col("doc_no").isin([int(x) for x in excl]))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_no").alias("c"))
+            .collect()
+        )
+        for r in rows:
+            df_corr[r["term"]] = df_corr.get(r["term"], 0) + int(r["c"])
+    live_df = {t: stats[t]["df"] - df_corr.get(t, 0) for t in terms}
+    terms = [t for t in terms if live_df[t] > 0]
+    if not terms:
+        return empty
+    if conjunctive and len(terms) < len(distinct):
+        return empty
+
+    meta = msi.meta
+    idf_map = {t: bm25_idf(meta["n_docs"], live_df[t]) for t in terms}
+    args = dict(
+        k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
+        idf_map=idf_map, n_query_terms=len(terms), conjunctive=conjunctive,
+    )
+    parts = []
+    for seg, excl in zip(msi.segments, msi.excluded):
+        seg_args = dict(args, exclude=frozenset(int(x) for x in excl))
+        if mode == "taat":
+            scorer = _shard_taat(shard_size=seg.meta["shard_size"], **seg_args)
+        else:
+            scorer = _shard_bmw(
+                bound_inflation=max(1.0, meta["avgdl"] / seg.meta["avgdl"]),
+                **seg_args,
+            )
+        per_shard = (
+            seg.blocks.where(F.col("term").isin(terms))
+            .groupBy("shard")
+            .applyInPandas(scorer, TOPK_SCHEMA)
+        )
+        parts.append(
+            seg.docmap.join(F.broadcast(per_shard), "doc_no")
+            .select("doc_id", "url", "score")
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 BMW_STATS_SCHEMA = "shard int, n_blocks long, n_decoded long"

@@ -872,6 +872,17 @@ class SegmentIndex:
         rows = self.terms.where(F.col("term").isin(list(set(terms)))).collect()
         return {r["term"]: {"df": r["df"], "n_blocks": r["n_blocks"]} for r in rows}
 
+    def supersedes(self) -> dict[str, list[int]]:
+        """Doc_nos in OLDER segments that this segment's docs replace
+        (re-crawled urls), keyed by the older segment's path basename.
+        Written by the incremental streaming finalize; empty for batch
+        builds."""
+        path = os.path.join(self.path, "supersedes.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
     def decoded_tf(self, terms: list[str]) -> DataFrame:
         """(term, doc_no, tf) long form decoded from the compressed
         blocks of the given terms — the exact-mode candidate probe
@@ -884,3 +895,84 @@ class SegmentIndex:
             lambda it: explode_tf_batches(it, with_term=True),
             "term string, doc_no long, tf int",
         )
+
+
+class MultiSegmentIndex:
+    """Serving handle over an ORDERED list of segment directories —
+    the Lucene multi-segment model: each incremental finalize adds one
+    segment holding only its new docs; queries run over all segments
+    with GLOBAL statistics and merge the per-segment top-ks.
+
+    * ``meta``: n_docs summed, avgdl doc-weighted across segments
+      (sum of each segment's avgdl*n_docs over total docs), k1/b/block
+      size asserted identical.
+    * ``term_stats``: df summed per term across segments.
+    * **Supersedes/tombstones**: a newer segment may re-crawl a url an
+      older segment holds. Each incremental segment records the OLDER
+      segments' doc_nos it replaces (supersedes.json); queries exclude
+      those doc_nos from the older segment's scoring, so the newest
+      content wins and nothing is double-counted. Tombstone sets are
+      tiny (only re-crawls) and ride into the shard scorers as plain
+      Python sets.
+
+    Segments are doc-partitioned, so conjunctive/disjunctive scoring
+    stays exact per segment; only the final k-way merge crosses
+    segments (<= n_segments * shards * k rows). Global ordering ties
+    break on doc_id (cluster-size independent), not doc_no.
+    """
+
+    def __init__(self, spark: SparkSession, paths: list[str]):
+        if not paths:
+            raise ValueError("MultiSegmentIndex needs at least one segment path")
+        self.spark = spark
+        self.segments = [SegmentIndex(spark, p) for p in paths]
+        m0 = self.segments[0].meta
+        for s in self.segments[1:]:
+            for key in ("k1", "b", "block_size"):
+                if s.meta[key] != m0[key]:
+                    raise ValueError(
+                        f"segment {s.path} has {key}={s.meta[key]} != {m0[key]}; "
+                        "segments must share scoring parameters"
+                    )
+        # excluded[i] = doc_nos of segment i superseded by ANY newer segment
+        self.excluded: list[set[int]] = [set() for _ in self.segments]
+        by_name = {os.path.basename(s.path.rstrip("/")): i for i, s in enumerate(self.segments)}
+        for s in self.segments:
+            for older_name, doc_nos in s.supersedes().items():
+                i = by_name.get(older_name)
+                if i is not None:
+                    self.excluded[i].update(int(d) for d in doc_nos)
+        # LIVE global stats: superseded docs drop out of N and avgdl so
+        # scoring matches a fresh rebuild of the latest corpus
+        n_total = sum(s.meta["n_docs"] for s in self.segments)
+        sum_dl = sum(s.meta["avgdl"] * s.meta["n_docs"] for s in self.segments)
+        n_excl = sum(len(e) for e in self.excluded)
+        if n_excl:
+            for s, e in zip(self.segments, self.excluded):
+                if e:
+                    row = (
+                        s.docmap.where(F.col("doc_no").isin([int(x) for x in e]))
+                        .agg(F.sum("total_words").alias("dl"))
+                        .collect()[0]
+                    )
+                    sum_dl -= float(row["dl"] or 0.0)
+        n_live = n_total - n_excl
+        self.meta = {
+            **m0,
+            "n_docs": n_live,
+            "avgdl": (sum_dl / n_live) if n_live else 1.0,
+        }
+
+    def warm(self) -> "MultiSegmentIndex":
+        for s in self.segments:
+            s.warm()
+        return self
+
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for s in self.segments:
+            for t, st in s.term_stats(terms).items():
+                agg = out.setdefault(t, {"df": 0, "n_blocks": 0})
+                agg["df"] += st["df"]
+                agg["n_blocks"] += st["n_blocks"]
+        return out

@@ -219,13 +219,117 @@ def compact_deltas(
 def finalize_stream_index(
     spark: SparkSession, stream_out_dir: str, segments_dir: str, **kwargs
 ) -> dict:
-    """Compact the streamed delta segments into a queryable segment dir
-    (docmap, compressed blocks, positions, terms, manifests) — the
-    streaming-to-serving bridge. Latest batch wins per doc_id."""
+    """Compact the streamed delta segments into ONE queryable segment
+    dir (docmap, compressed blocks, positions, terms, manifests) — the
+    full-rebuild streaming-to-serving bridge. Latest batch wins per
+    doc_id. For continuous serving that must not rebuild the whole
+    corpus per finalize, use :func:`finalize_incremental` instead."""
     from nadry_spark.sources.segments import segments_from_postings
 
     postings, docs = compact_deltas(spark, stream_out_dir)
     return segments_from_postings(spark, postings, docs, segments_dir, **kwargs)
+
+
+_SERVING_STATE = "serving_state.json"
+
+
+def finalize_incremental(
+    spark: SparkSession, stream_out_dir: str, segments_root: str, **kwargs
+) -> dict:
+    """Incremental streaming->serving bridge (the Lucene multi-segment
+    model): build ONE new segment from only the delta batches past the
+    serving watermark — O(new docs) per finalize, however large the
+    corpus has grown — and record which OLDER segments' doc_nos the new
+    docs supersede (re-crawled urls) in the new segment's
+    supersedes.json. Serving reads the whole family through
+    :func:`open_serving_index` / ``bm25_topk_multi``, which excludes
+    superseded docs and uses live global statistics, so results are
+    rank-identical to a full rebuild of the latest corpus.
+
+    State (segments_root/serving_state.json: finalized_through batch
+    watermark + ordered segment list) is replaced atomically AFTER the
+    segment directory is fully written; a crash leaves the previous
+    state serving and the next call re-folds the same batches into a
+    fresh segment name. Returns the new state dict.
+    """
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from nadry_spark.sources.segments import SegmentIndex, segments_from_postings
+
+    os.makedirs(segments_root, exist_ok=True)
+    state_path = os.path.join(segments_root, _SERVING_STATE)
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = _json.load(f)
+    else:
+        state = {"finalized_through": -1, "segments": []}
+    ft = state["finalized_through"]
+
+    docs = spark.read.parquet(os.path.join(stream_out_dir, "delta_docs")).where(
+        F.col("batch_id") > ft
+    )
+    max_row = docs.agg(F.max("batch_id").alias("mb")).collect()[0]
+    if max_row["mb"] is None:
+        return state
+    hi = int(max_row["mb"])
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    latest_docs = (
+        docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    postings = (
+        spark.read.parquet(os.path.join(stream_out_dir, "delta_postings"))
+        .where(F.col("batch_id") > ft)
+        .join(latest_docs.select("doc_id", "batch_id"), ["doc_id", "batch_id"], "left_semi")
+    )
+
+    seg_name = f"seg_{ft + 1}_{hi}"
+    seg_dir = os.path.join(segments_root, seg_name)
+    segments_from_postings(
+        spark, postings.drop("batch_id"), latest_docs.drop("batch_id"), seg_dir, **kwargs
+    )
+
+    # supersedes: doc_nos in each OLDER segment whose doc_id re-appears
+    # in this segment (re-crawl). Small by construction — only re-crawls.
+    new_ids = latest_docs.select("doc_id")
+    supersedes: dict[str, list[int]] = {}
+    for name in state["segments"]:
+        old = SegmentIndex(spark, os.path.join(segments_root, name))
+        rows = (
+            old.docmap.join(F.broadcast(new_ids), "doc_id", "left_semi")
+            .select("doc_no")
+            .collect()
+        )
+        if rows:
+            supersedes[name] = sorted(int(r["doc_no"]) for r in rows)
+    with open(os.path.join(seg_dir, "supersedes.json"), "w") as f:
+        _json.dump(supersedes, f)
+
+    new_state = {
+        "finalized_through": hi,
+        "segments": state["segments"] + [seg_name],
+    }
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(new_state, f)
+    os.replace(tmp, state_path)
+    return new_state
+
+
+def open_serving_index(spark: SparkSession, segments_root: str):
+    """MultiSegmentIndex over the incremental serving family recorded
+    in serving_state.json (query with bm25.bm25_topk_multi)."""
+    import json as _json
+
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    with open(os.path.join(segments_root, _SERVING_STATE)) as f:
+        state = _json.load(f)
+    return MultiSegmentIndex(
+        spark, [os.path.join(segments_root, n) for n in state["segments"]]
+    )
 
 
 def crawl_rate_stats(pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -1,0 +1,134 @@
+"""Multi-segment serving: per-segment scoring with global statistics,
+k-way merged top-k, tombstoned re-crawls — rank-identical to a fresh
+single-segment rebuild of the latest corpus."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+QUERIES = ["news report update", "table batch value sort", "news 2024"]
+
+
+def _topk_single(idx, q, **kw):
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    return [
+        (r["doc_id"], round(r["score"], 9)) for r in bm25_topk(idx, q, **kw).collect()
+    ]
+
+
+def _topk_multi(msi, q, **kw):
+    from nadry_spark.operators.bm25 import bm25_topk_multi
+
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_multi(msi, q, **kw).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def halves(spark, tiny_pages_path, tmp_path_factory):
+    """The tiny corpus split in two, one segment built per half."""
+    from nadry_spark.sources.segments import build_segments
+
+    base = tmp_path_factory.mktemp("halves")
+    table = pq.read_table(tiny_pages_path)
+    n = table.num_rows
+    paths = []
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        pfile = str(base / f"pages{i}.parquet")
+        pq.write_table(table.slice(lo, hi - lo), pfile)
+        seg = str(base / f"seg{i}")
+        build_segments(spark, spark.read.parquet(pfile), seg, n_shards=3, shards_per_job=3)
+        paths.append(seg)
+    return paths
+
+
+def test_multi_segment_matches_single(spark, seg, halves):
+    """Two half-corpus segments queried together == the one full-corpus
+    segment, for both scorers and both match modes (global N/df/avgdl,
+    BMW bound inflation for per-segment avgdl drift)."""
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    idx_single, _, _ = seg
+    msi = MultiSegmentIndex(spark, halves)
+    assert msi.meta["n_docs"] == idx_single.meta["n_docs"]
+    assert msi.meta["avgdl"] == pytest.approx(idx_single.meta["avgdl"], rel=1e-12)
+    for q in QUERIES:
+        for mode in ("taat", "bmw"):
+            for conj in (False, True):
+                got = _topk_multi(msi, q, k=10, mode=mode, conjunctive=conj)
+                want = _topk_single(idx_single, q, k=10, mode=mode, conjunctive=conj)
+                assert got == want, (q, mode, conj)
+
+
+def test_multi_segment_single_path_is_identity(spark, seg):
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    idx, _, _ = seg
+    msi = MultiSegmentIndex(spark, [idx.path])
+    for q in QUERIES[:1]:
+        assert _topk_multi(msi, q, k=10) == _topk_single(idx, q, k=10)
+
+
+def test_incremental_finalize_with_recrawl(spark, tiny_pages_path, tmp_path_factory):
+    """Three incremental cycles + a re-crawl that CHANGES a page: the
+    multi-segment family answers rank-identically to a full rebuild of
+    the latest corpus; the superseded doc is tombstoned, not
+    double-served."""
+    import pyarrow as pa
+
+    from nadry_spark.streaming.ingest import (
+        finalize_incremental,
+        finalize_stream_index,
+        open_serving_index,
+        stream_ingest,
+    )
+
+    base = tmp_path_factory.mktemp("inc")
+    input_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+    root = str(base / "serving")
+    os.makedirs(input_dir)
+    table = pq.read_table(tiny_pages_path)
+    n = table.num_rows
+    slices = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+
+    for i, (lo, hi) in enumerate(slices):
+        pq.write_table(table.slice(lo, hi - lo), os.path.join(input_dir, f"p{i}.parquet"))
+        stream_ingest(spark, input_dir, out_dir, ckpt).awaitTermination(300)
+        state = finalize_incremental(spark, out_dir, root, n_shards=2)
+    assert len(state["segments"]) == 3
+
+    # re-crawl: the FIRST page comes back with different content
+    first = table.slice(0, 1).to_pylist()[0]
+    first["html"] = first["html"] + b"<p>zzrecrawl marker zzrecrawl</p>"
+    schema = table.schema
+    pq.write_table(
+        pa.Table.from_pylist([first], schema=schema), os.path.join(input_dir, "p3.parquet")
+    )
+    stream_ingest(spark, input_dir, out_dir, ckpt).awaitTermination(300)
+    state = finalize_incremental(spark, out_dir, root, n_shards=2)
+    assert len(state["segments"]) == 4
+
+    msi = open_serving_index(spark, root)
+    # exactly one superseded doc, excluded from exactly one older segment
+    assert sum(len(e) for e in msi.excluded) == 1
+    assert msi.meta["n_docs"] == n  # live docs: re-crawl replaces, not adds
+
+    # ground truth: full rebuild over the compacted latest corpus
+    full_dir = str(base / "full")
+    finalize_stream_index(spark, out_dir, full_dir, n_shards=4)
+    from nadry_spark.sources.segments import SegmentIndex
+
+    idx_full = SegmentIndex(spark, full_dir)
+    for q in QUERIES + ["zzrecrawl marker"]:
+        for mode in ("taat", "bmw"):
+            got = _topk_multi(msi, q, k=10, mode=mode)
+            want = _topk_single(idx_full, q, k=10, mode=mode)
+            assert got == want, (q, mode)
+    # the re-crawled content is served from the NEW segment
+    hit = _topk_multi(msi, "zzrecrawl", k=5)
+    assert len(hit) == 1
