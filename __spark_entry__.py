@@ -351,6 +351,21 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumnRenamed("id", "doc_id")
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level near-dup pairs over the mutated-union corpus: docs
+    sharing >= 2 winnowing fingerprints (boilerplate fingerprints in
+    >1000 docs skipped, mirrored by the oracle's HAVING filter)."""
+    from nadry_spark.operators.textstats import winnow_dup_pairs
+
+    pairs = winnow_dup_pairs(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        k=3, w=4, min_shared=2, fp_cap=1000,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a corpus seeded with synthetic emails/urls/numbers
     (the raw documents contain few): redacted-text md5 + per-category
@@ -747,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "ann_topk": q_ann_topk,
@@ -1182,6 +1198,38 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(s1, '(?:https?://|www\.)[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}[^\s]*'))::BIGINT AS n_urls,
                    len(regexp_extract_all(s2, '\b\d+(?:\.\d+)?\b'))::BIGINT AS n_nums
             FROM steps2
+        """,
+        "winnow_pairs": rf"""
+            WITH doubled AS ({_DOCS_WITH_DUPS_SQL}),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+                FROM doubled
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(t) - 2),
+                           i -> md5(array_to_string(t[i:i+2], ' ')) || '|' || lpad((i-1)::VARCHAR, 10, '0')) AS g
+                FROM toks
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(g) - 3),
+                           s -> list_min(g[s:s+3]))) AS chosen
+                FROM grams
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, split_part(s, '|', 1) AS fp
+                FROM (SELECT doc_id, unnest(chosen) AS s FROM sel)
+            ),
+            -- mirror of winnow_dup_pairs fp_cap=1000: boilerplate
+            -- fingerprints in >1000 docs are skipped
+            kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+            live AS (SELECT f.* FROM fps f JOIN kept USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+            FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
         "winnow_fp": r"""
             WITH toks AS (

@@ -181,6 +181,31 @@ def main() -> None:
     t, _ = _timed(lambda: phrase_search(idx, "news report", k=10).collect())
     timings["phrase_search"] = round(t, 3)
 
+    # multi-segment serving: the corpus split across two segments,
+    # queried as one family with global stats (the incremental-serving
+    # path) — compare against bm25_taat_p50 for the merge overhead.
+    # (_v3 in the cache key = positions format version; bump on change)
+    from nadry_spark.operators.bm25 import bm25_topk_multi
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    half_dirs = []
+    for i in range(2):
+        hd = os.path.join(CACHE_ROOT, f"segments_half{i}_{N_PAGES}_v3")
+        if not os.path.exists(os.path.join(hd, "meta.json")):
+            shutil.rmtree(hd, ignore_errors=True)
+            half = pages.where(F2.pmod(F2.xxhash64("url"), F2.lit(2)) == i)
+            build_segments(
+                spark, half, hd,
+                n_shards=max(4, CPUS // 2), shards_per_job=max(4, CPUS // 2),
+            )
+        half_dirs.append(hd)
+    msi = MultiSegmentIndex(spark, half_dirs).warm()
+    bm25_topk_multi(msi, queries[0], k=10).collect()  # warm
+    t0 = time.time()
+    for q in queries:
+        bm25_topk_multi(msi, q, k=10).collect()
+    timings["bm25_multiseg_p50"] = round((time.time() - t0) / len(queries), 3)
+
     # honesty guard: flag any query >1.15x its round-2 time at the same
     # sf so round-over-round deltas stay visible in the bench output
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")

@@ -231,6 +231,72 @@ def winnowing_fingerprints(
     )
 
 
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_cap: int | None = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Passage-level near-dup pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints (so any >= w+k-1-token run of
+    shared text links the pair — catches copied PASSAGES, which
+    whole-doc md5/minhash-over-the-full-text miss when the rest of the
+    docs differ).
+
+    Same hot-bucket discipline as the LSH caps: a fingerprint selected
+    in more than ``fp_cap`` documents is boilerplate, makes the
+    self-join quadratic in its bucket, and is SKIPPED — collected to
+    the driver (few by definition), applied as a literal NOT-IN filter
+    (anti-join fallback past 4096), logged, and reported via ``stats``
+    (``skipped_fps`` / ``max_pairs_dropped``). Never silent.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    import logging
+
+    # one eager materialization: the fingerprint set feeds the cap
+    # sweep AND both sides of the self-join — without it the window
+    # pipeline recomputes ~4x. localCheckpoint (memory+disk blocks,
+    # lineage truncated) so no unpersist ownership leaves this function.
+    fps = (
+        winnowing_fingerprints(df, id_col, text_col, k, w)
+        .select("id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    if fp_cap is not None:
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+        skipped_rows = sizes.where(F.col("n_docs") > fp_cap).collect()
+        n_skipped = len(skipped_rows)
+        max_dropped = sum(r["n_docs"] * (r["n_docs"] - 1) // 2 for r in skipped_rows)
+        if stats is not None:
+            stats["skipped_fps"] = n_skipped
+            stats["max_pairs_dropped"] = max_dropped
+        if n_skipped:
+            logging.getLogger("nadry_spark.textstats").warning(
+                "winnow_dup_pairs: skipped %d boilerplate fingerprints over "
+                "cap=%d (up to %d candidate pairs dropped)",
+                n_skipped, fp_cap, max_dropped,
+            )
+            if n_skipped <= 4096:
+                fps = fps.where(~F.col("fp").isin([r["fp"] for r in skipped_rows]))
+            else:
+                keep = sizes.where(F.col("n_docs") <= fp_cap).select("fp")
+                fps = fps.join(keep, "fp", "left_semi")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Training-data PII scrub: emails -> <EMAIL>, URLs -> <URL>,
     numbers -> <NUM>, applied in the reference tokenizer's masking

@@ -378,6 +378,39 @@ def test_winnowing_shared_passage_guarantee(spark):
     assert winnowing_fingerprints(tiny, "doc_id", "text").count() == 0
 
 
+def test_winnow_dup_pairs_links_shared_passages(spark):
+    """Two docs sharing one long passage (but nothing else) pair up;
+    unrelated docs don't; boilerplate fingerprints over the cap are
+    skipped with exact drop accounting."""
+    from nadry_spark.operators.textstats import winnow_dup_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            (1, "intro alpha beta " + passage + " outro gamma delta"),
+            (2, "completely different words here " + passage + " trailing text"),
+            (3, "nothing in common with anyone else at all whatsoever zilch"),
+        ],
+        "id long, text string",
+    )
+    pairs = winnow_dup_pairs(df, "id", "text", min_shared=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] >= 2  # winnowing guarantee on the run
+    assert all(p == (1, 2) for p in got)
+
+    # cap: 600 identical docs -> every fingerprint bucket is over cap
+    boiler = spark.createDataFrame(
+        [(i, "same boilerplate sentence repeated across the whole mirror site")
+         for i in range(600)],
+        "id long, text string",
+    )
+    stats: dict = {}
+    out = winnow_dup_pairs(boiler, "id", "text", min_shared=1, fp_cap=100, stats=stats).collect()
+    assert out == []
+    assert stats["skipped_fps"] >= 1
+    assert stats["max_pairs_dropped"] == stats["skipped_fps"] * (600 * 599) // 2
+
+
 def test_redact_pii_masks_in_reference_order(spark):
     from nadry_spark.operators.textstats import redact_pii
 
