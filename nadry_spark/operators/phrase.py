@@ -92,23 +92,42 @@ def phrase_match_docs(index: SegmentIndex, tokens: list[str]) -> DataFrame:
     return starts.select("doc_no").distinct()
 
 
+def phrase_match_doc_ids(index, tokens: list[str]) -> DataFrame:
+    """doc_ids containing the phrase — works over a SegmentIndex or a
+    MultiSegmentIndex (doc spaces are segment-disjoint, so the J2
+    positional aggregation runs per segment and the matched ids union;
+    tombstoned re-crawls excluded)."""
+    if hasattr(index, "segments"):  # MultiSegmentIndex
+        parts = []
+        for i, seg in enumerate(index.segments):
+            matched = index._live(i, phrase_match_docs(seg, tokens))
+            parts.append(
+                seg.docmap.join(matched, "doc_no").select("doc_id")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    matched = phrase_match_docs(index, tokens)
+    return index.docmap.join(matched, "doc_no").select("doc_id")
+
+
 def disjunctive_ranked(
-    index: SegmentIndex, tokens: list[str], with_metadata: bool = False
+    index, tokens: list[str], with_metadata: bool = False
 ) -> DataFrame:
     """Regular exact-mode search over pre-tokenized index terms: decode
     candidate tfs from the compressed blocks (term-pruned scan) and run
-    the reference ranking formulas. Unlimited — callers paginate."""
+    the reference ranking formulas. Unlimited — callers paginate.
+    Works over a SegmentIndex or a MultiSegmentIndex (both expose
+    candidates_for / doc_meta_df; the multi form unions live docs with
+    tombstoned re-crawls excluded)."""
     from nadry_spark.operators.ranker import rank_exact
 
-    docmap = index.docmap
-    tf = index.decoded_tf(tokens)
-    cand = tf.join(docmap.select("doc_no", "doc_id", "url"), "doc_no").select(
-        "term", "doc_id", "url", "tf"
-    )
+    cand = index.candidates_for(tokens)
     return rank_exact(
         index.spark,
         cand,
-        docmap.select("doc_id", "total_words", "popularity_score"),
+        index.doc_meta_df().select("doc_id", "total_words", "popularity_score"),
         tokens,
         with_metadata=with_metadata,
         materialize=True,
@@ -116,17 +135,17 @@ def disjunctive_ranked(
 
 
 def phrase_ranked(
-    index: SegmentIndex, tokens: list[str], with_metadata: bool = False
+    index, tokens: list[str], with_metadata: bool = False
 ) -> DataFrame:
     """Multi-token phrase path: positional match -> rank with every
     term's tf forced to 1 (SearchWrapper.java:357-366). Unlimited —
-    pagination happens AFTER full ranking (:649-666)."""
+    pagination happens AFTER full ranking (:649-666). Works over single
+    or multi-segment indexes (phrase_match_doc_ids)."""
     from nadry_spark.operators.ranker import rank_exact
 
     spark = index.spark
-    matched = phrase_match_docs(index, tokens)
-    docmap = index.docmap
-    docs = docmap.join(matched, "doc_no").select(
+    meta = index.doc_meta_df()
+    docs = meta.join(phrase_match_doc_ids(index, tokens), "doc_id").select(
         "doc_id", "url", "total_words", "popularity_score"
     )
     terms_df = spark.createDataFrame([(t,) for t in sorted(set(tokens))], "term string")
@@ -136,7 +155,7 @@ def phrase_ranked(
     return rank_exact(
         spark,
         cand,
-        docmap.select("doc_id", "total_words", "popularity_score"),
+        meta.select("doc_id", "total_words", "popularity_score"),
         tokens,
         phrase_mode=True,
         with_metadata=with_metadata,

@@ -51,11 +51,17 @@ def decode_tf_for_terms(index: SegmentIndex, terms: list[str]):
 class QueryEngine:
     def __init__(
         self,
-        index: SegmentIndex,
+        index,
         scoring: str = "exact",
         count_cap: int | None = None,
     ):
-        """scoring: 'exact' (reference-identical TF-IDF blend) or
+        """index: a SegmentIndex or a MultiSegmentIndex (the
+        incremental-serving family) — both expose the common serving
+        API (candidates_for / doc_meta_df / content_for) so every mode
+        (exact, bm25, phrase) works over either, with tombstoned
+        re-crawls excluded in the multi case.
+
+        scoring: 'exact' (reference-identical TF-IDF blend) or
         'bm25' (block-max WAND fast path).
 
         count_cap: optional count-up-to bound on totalResults — the
@@ -71,10 +77,16 @@ class QueryEngine:
 
     def _rank_disjunctive(self, tokens: list[str], need: int):
         if self.scoring == "bm25":
-            from nadry_spark.operators.bm25 import bm25_topk
-
             # tokens are already index terms — do NOT re-tokenize (stems
             # that equal stopwords would vanish, specials would shred)
+            if hasattr(self.index, "segments"):  # MultiSegmentIndex
+                from nadry_spark.operators.bm25 import bm25_topk_multi
+
+                return bm25_topk_multi(
+                    self.index, "", k=need, mode="taat", tokens=tokens
+                )
+            from nadry_spark.operators.bm25 import bm25_topk
+
             return bm25_topk(self.index, "", k=need, mode="taat", tokens=tokens)
         return disjunctive_ranked(self.index, tokens, with_metadata=True)
 
@@ -151,8 +163,7 @@ class QueryEngine:
             [(d,) for d in by_doc_id], "doc_id string"
         )
         detail = (
-            idx.docmap.join(F.broadcast(ids_df), "doc_id")
-            .join(idx.docs_content, "doc_no")
+            idx.content_for(F.broadcast(ids_df))
             .select(
                 "doc_id", "title",
                 snippet_udf(tokens)(F.col("content")).alias("description"),

@@ -896,6 +896,29 @@ class SegmentIndex:
             "term string, doc_no long, tf int",
         )
 
+    # ---- common serving API (shared with MultiSegmentIndex) ----
+
+    def candidates_for(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, url, tf) exact-mode candidates."""
+        return (
+            self.decoded_tf(terms)
+            .join(self.docmap.select("doc_no", "doc_id", "url"), "doc_no")
+            .select("term", "doc_id", "url", "tf")
+        )
+
+    def doc_meta_df(self) -> DataFrame:
+        """(doc_id, url, total_words, popularity_score) for ranking."""
+        return self.docmap.select("doc_id", "url", "total_words", "popularity_score")
+
+    def content_for(self, ids_df: DataFrame) -> DataFrame:
+        """(doc_id, title, content) for the requested doc_ids — the
+        page-bounded enrichment join (J4)."""
+        return (
+            self.docmap.join(ids_df, "doc_id")
+            .join(self.docs_content, "doc_no")
+            .select("doc_id", "title", "content")
+        )
+
 
 class MultiSegmentIndex:
     """Serving handle over an ORDERED list of segment directories —
@@ -975,4 +998,52 @@ class MultiSegmentIndex:
                 agg = out.setdefault(t, {"df": 0, "n_blocks": 0})
                 agg["df"] += st["df"]
                 agg["n_blocks"] += st["n_blocks"]
+        return out
+
+    # ---- common serving API (tombstone-aware unions) ----
+
+    def _live(self, i: int, df: DataFrame) -> DataFrame:
+        """Drop segment i's tombstoned doc_nos from a frame."""
+        excl = self.excluded[i]
+        if not excl:
+            return df
+        return df.where(~F.col("doc_no").isin([int(x) for x in excl]))
+
+    def candidates_for(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, url, tf) across the family, live docs only.
+        Doc spaces are disjoint per segment (each live doc_id exists in
+        exactly one live segment), so the union has no duplicates."""
+        parts = [
+            self._live(i, s.decoded_tf(terms))
+            .join(s.docmap.select("doc_no", "doc_id", "url"), "doc_no")
+            .select("term", "doc_id", "url", "tf")
+            for i, s in enumerate(self.segments)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def doc_meta_df(self) -> DataFrame:
+        parts = [
+            self._live(i, s.docmap).select(
+                "doc_id", "url", "total_words", "popularity_score"
+            )
+            for i, s in enumerate(self.segments)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def content_for(self, ids_df: DataFrame) -> DataFrame:
+        parts = [
+            self._live(i, s.docmap.join(ids_df, "doc_id"))
+            .join(s.docs_content, "doc_no")
+            .select("doc_id", "title", "content")
+            for i, s in enumerate(self.segments)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out

@@ -72,6 +72,48 @@ def test_multi_segment_single_path_is_identity(spark, seg):
         assert _topk_multi(msi, q, k=10) == _topk_single(idx, q, k=10)
 
 
+def test_query_engine_over_multi_segment(spark, seg, halves):
+    """The FULL serving path (exact ranking, phrase mode, snippet
+    enrichment, pagination envelope) answers identically over the
+    two-segment family and the single full segment."""
+    from nadry_spark.plans.query import QueryEngine
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    idx_single, _, _ = seg
+    msi = MultiSegmentIndex(spark, halves)
+
+    def canon(res):
+        return (
+            res["totalResults"],
+            res["totalPages"],
+            res["tokens"],
+            [
+                (
+                    r["url"],
+                    r["title"],
+                    r["description"],
+                    round(r["score"], 9),
+                )
+                for r in res["data"]
+            ],
+        )
+
+    for scoring in ("exact", "bm25"):
+        e_single = QueryEngine(idx_single, scoring=scoring)
+        e_multi = QueryEngine(msi, scoring=scoring)
+        for q in ["news report", '"news report"', "table 2024"]:
+            a = e_single.search(q, page=0, page_size=5)
+            b = e_multi.search(q, page=0, page_size=5)
+            if scoring == "bm25" and not q.startswith('"'):
+                # bm25 fast path: compare ids+scores (exact-mode fields
+                # like relevance aren't produced by this scorer)
+                assert [
+                    (r["url"], round(r["score"], 9)) for r in a["data"]
+                ] == [(r["url"], round(r["score"], 9)) for r in b["data"]], (scoring, q)
+            else:
+                assert canon(a) == canon(b), (scoring, q)
+
+
 def test_incremental_finalize_with_recrawl(spark, tiny_pages_path, tmp_path_factory):
     """Three incremental cycles + a re-crawl that CHANGES a page: the
     multi-segment family answers rank-identically to a full rebuild of
