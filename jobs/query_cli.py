@@ -36,12 +36,22 @@ def main() -> None:
     from nadry_spark.sources.segments import SegmentIndex
 
     spark = get_spark("nadry_query", master=args.master)
-    idx = SegmentIndex(spark, args.segments).warm()
+    # a dir holding serving_state.json is an incremental multi-segment
+    # family (streaming.finalize_incremental); otherwise one segment dir
+    if os.path.exists(os.path.join(args.segments, "serving_state.json")):
+        from nadry_spark.streaming.ingest import open_serving_index
+
+        idx = open_serving_index(spark, args.segments).warm()
+    else:
+        idx = SegmentIndex(spark, args.segments).warm()
 
     if args.scoring == "bm25" and args.mode == "and":
-        from nadry_spark.operators.bm25 import bm25_topk
+        if hasattr(idx, "segments"):
+            from nadry_spark.operators.bm25 import bm25_topk_multi as _topk
+        else:
+            from nadry_spark.operators.bm25 import bm25_topk as _topk
 
-        rows = bm25_topk(
+        rows = _topk(
             idx, args.query, k=(args.page + 1) * args.page_size, mode="bmw", conjunctive=True
         ).collect()
         data = [r.asDict() for r in rows[args.page * args.page_size :]]
