@@ -1,0 +1,70 @@
+"""Streaming index job — ingest new page files and keep a serving
+family of segments current (the continuous-corpus story):
+
+    # one cycle: ingest whatever is new, add one segment for it
+    python jobs/stream_index.py --input /data/pages --work /data/stream \\
+        --serve /data/serving
+
+    # periodically: fold delta history into the L1 tier
+    python jobs/stream_index.py ... --promote
+
+    # when the family has grown long: forced-merge to one segment
+    python jobs/stream_index.py ... --compact
+
+Each invocation runs ONE availableNow ingest cycle (exactly-once per
+batch via the stream checkpoint under --work), then the chosen
+finalize. Query the result with
+``python jobs/query_cli.py --segments <serve-dir> "..."`` — the CLI
+auto-detects the multi-segment serving root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="directory of page parquet files")
+    ap.add_argument("--work", required=True, help="stream work dir (deltas + checkpoint)")
+    ap.add_argument("--serve", required=True, help="serving segments root")
+    ap.add_argument("--promote", action="store_true",
+                    help="fold L0 delta batches into the L1 tier after ingest")
+    ap.add_argument("--compact", action="store_true",
+                    help="forced-merge: rebuild the family into ONE segment")
+    ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from nadry_spark.session import get_spark
+    from nadry_spark.streaming.ingest import (
+        compact_serving,
+        finalize_incremental,
+        promote_deltas,
+        stream_ingest,
+    )
+
+    spark = get_spark("nadry_stream_index", master=args.master)
+    ckpt = os.path.join(args.work, "checkpoint")
+    out = os.path.join(args.work, "out")
+    q = stream_ingest(spark, args.input, out, ckpt)
+    q.awaitTermination()
+
+    kwargs = {"n_shards": args.shards} if args.shards else {}
+    if args.promote:
+        promote_deltas(spark, out)
+    if args.compact:
+        state = compact_serving(spark, out, args.serve, **kwargs)
+    else:
+        state = finalize_incremental(spark, out, args.serve, **kwargs)
+    print(json.dumps(state))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

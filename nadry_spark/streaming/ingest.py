@@ -318,6 +318,50 @@ def finalize_incremental(
     return new_state
 
 
+def compact_serving(
+    spark: SparkSession, stream_out_dir: str, segments_root: str, **kwargs
+) -> dict:
+    """Merge policy for the incremental family: fold EVERYTHING
+    ingested so far into one fresh segment and point serving_state at
+    it alone — the Lucene forced-merge. Run when the family has grown
+    long enough that per-query fan-out (one scan per segment) or
+    tombstone bookkeeping outweighs the rebuild cost. Reads through
+    compact_deltas, so with an up-to-date L1 tier the input is
+    O(L1)+O(new), and the state swap is atomic: a crash leaves the old
+    family serving. Old segment dirs are GC'd after the swap."""
+    import json as _json
+    import shutil
+
+    from nadry_spark.sources.segments import segments_from_postings
+
+    state_path = os.path.join(segments_root, _SERVING_STATE)
+    old_segments: list[str] = []
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            old_segments = _json.load(f)["segments"]
+
+    postings, docs = compact_deltas(spark, stream_out_dir)
+    hi = int(
+        spark.read.parquet(os.path.join(stream_out_dir, "delta_docs"))
+        .agg(F.max("batch_id").alias("mb"))
+        .collect()[0]["mb"]
+    )
+    seg_name = f"seg_compacted_{hi}"
+    seg_dir = os.path.join(segments_root, seg_name)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    segments_from_postings(spark, postings, docs, seg_dir, **kwargs)
+
+    new_state = {"finalized_through": hi, "segments": [seg_name]}
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(new_state, f)
+    os.replace(tmp, state_path)
+    for name in old_segments:
+        if name != seg_name:
+            shutil.rmtree(os.path.join(segments_root, name), ignore_errors=True)
+    return new_state
+
+
 def open_serving_index(spark: SparkSession, segments_root: str):
     """MultiSegmentIndex over the incremental serving family recorded
     in serving_state.json (query with bm25.bm25_topk_multi)."""

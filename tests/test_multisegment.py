@@ -174,3 +174,17 @@ def test_incremental_finalize_with_recrawl(spark, tiny_pages_path, tmp_path_fact
     # the re-crawled content is served from the NEW segment
     hit = _topk_multi(msi, "zzrecrawl", k=5)
     assert len(hit) == 1
+
+    # forced-merge (compact_serving): family folds to ONE segment with
+    # identical answers; old segment dirs are GC'd after the state swap
+    from nadry_spark.streaming.ingest import compact_serving
+
+    old_names = set(state["segments"])
+    state2 = compact_serving(spark, out_dir, root, n_shards=4)
+    assert len(state2["segments"]) == 1
+    for name in old_names:
+        assert not os.path.exists(os.path.join(root, name))
+    msi2 = open_serving_index(spark, root)
+    assert sum(len(e) for e in msi2.excluded) == 0  # tombstones folded away
+    for q in QUERIES + ["zzrecrawl marker"]:
+        assert _topk_multi(msi2, q, k=10) == _topk_single(idx_full, q, k=10), q
