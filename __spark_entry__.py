@@ -616,6 +616,105 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN after ONE real Lloyd iteration (assignment -> centroid
+    means -> reassignment), oracle-mirrored: the SQL unrolls the
+    iteration with long-form (vec, dim) distance joins. Means quantized
+    to the 1e-6 grid and distances to 1e-9 on BOTH engines so fp
+    summation order can't flip an argmin (same pattern as the pagerank
+    unrolled-CTE oracle). Complements ivf_ann (iters=0 seed
+    assignment)."""
+    from nadry_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_build(emb, n_centroids=IVF_CENTROIDS, iters=1)
+    out = ivf_topk(
+        assigned, centroids, emb.where(F.col("vec_id") < 5), k=10, nprobe=IVF_NPROBE
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id"
+    )
+
+
+def _ivf_iter1_sql() -> str:
+    """One unrolled Lloyd iteration in SQL: long-form (vec_id, dim)
+    element joins for distances; non-empty clusters keep their original
+    cids (empty ones drop out, mirroring ivf_build)."""
+    return f"""
+        WITH el AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding)::DOUBLE AS a
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS})
+        ),
+        c0 AS (
+            SELECT s.cid, e.dim, e.a AS m
+            FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+        ),
+        d0 AS (
+            SELECT e.vec_id, c.cid, round(sum((e.a - c.m) * (e.a - c.m)), 9) AS d2
+            FROM el e JOIN c0 c ON c.dim = e.dim
+            GROUP BY e.vec_id, c.cid
+        ),
+        a0 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM d0
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT a0.cid, e.dim, round(avg(e.a), 6) AS m
+            FROM a0 JOIN el e USING (vec_id)
+            GROUP BY a0.cid, e.dim
+        ),
+        d1 AS (
+            SELECT e.vec_id, c.cid, round(sum((e.a - c.m) * (e.a - c.m)), 9) AS d2
+            FROM el e JOIN c1 c ON c.dim = e.dim
+            GROUP BY e.vec_id, c.cid
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM d1 WHERE vec_id < 5
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id AS qid, a.vec_id AS nid
+            FROM probes p JOIN a1 a ON a.cid = p.cid
+            WHERE a.vec_id <> p.query_id
+        ),
+        pairel AS (
+            SELECT c.qid, c.nid, eq.a AS ea, ev.a AS eb
+            FROM cand c
+            JOIN el eq ON eq.vec_id = c.qid
+            JOIN el ev ON ev.vec_id = c.nid AND ev.dim = eq.dim
+        ),
+        cos AS (
+            SELECT qid, nid, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+            FROM pairel GROUP BY qid, nid
+        ),
+        ranked AS (
+            SELECT qid AS query_id, nid AS neighbour_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY round(c, 9) DESC, nid ASC) AS rank
+            FROM cos
+        )
+        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+    """
+
+
 def q_compact_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 compact-string near-dup signature per doc."""
     from nadry_spark.operators.dedup import compact_string_col
@@ -772,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conj": q_bm25_conj,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "ivf_iter1": q_ivf_iter1,
         "compact_string": q_compact_string,
         "window_topk": q_window_topk,
         "suggestions": q_suggestions,
@@ -1154,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dups": _cosine_dups_sql(),
         "pagerank": _pagerank_sql(),
         "ivf_ann": _ivf_sql(),
+        "ivf_iter1": _ivf_iter1_sql(),
         "exact_keep": """
             WITH doubled AS (
                 SELECT doc_id, text FROM documents

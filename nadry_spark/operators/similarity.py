@@ -181,12 +181,17 @@ def ivf_build(
         updated = (
             assigned.select("cid", F.posexplode(vec_col).alias("dim", "val"))
             .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("m"))
+            # quantize the new means to the 1e-6 grid: cross-engine /
+            # cross-run fp-summation noise (~1e-16 relative) in the avg
+            # must not leak into the next assignment's argmin (the
+            # distance round to 1e-9 only absorbs noise BELOW the grid)
+            .agg(F.round(F.avg("val"), 6).alias("m"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in updated:
             by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        # empty clusters drop out (no vector assigned -> no rows)
         centroids = [
             (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]

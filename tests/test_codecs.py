@@ -29,6 +29,33 @@ def test_delta_roundtrip(ids):
     assert delta_decode(delta_encode(arr)).tolist() == sorted(ids)
 
 
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.sets(st.integers(min_value=0, max_value=1 << 20), max_size=40).map(sorted),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_position_lists_roundtrip(rows):
+    from nadry_spark.operators.codecs import (
+        decode_position_lists,
+        encode_position_lists,
+    )
+
+    bufs, counts = encode_position_lists(rows)
+    assert counts.tolist() == [len(r) if r is not None else 0 for r in rows]
+    # batch decode == all rows' values concatenated in order
+    flat = decode_position_lists(bufs, counts).tolist()
+    want = [v for r in rows if r for v in r]
+    assert flat == want
+    # every row also decodes standalone from its own buffer slice
+    for r, b, c in zip(rows, bufs, counts):
+        assert decode_position_lists([b], np.array([c])).tolist() == (list(r) if r else [])
+
+
 def test_empty():
     assert varint_encode(np.array([], dtype=np.uint64)) == b""
     assert varint_decode(b"").tolist() == []
