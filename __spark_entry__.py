@@ -351,6 +351,41 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumnRenamed("id", "doc_id")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over corpus terms: unlike HLL (whose
+    register layouts differ per engine), k-minimum-values over md5 is
+    bit-deterministic, so the ESTIMATE itself is oracle-checked."""
+    from nadry_spark.operators.sketches import kmv_distinct_estimate
+
+    pairs = _terms_lite(spark, sf_dir).select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "term").alias("pair")
+    )
+    return kmv_distinct_estimate(pairs, "pair", k=256)
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline over the doubled corpus:
+    exact-dedup survivor (min-id per identical text) AND quality >= 0.45
+    AND language 'en' — the canonical filter chain a 100TB corpus runs
+    before tokenization. Output (doc_id, lang_pred, quality)."""
+    from nadry_spark.operators.dedup import exact_dedup
+    from nadry_spark.operators.textstats import lang_id, quality_score
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    kept = exact_dedup(doubled, "doc_id", "text")
+    quality = quality_score(kept, "doc_id", "text").where(F.col("quality") >= 0.45)
+    lang = lang_id(kept, "doc_id", "text").where(F.col("lang_pred") == "en")
+    return (
+        kept.select("doc_id")
+        .join(quality, "doc_id")
+        .join(lang.select("doc_id", "lang_pred"), "doc_id")
+        .select("doc_id", "lang_pred", "quality")
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level near-dup pairs over the mutated-union corpus: docs
     sharing >= 2 winnowing fingerprints (boilerplate fingerprints in
@@ -862,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "kmv_distinct": q_kmv_distinct,
+        "clean_corpus": q_clean_corpus,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "ann_topk": q_ann_topk,
@@ -1111,7 +1148,7 @@ def _cosine_dups_sql() -> str:
     """
 
 
-def _lang_sql() -> str:
+def _lang_sql(source: str = "documents") -> str:
     from nadry_spark.operators.textstats import LANG_SIGNATURES
 
     selects = []
@@ -1127,7 +1164,7 @@ def _lang_sql() -> str:
         WITH toks AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
-            FROM documents
+            FROM {source}
         ),
         scores AS ({unions}),
         best AS (
@@ -1140,7 +1177,7 @@ def _lang_sql() -> str:
     """
 
 
-def _quality_sql() -> str:
+def _quality_sql(source: str = "documents") -> str:
     en = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"])
     return f"""
         WITH f AS (
@@ -1153,7 +1190,7 @@ def _quality_sql() -> str:
                        greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1) AS unique_ratio,
                    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains([{en}], x))) /
                        greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1) AS stopword_ratio
-            FROM documents
+            FROM {source}
         )
         SELECT doc_id,
                round(0.3 * least(n_tokens / 200.0, 1.0)
@@ -1249,6 +1286,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_sql(),
         "media_features": _media_sql(),
+        "kmv_distinct": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            pairs AS (SELECT doc_id::VARCHAR || '|' || term AS pair FROM terms),
+            h AS (
+                SELECT DISTINCT
+                    ('0x' || substring(md5(pair), 1, 13))::BIGINT / 4503599627370496.0 AS h
+                FROM pairs
+            ),
+            kth AS (
+                SELECT max(h) AS t, count(*)::BIGINT AS n_kept
+                FROM (SELECT h FROM h ORDER BY h LIMIT 256)
+            )
+            SELECT 256 AS k,
+                   round(t, 12) AS kth_min,
+                   round(CASE WHEN n_kept < 256 THEN n_kept::DOUBLE
+                              ELSE 255.0::DOUBLE / t END, 6) AS est_distinct,
+                   (SELECT count(DISTINCT pair) FROM pairs)::BIGINT AS exact_distinct
+            FROM kth
+        """,
+        "clean_corpus": f"""
+            WITH doubled AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+            ),
+            kept AS (
+                SELECT min(doc_id) AS doc_id, any_value(text) AS text
+                FROM doubled GROUP BY md5(text)
+            ),
+            q AS ({_quality_sql("kept")}),
+            l AS ({_lang_sql("kept")})
+            SELECT k.doc_id, l.lang_pred, q.quality
+            FROM kept k
+            JOIN q ON q.doc_id = k.doc_id AND q.quality >= 0.45::DOUBLE
+            JOIN l ON l.doc_id = k.doc_id AND l.lang_pred = 'en'
+        """,
         "simhash_sigs": _simhash_sql(),
         "simhash_groups": _simhash_groups_sql(),
         "cosine_dups": _cosine_dups_sql(),

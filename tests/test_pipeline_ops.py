@@ -378,6 +378,23 @@ def test_winnowing_shared_passage_guarantee(spark):
     assert winnowing_fingerprints(tiny, "doc_id", "text").count() == 0
 
 
+def test_kmv_distinct_estimate_accuracy(spark):
+    """KMV estimate lands within the expected ~1/sqrt(k) error band and
+    degrades gracefully to exact counting below k distinct values."""
+    from pyspark.sql import functions as F
+
+    from nadry_spark.operators.sketches import kmv_distinct_estimate
+
+    df = spark.range(20000).select((F.col("id") % 5000).cast("string").alias("v"))
+    row = kmv_distinct_estimate(df, "v", k=256).collect()[0]
+    assert row["exact_distinct"] == 5000
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.2  # ~3 sigma at k=256
+
+    small = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    row = kmv_distinct_estimate(small, "v", k=256).collect()[0]
+    assert row["est_distinct"] == 100.0  # fewer than k -> exact
+
+
 def test_winnow_dup_pairs_links_shared_passages(spark):
     """Two docs sharing one long passage (but nothing else) pair up;
     unrelated docs don't; boilerplate fingerprints over the cap are
