@@ -292,18 +292,27 @@ def finalize_incremental(
     )
 
     # supersedes: doc_nos in each OLDER segment whose doc_id re-appears
-    # in this segment (re-crawl). Small by construction — only re-crawls.
+    # in this segment (re-crawl). Small by construction — only
+    # re-crawls. ONE job over the union of tagged docmaps, not a scan
+    # per old segment.
     new_ids = latest_docs.select("doc_id")
     supersedes: dict[str, list[int]] = {}
-    for name in state["segments"]:
-        old = SegmentIndex(spark, os.path.join(segments_root, name))
+    if state["segments"]:
+        tagged = None
+        for name in state["segments"]:
+            old = SegmentIndex(spark, os.path.join(segments_root, name))
+            part = old.docmap.select(
+                F.lit(name).alias("_seg"), "doc_no", "doc_id"
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
         rows = (
-            old.docmap.join(F.broadcast(new_ids), "doc_id", "left_semi")
-            .select("doc_no")
+            tagged.join(F.broadcast(new_ids), "doc_id", "left_semi")
+            .select("_seg", "doc_no")
             .collect()
         )
-        if rows:
-            supersedes[name] = sorted(int(r["doc_no"]) for r in rows)
+        for r in rows:
+            supersedes.setdefault(r["_seg"], []).append(int(r["doc_no"]))
+        supersedes = {k: sorted(v) for k, v in supersedes.items()}
     with open(os.path.join(seg_dir, "supersedes.json"), "w") as f:
         _json.dump(supersedes, f)
 
