@@ -1,7 +1,10 @@
-"""PageRank job: reads a built segment dir, computes reference-exact
-PageRank over the doc link graph and writes popularity back into docmap.
+"""PageRank job: reads a built segment dir — or an incremental
+multi-segment serving root (auto-detected via serving_state.json) —
+computes reference-exact PageRank over the GLOBAL doc link graph and
+writes popularity back into each segment's docmap.
 
     python jobs/pagerank.py --segments /data/segments
+    python jobs/pagerank.py --segments /data/serving_root
 """
 
 from __future__ import annotations
@@ -39,29 +42,65 @@ def main() -> None:
 
     spark = get_spark("nadry_pagerank", master=args.master)
     t0 = time.time()
-    docmap = spark.read.parquet(os.path.join(args.segments, "docmap"))
-    content = spark.read.parquet(os.path.join(args.segments, "docs_content"))
-    docs = docmap.select("doc_no", "url").join(content.select("doc_no", "links"), "doc_no")
 
-    ranks = pagerank(
-        docs.select("url", "links"),
-        damping=args.damping,
-        tol=args.tol,
-        max_iter=args.max_iter,
-        check_every=args.check_every,
-    )
-    updated = apply_pagerank(docmap, ranks)
-    tmp = os.path.join(args.segments, "docmap_new")
-    updated.repartitionByRange(4, "doc_no").write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap
-    final = os.path.join(args.segments, "docmap")
-    bak = os.path.join(args.segments, "docmap_old")
-    if os.path.exists(bak):
-        import shutil
+    state_path = os.path.join(args.segments, "serving_state.json")
+    if os.path.exists(state_path):
+        # multi-segment family: rank over the GLOBAL live link graph
+        # (tombstoned re-crawls excluded), then back-fill each
+        # segment's docmap with its slice of the scores
+        with open(state_path) as f:
+            seg_dirs = [
+                os.path.join(args.segments, n) for n in json.load(f)["segments"]
+            ]
+        from nadry_spark.sources.segments import MultiSegmentIndex
 
-        shutil.rmtree(bak)
-    os.replace(final, bak)
-    os.replace(tmp, final)
+        msi = MultiSegmentIndex(spark, seg_dirs)
+        parts = []
+        for i, seg in enumerate(msi.segments):
+            part = msi._live(
+                i,
+                seg.docmap.select("doc_no", "url").join(
+                    seg.docs_content.select("doc_no", "links"), "doc_no"
+                ),
+            )
+            parts.append(part.select("url", "links"))
+        graph = parts[0]
+        for p in parts[1:]:
+            graph = graph.unionByName(p)
+        ranks = pagerank(
+            graph, damping=args.damping, tol=args.tol,
+            max_iter=args.max_iter, check_every=args.check_every,
+        ).localCheckpoint()
+        targets = [(s.path, s.docmap) for s in msi.segments]
+    else:
+        seg_dirs = [args.segments]
+        docmap = spark.read.parquet(os.path.join(args.segments, "docmap"))
+        content = spark.read.parquet(os.path.join(args.segments, "docs_content"))
+        docs = docmap.select("doc_no", "url").join(
+            content.select("doc_no", "links"), "doc_no"
+        )
+        ranks = pagerank(
+            docs.select("url", "links"),
+            damping=args.damping,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            check_every=args.check_every,
+        )
+        targets = [(args.segments, docmap)]
+
+    import shutil
+
+    for seg_dir, docmap in targets:
+        updated = apply_pagerank(docmap, ranks)
+        tmp = os.path.join(seg_dir, "docmap_new")
+        updated.repartitionByRange(4, "doc_no").write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap
+        final = os.path.join(seg_dir, "docmap")
+        bak = os.path.join(seg_dir, "docmap_old")
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        os.replace(final, bak)
+        os.replace(tmp, final)
 
     n_ranked = ranks.count()
     print(
