@@ -351,6 +351,52 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumnRenamed("id", "doc_id")
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavor scan-aggregate over lineitem. Money sums run in
+    DECIMAL so they are EXACT and order-independent (double summation
+    order differs between engines at ~1e-16 relative, which a 60k-row
+    sum amplifies past any fixed rounding grid); the exact decimals
+    cast to double only for the output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.round(F.sum(d("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+                .cast("double"), 4,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavor join: customer (broadcast dim) x orders x
+    lineitem, revenue by (market segment, order priority). Decimal-
+    exact revenue sum; the dimension join is broadcast (no shuffle of
+    the fact side beyond the groupBy)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+                .cast("double"), 4,
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over corpus terms: unlike HLL (whose
     register layouts differ per engine), k-minimum-values over md5 is
@@ -899,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "kmv_distinct": q_kmv_distinct,
         "clean_corpus": q_clean_corpus,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "ann_topk": q_ann_topk,
@@ -1372,6 +1420,29 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(s1, '(?:https?://|www\.)[a-zA-Z0-9.-]+\.[a-zA-Z]{2,6}[^\s]*'))::BIGINT AS n_urls,
                    len(regexp_extract_all(s2, '\b\d+(?:\.\d+)?\b'))::BIGINT AS n_nums
             FROM steps2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE, 4) AS sum_base_price,
+                   round(sum(l_extendedprice::DECIMAL(18,4)
+                             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE, 4)
+                       AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment, o_orderpriority,
+                   round(sum(l_extendedprice::DECIMAL(18,4)
+                             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE, 4)
+                       AS revenue,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
         """,
         "winnow_pairs": rf"""
             WITH doubled AS ({_DOCS_WITH_DUPS_SQL}),
