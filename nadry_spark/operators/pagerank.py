@@ -48,6 +48,7 @@ def pagerank(
     max_iter: int = MAX_ITER,
     checkpoint_every: int = 5,
     check_every: int = 1,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(url, popularity_score) over pages with >=1 inlink.
 
@@ -60,7 +61,13 @@ def pagerank(
     movements can in principle cancel across k steps, so k>1 is a
     throughput knob, not a parity mode. tol<=0 selects fixed-iteration
     mode: exactly max_iter rounds, zero mid-loop actions — the
-    oracle-comparable and benchmark configuration."""
+    oracle-comparable and benchmark configuration.
+
+    When the rank vector fits a broadcast (n <= broadcast_threshold),
+    each iteration broadcasts ranks/contribs instead of shuffling the
+    persisted edge table — the edge side never moves, only the
+    vertex-sized aggregation output does. Past the threshold (true
+    web-graph scale) the shuffle join takes over unchanged."""
     spark = documents.sparkSession
     edges = build_edges(documents).persist()
 
@@ -85,16 +92,19 @@ def pagerank(
     ranks = vertices.select("dst", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
 
+    small = n <= broadcast_threshold
+    bc = F.broadcast if small else (lambda df: df)
+
     last_checked = ranks
     for it in range(max_iter):
         contribs = (
-            live_edges.join(ranks.withColumnRenamed("dst", "src"), "src")
+            live_edges.join(bc(ranks.withColumnRenamed("dst", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("src_indeg")).alias("contrib"))
         )
         new_ranks = (
             vertices.select("dst")
-            .join(contribs, "dst", "left")
+            .join(bc(contribs), "dst", "left")
             .select(
                 "dst",
                 (F.lit(base) + damping * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
