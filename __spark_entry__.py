@@ -1339,7 +1339,8 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (SELECT doc_id::VARCHAR || '|' || term AS pair FROM terms),
             h AS (
                 SELECT DISTINCT
-                    ('0x' || substring(md5(pair), 1, 13))::BIGINT / 4503599627370496.0 AS h
+                    ('0x' || substring(md5(pair), 1, 13))::BIGINT
+                        / 4503599627370496::DOUBLE AS h
                 FROM pairs
             ),
             kth AS (

@@ -16,6 +16,12 @@ batch via the stream checkpoint under --work), then the chosen
 finalize. Query the result with
 ``python jobs/query_cli.py --segments <serve-dir> "..."`` — the CLI
 auto-detects the multi-segment serving root.
+
+PageRank popularity: ``--compact`` PRESERVES backfilled scores (the
+merge carries each live doc's popularity across), but docs arriving in
+NEW segments start at popularity 0 until
+``python jobs/pagerank.py --segments <serve-dir>`` re-runs — schedule
+it after finalizes when exact-mode blended ranking is in use.
 """
 
 from __future__ import annotations

@@ -341,14 +341,23 @@ def bm25_topk_multi(
 
     Global statistics are tombstone-exact: N/avgdl come from the
     index's live-doc meta, and per-term df subtracts superseded docs
-    containing the term (probed from each older segment's blocks for
-    its excluded doc_nos — a term-pruned, tiny read), so scores are
-    rank-identical to a fresh single-segment rebuild of the latest
-    corpus. BMW mode inflates each segment's stored block maxima by
+    containing the term (msi.df_corrections — probed once per term and
+    cached on the handle, NOT per query), so SCORES are identical to a
+    fresh single-segment rebuild of the latest corpus. BMW mode
+    inflates each segment's stored block maxima by
     max(1, avgdl_global/avgdl_segment) to stay admissible under the
     global length normalization (see _TermCursor.bound_scale).
 
     Returns (doc_id, url, score) ordered by (score desc, doc_id asc).
+    Tie semantics: the global merge breaks exact-score ties on doc_id,
+    but per-shard top-k pruning inside the scorers keeps ties by the
+    shard-local doc_no — the same fast-path caveat as single-segment
+    bm25_topk (SURVEY §9.5): an exact float-score tie AT the per-shard
+    k boundary can surface a different member of the tied group than a
+    rebuild would. Exact BM25 ties across distinct docs are
+    fp-measure-zero in practice; the rank-identity tests pass on real
+    corpora, and exact-mode scoring (the reference-parity path) has
+    the cluster-size-independent tie order.
     """
     spark = msi.spark
     toks = tokenize(query) if tokens is None else list(tokens)
@@ -362,19 +371,9 @@ def bm25_topk_multi(
         return empty
     # df correction: superseded docs still sit in their segment's terms
     # table; subtract the excluded docs that actually contain each term
-    df_corr: dict[str, int] = {}
-    for seg, excl in zip(msi.segments, msi.excluded):
-        if not excl:
-            continue
-        rows = (
-            seg.decoded_tf(terms)
-            .where(F.col("doc_no").isin([int(x) for x in excl]))
-            .groupBy("term")
-            .agg(F.countDistinct("doc_no").alias("c"))
-            .collect()
-        )
-        for r in rows:
-            df_corr[r["term"]] = df_corr.get(r["term"], 0) + int(r["c"])
+    # (cached on the handle — one batched probe per previously-unseen
+    # term, nothing per query on the steady-state serving path)
+    df_corr = msi.df_corrections(terms)
     live_df = {t: stats[t]["df"] - df_corr.get(t, 0) for t in terms}
     terms = [t for t in terms if live_df[t] > 0]
     if not terms:

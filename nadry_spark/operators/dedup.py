@@ -39,6 +39,47 @@ HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 DEFAULT_BUCKET_CAP = 1000
 
 
+def skip_hot_buckets(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    cap: int,
+    *,
+    op: str,
+    stats: dict | None = None,
+    stats_key: str = "skipped_buckets",
+    logger: logging.Logger = _LOG,
+    literal_fallback: int = 4096,
+) -> DataFrame:
+    """Shared hot-bucket discipline for every pair-generating operator
+    (MinHash bands, cosine sign buckets, winnowing fingerprints): ONE
+    small aggregation names the over-cap groups — few by definition,
+    each holds >cap members — which become a literal NOT-IN filter on
+    the main plan (no join, no extra shuffle in the common
+    zero-degenerate case; anti-join fallback past ``literal_fallback``
+    degenerate groups). Skips are logged with the dropped-pair upper
+    bound and reported via ``stats[stats_key]`` /
+    ``stats["max_pairs_dropped"]`` — never silent."""
+    sizes = df.groupBy(*key_cols).agg(F.count("*").alias("n_bucket"))
+    skipped_rows = sizes.where(F.col("n_bucket") > cap).collect()
+    n_skipped = len(skipped_rows)
+    max_dropped = sum(r["n_bucket"] * (r["n_bucket"] - 1) // 2 for r in skipped_rows)
+    if stats is not None:
+        stats[stats_key] = n_skipped
+        stats["max_pairs_dropped"] = max_dropped
+    if not n_skipped:
+        return df
+    logger.warning(
+        "%s: skipped %d hot buckets over cap=%d (up to %d candidate pairs dropped)",
+        op, n_skipped, cap, max_dropped,
+    )
+    if n_skipped <= literal_fallback:
+        key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in key_cols])
+        skip_keys = ["\x00".join(str(r[c]) for c in key_cols) for r in skipped_rows]
+        return df.where(~key.isin(skip_keys))
+    keep = sizes.where(F.col("n_bucket") <= cap).select(*key_cols)
+    return df.join(keep, list(key_cols), "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # exact + compact-string (reference F13/P3)
 # ---------------------------------------------------------------------------
@@ -202,34 +243,10 @@ def lsh_candidate_pairs(
         "id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     if bucket_cap is not None:
-        # ONE small agg job finds the over-cap buckets. Degenerate
-        # buckets are by definition FEW (each holds >cap members), so
-        # they collect to the driver and become a literal NOT-IN filter
-        # on the main plan — the common zero-degenerate case adds no
-        # join and no extra shuffle to the pair computation at all. A
-        # pathological flood of over-cap buckets (>4096) falls back to
-        # an anti-join.
-        sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("n_bucket"))
-        skipped_rows = sizes.where(F.col("n_bucket") > bucket_cap).collect()
-        n_skipped = len(skipped_rows)
-        max_dropped = sum(r["n_bucket"] * (r["n_bucket"] - 1) // 2 for r in skipped_rows)
-        if stats is not None:
-            stats["skipped_buckets"] = n_skipped
-            stats["max_pairs_dropped"] = max_dropped
-        if n_skipped:
-            _LOG.warning(
-                "lsh_candidate_pairs: skipped %d band buckets over cap=%d "
-                "(up to %d candidate pairs dropped)",
-                n_skipped, bucket_cap, max_dropped,
-            )
-            if n_skipped <= 4096:
-                skip_keys = [f"{r['band']}\x00{r['sig']}" for r in skipped_rows]
-                banded = banded.where(
-                    ~F.concat_ws("\x00", F.col("band").cast("string"), F.col("sig")).isin(skip_keys)
-                )
-            else:
-                keep = sizes.where(F.col("n_bucket") <= bucket_cap).select("band", "sig")
-                banded = banded.join(keep, ["band", "sig"], "left_semi")
+        banded = skip_hot_buckets(
+            banded, ("band", "sig"), bucket_cap,
+            op="lsh_candidate_pairs", stats=stats,
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -71,6 +71,15 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     n = width * height * 3
+    # hostile headers declare absurd dimensions: validate against the
+    # actual payload BEFORE frombuffer (a count of ~1e21 raises
+    # OverflowError, which must surface as a normal corrupt-payload
+    # ValueError, not escape the featurize fallback)
+    if width <= 0 or height <= 0 or n > len(payload) - i:
+        raise ValueError(
+            f"PPM header declares {width}x{height} but payload holds "
+            f"{len(payload) - i} pixel bytes"
+        )
     pixels = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
     return pixels.reshape(height, width, 3)
 
@@ -204,7 +213,7 @@ def featurize(media: DataFrame, dim: int = FEATURE_DIM, mode: str = "auto") -> D
                         f = real_features(raw, kind, dim)
                         decoded = True
                     except (ValueError, NotImplementedError, wave.Error,
-                            EOFError, struct.error, IndexError):
+                            EOFError, struct.error, IndexError, OverflowError):
                         # the expected corrupt/unsupported-payload errors:
                         # truncated RIFF chunks raise wave.Error/EOFError,
                         # bad headers ValueError/struct.error/IndexError,

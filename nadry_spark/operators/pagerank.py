@@ -48,7 +48,7 @@ def pagerank(
     max_iter: int = MAX_ITER,
     checkpoint_every: int = 5,
     check_every: int = 1,
-    broadcast_threshold: int = 5_000_000,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(url, popularity_score) over pages with >=1 inlink.
 
@@ -66,7 +66,11 @@ def pagerank(
     When the rank vector fits a broadcast (n <= broadcast_threshold),
     each iteration broadcasts ranks/contribs instead of shuffling the
     persisted edge table — the edge side never moves, only the
-    vertex-sized aggregation output does. Past the threshold (true
+    vertex-sized aggregation output does. The 1M-row default keeps the
+    serialized (url, double) vector in the tens of MB (urls ~50-80
+    bytes); remember the broadcast ships TWICE per iteration for up to
+    max_iter iterations, so this must stay well under what a single
+    executor comfortably rebuilds per round. Past the threshold (true
     web-graph scale) the shuffle join takes over unchanged."""
     spark = documents.sparkSession
     edges = build_edges(documents).persist()

@@ -266,12 +266,14 @@ def cosine_dup_pairs(
     or excluded identically in any engine (same rationale as the IVF
     distance quantization).
 
-    ``bucket_cap`` bounds the per-bucket self-join exactly like
-    ``dedup.lsh_candidate_pairs``: embeddings clustered on one orthant
-    would otherwise make a single sign bucket quadratic. Over-cap
-    buckets are skipped, logged, and reported via ``stats``
+    ``bucket_cap`` bounds the per-bucket self-join via the shared
+    ``dedup.skip_hot_buckets`` discipline: embeddings clustered on one
+    orthant would otherwise make a single sign bucket quadratic.
+    Over-cap buckets are skipped, logged, and reported via ``stats``
     (``skipped_buckets`` / ``max_pairs_dropped``) — never silent."""
     import logging
+
+    from nadry_spark.operators.dedup import skip_hot_buckets
 
     dims = dims or [0, 1, 2, 3, 4, 5]
     tagged = vectors.select(
@@ -280,26 +282,11 @@ def cosine_dup_pairs(
         sign_lsh_bucket(vec_col, dims).alias("bucket"),
     )
     if bucket_cap is not None:
-        # sign-bucket cardinality is <= 2^len(dims) (64 by default):
-        # one tiny agg job names the over-cap buckets, which become a
-        # literal NOT-IN filter — no join, no extra shuffle in the
-        # main pair plan, and zero plan change when nothing is over cap
-        sizes = tagged.groupBy("bucket").agg(F.count("*").alias("n_bucket"))
-        skipped_rows = sizes.where(F.col("n_bucket") > bucket_cap).collect()
-        n_skipped = len(skipped_rows)
-        max_dropped = sum(r["n_bucket"] * (r["n_bucket"] - 1) // 2 for r in skipped_rows)
-        if stats is not None:
-            stats["skipped_buckets"] = n_skipped
-            stats["max_pairs_dropped"] = max_dropped
-        if n_skipped:
-            logging.getLogger("nadry_spark.similarity").warning(
-                "cosine_dup_pairs: skipped %d sign buckets over cap=%d "
-                "(up to %d candidate pairs dropped)",
-                n_skipped, bucket_cap, max_dropped,
-            )
-            tagged = tagged.where(
-                ~F.col("bucket").isin([r["bucket"] for r in skipped_rows])
-            )
+        tagged = skip_hot_buckets(
+            tagged, ("bucket",), bucket_cap,
+            op="cosine_dup_pairs", stats=stats,
+            logger=logging.getLogger("nadry_spark.similarity"),
+        )
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (

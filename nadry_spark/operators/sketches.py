@@ -18,11 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# 15 hex chars = 60 bits: exact in a double (< 2^53 would need 13, but
-# the RATIO is what matters and 60-bit / 16^15 is exactly representable
-# as the quotient of exact integers rounded once — identical in any
-# IEEE-754 engine)
-_HEX_DIGITS = 13  # 52 bits: the integer is exactly representable in a double
+# 13 hex chars = 52 bits: the hash integer is EXACTLY representable in
+# a double (<= 2^53), so int-parse -> cast -> divide-by-2^52 performs
+# one identically-rounded IEEE division in Spark and DuckDB. More
+# digits would make the integer itself inexact in a double and the two
+# engines could round the cast differently.
+_HEX_DIGITS = 13
 _SPACE = float(16 ** _HEX_DIGITS)
 
 

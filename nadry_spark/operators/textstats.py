@@ -247,16 +247,17 @@ def winnow_dup_pairs(
     whole-doc md5/minhash-over-the-full-text miss when the rest of the
     docs differ).
 
-    Same hot-bucket discipline as the LSH caps: a fingerprint selected
-    in more than ``fp_cap`` documents is boilerplate, makes the
-    self-join quadratic in its bucket, and is SKIPPED — collected to
-    the driver (few by definition), applied as a literal NOT-IN filter
-    (anti-join fallback past 4096), logged, and reported via ``stats``
+    Same hot-bucket discipline as the LSH caps (shared
+    ``dedup.skip_hot_buckets``): a fingerprint selected in more than
+    ``fp_cap`` documents is boilerplate, makes the self-join quadratic
+    in its bucket, and is SKIPPED — logged and reported via ``stats``
     (``skipped_fps`` / ``max_pairs_dropped``). Never silent.
 
     Output: (id_a, id_b, n_shared) with id_a < id_b.
     """
     import logging
+
+    from nadry_spark.operators.dedup import skip_hot_buckets
 
     # one eager materialization: the fingerprint set feeds the cap
     # sweep AND both sides of the self-join — without it the window
@@ -269,24 +270,11 @@ def winnow_dup_pairs(
         .localCheckpoint()
     )
     if fp_cap is not None:
-        sizes = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
-        skipped_rows = sizes.where(F.col("n_docs") > fp_cap).collect()
-        n_skipped = len(skipped_rows)
-        max_dropped = sum(r["n_docs"] * (r["n_docs"] - 1) // 2 for r in skipped_rows)
-        if stats is not None:
-            stats["skipped_fps"] = n_skipped
-            stats["max_pairs_dropped"] = max_dropped
-        if n_skipped:
-            logging.getLogger("nadry_spark.textstats").warning(
-                "winnow_dup_pairs: skipped %d boilerplate fingerprints over "
-                "cap=%d (up to %d candidate pairs dropped)",
-                n_skipped, fp_cap, max_dropped,
-            )
-            if n_skipped <= 4096:
-                fps = fps.where(~F.col("fp").isin([r["fp"] for r in skipped_rows]))
-            else:
-                keep = sizes.where(F.col("n_docs") <= fp_cap).select("fp")
-                fps = fps.join(keep, "fp", "left_semi")
+        fps = skip_hot_buckets(
+            fps, ("fp",), fp_cap,
+            op="winnow_dup_pairs", stats=stats, stats_key="skipped_fps",
+            logger=logging.getLogger("nadry_spark.textstats"),
+        )
     a = fps.alias("a")
     b = fps.alias("b")
     return (

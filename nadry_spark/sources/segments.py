@@ -985,6 +985,7 @@ class MultiSegmentIndex:
             "n_docs": n_live,
             "avgdl": (sum_dl / n_live) if n_live else 1.0,
         }
+        self._df_corr: dict[str, int] = {}  # df_corrections cache
 
     def warm(self) -> "MultiSegmentIndex":
         for s in self.segments:
@@ -999,6 +1000,36 @@ class MultiSegmentIndex:
                 agg["df"] += st["df"]
                 agg["n_blocks"] += st["n_blocks"]
         return out
+
+    def df_corrections(self, terms: list[str]) -> dict[str, int]:
+        """Per-term count of TOMBSTONED docs containing the term —
+        subtract from summed df for live-exact idf. Tombstone sets are
+        immutable for this handle's lifetime, so results are cached
+        per term; uncached terms are probed in ONE batched job across
+        all segments with exclusions (not one collect per segment per
+        query — this sits on the hot serving path)."""
+        missing = [t for t in set(terms) if t not in self._df_corr]
+        if missing and any(self.excluded):
+            probe = None
+            for seg, excl in zip(self.segments, self.excluded):
+                if not excl:
+                    continue
+                part = seg.decoded_tf(missing).where(
+                    F.col("doc_no").isin([int(x) for x in excl])
+                )
+                probe = part if probe is None else probe.unionByName(part)
+            counts = {
+                r["term"]: int(r["c"])
+                for r in probe.groupBy("term")
+                .agg(F.countDistinct("doc_no").alias("c"))
+                .collect()
+            }
+            for t in missing:
+                self._df_corr[t] = counts.get(t, 0)
+        else:
+            for t in missing:
+                self._df_corr[t] = 0
+        return {t: self._df_corr[t] for t in set(terms)}
 
     # ---- common serving API (tombstone-aware unions) ----
 

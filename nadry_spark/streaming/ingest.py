@@ -350,6 +350,31 @@ def compact_serving(
             old_segments = _json.load(f)["segments"]
 
     postings, docs = compact_deltas(spark, stream_out_dir)
+    # carry backfilled PageRank popularity through the merge: delta
+    # doc_stats hardcode popularity 0.0, so without this a forced merge
+    # silently reset every doc's popularity (and with it exact-mode
+    # blended rankings) until jobs/pagerank.py re-ran
+    if old_segments:
+        from pyspark.sql import functions as _F
+
+        pop = None
+        for name in old_segments:
+            dm = spark.read.parquet(
+                os.path.join(segments_root, name, "docmap")
+            ).select("doc_id", "popularity_score")
+            pop = dm if pop is None else pop.unionByName(dm)
+        # a doc_id re-crawled across segments appears multiple times;
+        # keep the max (backfills write the same global score to every
+        # copy, so this is a dedup, not a choice)
+        pop = pop.groupBy("doc_id").agg(
+            _F.max("popularity_score").alias("_pop")
+        )
+        docs = (
+            docs.drop("popularity_score")
+            .join(pop, "doc_id", "left")
+            .withColumn("popularity_score", _F.coalesce(_F.col("_pop"), _F.lit(0.0)))
+            .drop("_pop")
+        )
     hi = int(
         spark.read.parquet(os.path.join(stream_out_dir, "delta_docs"))
         .agg(F.max("batch_id").alias("mb"))

@@ -176,8 +176,23 @@ def test_incremental_finalize_with_recrawl(spark, tiny_pages_path, tmp_path_fact
     assert len(hit) == 1
 
     # forced-merge (compact_serving): family folds to ONE segment with
-    # identical answers; old segment dirs are GC'd after the state swap
+    # identical answers; old segment dirs are GC'd after the state swap.
+    # First backfill a sentinel popularity into segment 0 — the merge
+    # must PRESERVE it (delta doc_stats would otherwise reset to 0).
+    import shutil
+
+    from pyspark.sql import functions as F
+
     from nadry_spark.streaming.ingest import compact_serving
+
+    seg0_dir = os.path.join(root, state["segments"][0])
+    dm0 = spark.read.parquet(os.path.join(seg0_dir, "docmap"))
+    seg0_ids = {r["doc_id"] for r in dm0.select("doc_id").collect()}
+    dm0.withColumn("popularity_score", F.lit(0.25)).write.mode("overwrite").parquet(
+        os.path.join(seg0_dir, "docmap_tmp")
+    )
+    shutil.rmtree(os.path.join(seg0_dir, "docmap"))
+    os.replace(os.path.join(seg0_dir, "docmap_tmp"), os.path.join(seg0_dir, "docmap"))
 
     old_names = set(state["segments"])
     state2 = compact_serving(spark, out_dir, root, n_shards=4)
@@ -188,3 +203,11 @@ def test_incremental_finalize_with_recrawl(spark, tiny_pages_path, tmp_path_fact
     assert sum(len(e) for e in msi2.excluded) == 0  # tombstones folded away
     for q in QUERIES + ["zzrecrawl marker"]:
         assert _topk_multi(msi2, q, k=10) == _topk_single(idx_full, q, k=10), q
+    # popularity survived the merge for segment-0 docs (incl. the
+    # re-crawled url — popularity is a url property), 0.0 elsewhere
+    pops = {
+        r["doc_id"]: r["popularity_score"]
+        for r in msi2.segments[0].docmap.select("doc_id", "popularity_score").collect()
+    }
+    for did, p in pops.items():
+        assert p == (0.25 if did in seg0_ids else 0.0), did

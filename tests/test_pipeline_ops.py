@@ -295,6 +295,27 @@ def test_multimodal_featurize_and_frame_plan(spark):
         real_decode(b"\x89PNG not decodable", "image")
 
 
+def test_multimodal_hostile_header_falls_back(spark):
+    """A hostile PPM header declaring absurd dimensions must fall back
+    to fake features in auto mode (never kill the job) and raise a
+    normal corrupt-payload error in real mode."""
+    import pytest as _pytest
+
+    from nadry_spark.operators.multimodal import featurize, real_decode
+
+    hostile = b"P6 99999999999999999999 9 255 " + b"\x00" * 32
+    with _pytest.raises(ValueError):
+        real_decode(hostile, "image")
+    media = spark.createDataFrame(
+        [(0, "image", hostile, (0, 0, 0, "ppm"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    rows = featurize(media, mode="auto").collect()
+    assert len(rows) == 1 and rows[0]["decoded"] is False
+    assert any(f != 0 for f in rows[0]["features"])  # histogram fallback ran
+
+
 def test_multimodal_stdlib_codecs_roundtrip():
     import numpy as np
 
