@@ -73,10 +73,15 @@ def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
                 {"doc_no": "int64", "score": "float64"}
             )
         topn = min(k, cand.size)
-        # top-k by (score desc, doc_no asc): argpartition then exact sort
-        part = cand[np.argpartition(-scores[cand], topn - 1)[:topn]]
-        order = np.lexsort((part, -scores[part]))
-        sel = part[order]
+        # top-k by (score desc, doc_no asc). Full lexsort, NOT
+        # argpartition: argpartition picks an ARBITRARY member of a
+        # score tie straddling the k boundary, so the doc_no tie-break
+        # only applied to whichever members survived the partition
+        # (found by the tests/test_bmw_fuzz.py property fuzz — BMW's
+        # heap honored the tie rule, TAAT didn't). cand is bounded by
+        # shard_size, so the exact sort is O(shard_size log) — noise.
+        order = np.lexsort((cand, -scores[cand]))
+        sel = cand[order[:topn]]
         return pd.DataFrame(
             {"doc_no": (sel + base).astype("int64"), "score": scores[sel]}
         )
