@@ -63,6 +63,30 @@ def test_stream_encoder_tiny_blocks():
     assert got == ref
 
 
+def test_stream_encoder_equiv_fuzz():
+    """Hypothesis sweep: byte-identical blocks for arbitrary corpus
+    shapes x block sizes x Arrow batch boundaries (runs split anywhere,
+    including mid-block and across single-row batches)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n_terms=st.integers(min_value=1, max_value=8),
+        max_docs=st.integers(min_value=2, max_value=40),
+        block_size=st.integers(min_value=1, max_value=16),
+        batch_size=st.integers(min_value=1, max_value=60),
+    )
+    @settings(max_examples=120, deadline=None)
+    def run(seed, n_terms, max_docs, block_size, batch_size):
+        pdf = _mk_frame(n_terms=n_terms, max_docs=max_docs, seed=seed)
+        ref = _canon(_reference_blocks(pdf, 80.0, 1.2, 0.75, block_size))
+        got = _canon(_stream_blocks(pdf, 80.0, 1.2, 0.75, block_size, batch_size))
+        assert got == ref
+
+    run()
+
+
 def test_block_decode_roundtrip_from_stream():
     from nadry_spark.operators.codecs import decode_posting_block
 
