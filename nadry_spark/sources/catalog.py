@@ -33,8 +33,14 @@ def read_table(spark: SparkSession, source: str) -> DataFrame:
 
     * ``iceberg:<catalog.db.table>`` — Iceberg catalog table (requires
       the runtime jar; raises a clear error otherwise)
+    * ``warc:<path-or-glob>`` — WARC archives (ISO 28500 / Common
+      Crawl layout incl. per-record gzip), parsed into the pages shape
     * ``parquet:<path>`` or a bare path — Parquet directory
     """
+    if source.startswith("warc:"):
+        from nadry_spark.sources.warc import read_warc
+
+        return read_warc(spark, source[len("warc:"):])
     if source.startswith("iceberg:"):
         name = source[len("iceberg:"):]
         if not iceberg_available(spark):

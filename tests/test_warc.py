@@ -1,0 +1,76 @@
+"""WARC source: roundtrip (plain + Common-Crawl per-record gzip),
+malformed-record tolerance, and index-build equivalence vs parquet."""
+
+import datetime as dt
+import os
+
+import pyarrow.parquet as pq
+
+
+def _pages_rows(path):
+    t = pq.read_table(path)
+    return [
+        (r["url"], r["warc_ts"].replace(tzinfo=dt.timezone.utc), r["html"])
+        for r in t.to_pylist()
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tiny_pages_path, tmp_path_factory):
+    from nadry_spark.sources.warc import read_warc, write_warc
+
+    rows = _pages_rows(tiny_pages_path)
+    base = tmp_path_factory.mktemp("warc")
+    plain = str(base / "a.warc")
+    gz = str(base / "b.warc.gz")
+    write_warc(plain, rows[: len(rows) // 2])
+    write_warc(gz, rows[len(rows) // 2 :], per_record_gzip=True)  # multi-member
+
+    got = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]))
+        for r in read_warc(spark, str(base) + "/*").collect()
+    }
+    assert len(got) == len(rows)
+    for url, ts, html in rows:
+        gts, ghtml = got[url]
+        assert ghtml == html, url  # byte-identical payloads
+        assert gts.replace(tzinfo=dt.timezone.utc) == ts.replace(microsecond=0).replace(
+            tzinfo=dt.timezone.utc
+        ) or gts == ts
+
+
+def test_warc_skips_malformed_records(spark, tmp_path_factory):
+    from nadry_spark.sources.warc import parse_warc_bytes, warc_record
+
+    good = warc_record(
+        "https://ok.example.com/", dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc),
+        b"<html>fine</html>",
+    )
+    junk = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: notanint\r\n\r\n"
+    req = warc_record("https://ok.example.com/", dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc), b"x")
+    req = req.replace(b"WARC-Type: response", b"WARC-Type: request")
+    truncated = good[: len(good) // 2]
+    out = list(parse_warc_bytes(junk + req + good + truncated))
+    assert [u for u, _, _ in out] == ["https://ok.example.com/"]
+    assert out[0][2] == b"<html>fine</html>"
+
+
+def test_warc_feeds_index_build_identically(spark, tiny_pages_path, tmp_path_factory):
+    """Index built from the WARC form of the corpus == index built from
+    parquet (doc_id = sha2(url) and extraction runs on identical html
+    bytes)."""
+    from nadry_spark.operators.index_build import build_index
+    from nadry_spark.sources.catalog import read_table
+
+    base = tmp_path_factory.mktemp("warcidx")
+    from nadry_spark.sources.warc import write_warc
+
+    warc_path = str(base / "corpus.warc.gz")
+    write_warc(warc_path, _pages_rows(tiny_pages_path), per_record_gzip=True)
+
+    pages_w = read_table(spark, f"warc:{warc_path}")
+    pages_p = spark.read.parquet(tiny_pages_path)
+    post_w, _ = build_index(pages_w)
+    post_p, _ = build_index(pages_p)
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in post_w.collect()}
+    want = {(r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in post_p.collect()}
+    assert got == want
