@@ -276,11 +276,17 @@ def cosine_dup_pairs(
     from nadry_spark.operators.dedup import skip_hot_buckets
 
     dims = dims or [0, 1, 2, 3, 4, 5]
+    # localCheckpoint: the projection feeds the (eager) hot-bucket cap
+    # sweep AND both sides of the self-join — unchecked it would be
+    # recomputed ~3×, and checkpoint severs the lineage so the executor
+    # frees it with the DataFrame (no unpersist ownership problem for a
+    # function that returns a lazy frame; same discipline as
+    # minhash_dedup_pairs)
     tagged = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_lsh_bucket(vec_col, dims).alias("bucket"),
-    )
+    ).localCheckpoint()
     if bucket_cap is not None:
         tagged = skip_hot_buckets(
             tagged, ("bucket",), bucket_cap,

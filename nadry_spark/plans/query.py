@@ -54,6 +54,7 @@ class QueryEngine:
         index,
         scoring: str = "exact",
         count_cap: int | None = None,
+        cache_cap: int = 1024,
     ):
         """index: a SegmentIndex or a MultiSegmentIndex (the
         incremental-serving family) — both expose the common serving
@@ -69,11 +70,26 @@ class QueryEngine:
         count, so a stopword-scale query never pays a full candidate
         count for a totalPages nobody paginates to); when the cap is
         hit the envelope carries totalResultsIsLowerBound=True.
-        Default None keeps the reference-exact full count."""
+        Default None keeps the reference-exact full count.
+
+        cache_cap: max cached query envelopes. The reference caches
+        every distinct query forever (SearchController.java:35-46) —
+        unbounded in a long-lived server. We keep the quirk SEMANTICS
+        (exact-key hit, page/limit drift ignored) but bound residency:
+        least-recently-USED entries evict beyond cache_cap."""
+        from collections import OrderedDict
+
         self.index = index
         self.scoring = scoring
         self.count_cap = count_cap
-        self._cache: dict[str, dict] = {}
+        self.cache_cap = int(cache_cap)
+        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+
+    def _cache_put(self, key: str, envelope: dict) -> None:
+        self._cache[key] = envelope
+        self._cache.move_to_end(key)
+        while len(self._cache) > self.cache_cap:
+            self._cache.popitem(last=False)
 
     def _rank_disjunctive(self, tokens: list[str], need: int):
         if self.scoring == "bm25":
@@ -107,9 +123,15 @@ class QueryEngine:
         search_query = phrases[0] if phrases else query
         cached = self._cache.get(search_query)
         if cached is not None:
+            self._cache.move_to_end(search_query)  # LRU touch
             return cached  # quirk: ignores page/limit drift, like the ref
 
         need = (page + 1) * page_size
+        # bm25 fast path ranks via per-shard top-k + global limit(need)
+        # (single AND multi segment) — its frame never holds more than
+        # `need` rows, so a full frame means "at least need candidates",
+        # not an exact count; the envelope flags that explicitly
+        topk_bound: int | None = None
         meta_tokens = tokenize(query)
         if phrases:
             tokens = tokenize(phrases[0])
@@ -118,6 +140,8 @@ class QueryEngine:
                 # re-tokenizing the stem (SearchWrapper.java:282-284)
                 tokens = tokenize(tokens[0])
                 ranked_df = self._rank_disjunctive(tokens, need) if tokens else None
+                if self.scoring == "bm25":
+                    topk_bound = need
             elif tokens:
                 ranked_df = phrase_ranked(self.index, tokens, with_metadata=True)
             else:
@@ -125,9 +149,11 @@ class QueryEngine:
         else:
             tokens = meta_tokens
             ranked_df = self._rank_disjunctive(tokens, need) if tokens else None
+            if self.scoring == "bm25":
+                topk_bound = need
         if not tokens or ranked_df is None:
             envelope = self._envelope([], 0, page, page_size, meta_tokens, t0)
-            self._cache[search_query] = envelope
+            self._cache_put(search_query, envelope)
             return envelope
 
         # totalResults + one page, both off one cached materialization —
@@ -148,8 +174,10 @@ class QueryEngine:
             ranked_df.unpersist()
 
         enriched = self._enrich(page_rows, tokens)
-        envelope = self._envelope(enriched, total, page, page_size, meta_tokens, t0)
-        self._cache[search_query] = envelope
+        envelope = self._envelope(
+            enriched, total, page, page_size, meta_tokens, t0, topk_bound=topk_bound
+        )
+        self._cache_put(search_query, envelope)
         return envelope
 
     def _enrich(self, page_rows, tokens):
@@ -202,7 +230,7 @@ class QueryEngine:
             row["QUERY_TFIDF"] = row.pop("query_tfidf")
         return row
 
-    def _envelope(self, data, total, page, page_size, tokens, t0):
+    def _envelope(self, data, total, page, page_size, tokens, t0, topk_bound=None):
         import math
 
         out = {
@@ -218,4 +246,8 @@ class QueryEngine:
             # count-up-to mode: totalResults == count_cap+1 means
             # "more than count_cap" — flagged, never silently wrong
             out["totalResultsIsLowerBound"] = total > self.count_cap
+        elif topk_bound is not None and total >= topk_bound:
+            # bm25 top-k fast path filled its frame: the true candidate
+            # count is >= totalResults and totalPages is a floor
+            out["totalResultsIsLowerBound"] = True
         return out

@@ -1018,10 +1018,17 @@ class MultiSegmentIndex:
                     F.col("doc_no").isin([int(x) for x in excl])
                 )
                 probe = part if probe is None else probe.unionByName(part)
+            # (term, doc_no) is unique WITHIN a segment's decoded_tf
+            # (postings merge fields before block encoding and a doc
+            # lives in exactly one shard), but per-segment doc_no
+            # spaces all start at 0 — distinct-by-doc_no across the
+            # union would collapse tombstoned docs from DIFFERENT
+            # segments that happen to share a doc_no. Plain count('*')
+            # counts each (segment, term, doc) probe row exactly once.
             counts = {
                 r["term"]: int(r["c"])
                 for r in probe.groupBy("term")
-                .agg(F.countDistinct("doc_no").alias("c"))
+                .agg(F.count("*").alias("c"))
                 .collect()
             }
             for t in missing:

@@ -183,7 +183,11 @@ def compact_deltas(
     pre-folded in the current L1 version. Without any ``promote_deltas``
     call this degrades gracefully to the full-history fold. ``stats``
     (optional out-param) records l0_docs_rows / l1_docs_rows /
-    folded_through for observability and tests."""
+    folded_through / max_batch_id for observability and callers that
+    need a watermark consistent with THIS fold's file-listing snapshot
+    (parquet listings are pinned at read time, so max_batch_id here can
+    never include a batch ingested after the fold started — a fresh
+    re-scan could, and would mark unfolded data as finalized)."""
     from pyspark.sql import Window
 
     state = _read_l1_state(out_dir)
@@ -206,6 +210,9 @@ def compact_deltas(
         docs = l1_docs.unionByName(docs)
         if stats is not None:
             stats["l1_docs_rows"] = l1_docs.count()
+    if stats is not None:
+        row = docs.agg(F.max("batch_id").alias("mb")).collect()[0]
+        stats["max_batch_id"] = -1 if row["mb"] is None else int(row["mb"])
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
     latest_docs = (
@@ -349,7 +356,8 @@ def compact_serving(
         with open(state_path) as f:
             old_segments = _json.load(f)["segments"]
 
-    postings, docs = compact_deltas(spark, stream_out_dir)
+    fold_stats: dict = {}
+    postings, docs = compact_deltas(spark, stream_out_dir, stats=fold_stats)
     # carry backfilled PageRank popularity through the merge: delta
     # doc_stats hardcode popularity 0.0, so without this a forced merge
     # silently reset every doc's popularity (and with it exact-mode
@@ -375,11 +383,11 @@ def compact_serving(
             .withColumn("popularity_score", _F.coalesce(_F.col("_pop"), _F.lit(0.0)))
             .drop("_pop")
         )
-    hi = int(
-        spark.read.parquet(os.path.join(stream_out_dir, "delta_docs"))
-        .agg(F.max("batch_id").alias("mb"))
-        .collect()[0]["mb"]
-    )
+    # watermark from the SAME file-listing snapshot compact_deltas
+    # folded — a fresh delta_docs scan here could see a batch ingested
+    # after the fold started and mark it finalized without ever folding
+    # it into any segment
+    hi = fold_stats["max_batch_id"]
     seg_name = f"seg_compacted_{hi}"
     seg_dir = os.path.join(segments_root, seg_name)
     shutil.rmtree(seg_dir, ignore_errors=True)

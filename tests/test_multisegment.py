@@ -211,3 +211,38 @@ def test_incremental_finalize_with_recrawl(spark, tiny_pages_path, tmp_path_fact
     }
     for did, p in pops.items():
         assert p == (0.25 if did in seg0_ids else 0.0), did
+
+
+def test_df_corrections_colliding_doc_nos(spark, halves):
+    """Per-segment doc_no spaces all start at 0: tombstoned docs in
+    DIFFERENT segments sharing a doc_no value must each count toward
+    the df correction (regression: countDistinct(doc_no) over the
+    cross-segment union collapsed them, undercounting and skewing
+    multi-segment BM25 idf)."""
+    from pyspark.sql import functions as F
+
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    msi = MultiSegmentIndex(spark, halves)
+
+    # find a term present in doc_no 0 of BOTH segments
+    def terms_in_doc0(seg):
+        cands = [
+            r["term"]
+            for r in seg.blocks.where(F.col("min_doc_no") == 0)
+            .select("term")
+            .distinct()
+            .collect()
+        ]
+        hit = seg.decoded_tf(cands).where(F.col("doc_no") == 0)
+        return {r["term"] for r in hit.select("term").distinct().collect()}
+
+    common = terms_in_doc0(msi.segments[0]) & terms_in_doc0(msi.segments[1])
+    assert common, "fixture corpora share no term in doc 0 — rebuild fixture"
+    term = sorted(common)[0]
+
+    # tombstone doc_no 0 in BOTH segments (colliding values)
+    msi.excluded = [{0}, {0}]
+    msi._df_corr = {}
+    got = msi.df_corrections([term])
+    assert got[term] == 2, got

@@ -178,3 +178,54 @@ def test_missing_term_queries_return_empty(engine, seg):
         res = engine.search(q)
         assert res["success"] is True
         assert res["totalResults"] == 0 and res["data"] == []
+
+
+def test_cache_lru_bound_and_quirk(seg):
+    """The serving cache keeps the reference quirks (exact-key hit,
+    page/limit drift ignored) but is bounded: least-recently-used
+    entries evict beyond cache_cap; a re-touched entry survives."""
+    from collections import Counter
+
+    from nadry_spark.plans.query import QueryEngine
+
+    idx, o_postings, _ = seg
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    terms = [t for t, _ in cnt.most_common(6)]
+    eng = QueryEngine(idx, scoring="exact", cache_cap=3)
+
+    r0 = eng.search(terms[0], page=0, page_size=2)
+    # quirk intact: same key with DIFFERENT page returns the cached page
+    assert eng.search(terms[0], page=1, page_size=5) is r0
+
+    eng.search(terms[1], page=0, page_size=2)
+    eng.search(terms[0], page=0, page_size=2)  # touch terms[0] -> MRU
+    eng.search(terms[2], page=0, page_size=2)  # cache full: [1, 0, 2]
+    eng.search(terms[3], page=0, page_size=2)  # evicts terms[1] (LRU)
+    assert len(eng._cache) == 3
+    assert terms[1] not in eng._cache
+    assert eng.search(terms[0], page=0, page_size=2) is r0  # survived
+
+
+def test_bm25_path_envelope_lower_bound(seg):
+    """bm25 fast-path totals are per-shard-top-k bounded at `need`:
+    a full frame is flagged as a lower bound; a sparse query whose
+    candidates fit under `need` is exact and unflagged."""
+    from collections import Counter
+
+    from nadry_spark.plans.query import QueryEngine
+
+    idx, o_postings, _ = seg
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    hot = cnt.most_common(1)[0][0]
+    rare = min(
+        (t for t, _ in cnt.items() if ":" not in t), key=lambda t: cnt[t]
+    )
+
+    eng = QueryEngine(idx, scoring="bm25")
+    full = eng.search(hot, page=0, page_size=2)
+    assert full["totalResults"] == 2  # need = (0+1)*2, frame filled
+    assert full["totalResultsIsLowerBound"] is True
+
+    sparse = QueryEngine(idx, scoring="bm25").search(rare, page=0, page_size=10)
+    assert sparse["totalResults"] == cnt[rare]
+    assert "totalResultsIsLowerBound" not in sparse
