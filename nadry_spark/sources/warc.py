@@ -11,12 +11,21 @@ pure stdlib + Spark:
   anyway. One ~1GB WARC per task is the standard CC processing shape;
   parallelism comes from the file count (CC ships ~64k files per
   crawl).
-* A ``mapInPandas`` stage parses records: multi-member gzip handled by
-  stdlib ``gzip`` (GzipFile reads concatenated members), WARC/1.0
-  headers parsed case-insensitively, only ``WARC-Type: response``
-  records with an HTTP payload survive, html = the HTTP body bytes
-  (headers stripped at the first CRLFCRLF), warc_ts from ``WARC-Date``
-  (ISO-8601).
+* Decoding is STREAMING with bounded memory: records are parsed out of
+  a chunked read loop whose resident buffer never exceeds one record +
+  one chunk (``parse_warc_stream``; ``stats['max_buf']`` exposes the
+  high-water mark so tests can assert the bound instead of sampling
+  RSS). Multi-member gzip (the CC per-record layout) decompresses
+  member-at-a-time through stdlib ``gzip.GzipFile`` — the raw archive
+  is never inflated into one buffer.
+* For local (``file:``) inputs the task projects ONLY the binaryFile
+  ``path`` column (binaryFile prunes ``content`` when unreferenced)
+  and streams straight off disk, so not even the compressed archive is
+  resident; for remote filesystems it falls back to the ``content``
+  bytes (the compressed size is then the floor, decode still bounded).
+* Output crosses mapInPandas in bounded record batches (not one frame
+  per file), so a 1GB archive never materializes as a single pandas
+  frame either.
 * ``text``/``lang`` are left empty — extraction is the indexing
   pipeline's job (extract_documents), keeping the per-url
   byte-identity invariant intact.
@@ -33,91 +42,193 @@ import datetime as _dt
 import gzip
 import io
 from collections.abc import Iterator
+from urllib.parse import urlparse
+from urllib.request import url2pathname
 
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 _GZIP_MAGIC = b"\x1f\x8b"
+_CHUNK = 1 << 20  # 1 MiB decompressed read unit
+# output batch bounds: whichever trips first ends the pandas frame
+_BATCH_RECORDS = 512
+_BATCH_BYTES = 64 << 20
+
+
+def _decompressed_stream(raw: io.BufferedIOBase) -> io.BufferedIOBase:
+    """Wrap gzipped input in a member-at-a-time streaming decoder;
+    pass plain WARC through. Peeks 2 bytes without consuming."""
+    head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
+    if not head:  # unpeekable (e.g. bare BytesIO): read + push back
+        pos = raw.tell()
+        head = raw.read(2)
+        raw.seek(pos)
+    if head == _GZIP_MAGIC:
+        # GzipFile reads concatenated members transparently and only
+        # inflates what the caller read()s — the bounded path
+        return gzip.GzipFile(fileobj=raw)  # type: ignore[return-value]
+    return raw
+
+
+def parse_warc_stream(
+    stream, chunk_size: int = _CHUNK, stats: dict | None = None
+) -> Iterator[tuple[str, _dt.datetime, bytes]]:
+    """Yield (url, warc_ts, html_bytes) response records from a
+    readable byte stream, incrementally: the resident buffer holds at
+    most one record body + one chunk (``stats['max_buf']`` records the
+    observed high-water mark — the testable memory bound). Malformed
+    records are skipped, not fatal — hostile/truncated archives must
+    never kill the job (same policy as media decode).
+    """
+    buf = bytearray()
+    eof = False
+    max_buf = 0
+
+    def fill() -> bool:
+        """Append one chunk; False at EOF."""
+        nonlocal eof, max_buf
+        if eof:
+            return False
+        chunk = stream.read(chunk_size)
+        if not chunk:
+            eof = True
+            return False
+        buf.extend(chunk)
+        max_buf = max(max_buf, len(buf))
+        return True
+
+    try:
+        while True:
+            # locate the next record header start, discarding garbage
+            # (keep a 4-byte tail so 'WARC/' can't hide on a boundary)
+            head_start = buf.find(b"WARC/")
+            while head_start < 0:
+                if len(buf) > 4:
+                    del buf[: len(buf) - 4]
+                if not fill():
+                    return
+                head_start = buf.find(b"WARC/")
+            if head_start:
+                del buf[:head_start]
+
+            # complete the header block
+            head_end = buf.find(b"\r\n\r\n")
+            while head_end < 0:
+                if not fill():
+                    return
+                head_end = buf.find(b"\r\n\r\n")
+
+            headers: dict[str, str] = {}
+            for line in bytes(buf[:head_end]).split(b"\r\n")[1:]:
+                k, sep, v = line.partition(b":")
+                if sep:
+                    headers[k.strip().lower().decode("ascii", "replace")] = (
+                        v.strip().decode("utf-8", "replace")
+                    )
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                del buf[: head_end + 4]
+                continue
+
+            # complete the body (resident bound: one record + one chunk)
+            body_end = head_end + 4 + length
+            while len(buf) < body_end and fill():
+                pass
+            body = bytes(buf[head_end + 4 : body_end])
+            del buf[:body_end]
+
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers.get("warc-target-uri")
+            ts_raw = headers.get("warc-date")
+            if not url or not ts_raw:
+                continue
+            try:
+                ts = _dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+            except ValueError:
+                continue
+            # HTTP payload: strip the status line + headers
+            http_end = body.find(b"\r\n\r\n")
+            html = body[http_end + 4 :] if http_end >= 0 else body
+            yield url, ts, html
+    finally:
+        if stats is not None:
+            stats["max_buf"] = max_buf
 
 
 def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, _dt.datetime, bytes]]:
-    """Yield (url, warc_ts, html_bytes) for every response record.
+    """Yield (url, warc_ts, html_bytes) for every response record in an
+    in-memory buffer (plain or gzipped, single- or multi-member) —
+    thin wrapper over the streaming parser."""
+    yield from parse_warc_stream(_decompressed_stream(io.BufferedReader(io.BytesIO(data))))
 
-    Handles plain and gzipped (single- or multi-member) buffers.
-    Malformed records are skipped, not fatal — hostile/truncated
-    archives must never kill the job (same policy as media decode).
-    """
-    if data[:2] == _GZIP_MAGIC:
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-            data = gz.read()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # find the record header block
-        head_start = data.find(b"WARC/", pos)
-        if head_start < 0:
-            break
-        head_end = data.find(b"\r\n\r\n", head_start)
-        if head_end < 0:
-            break
-        headers: dict[str, str] = {}
-        for line in data[head_start:head_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
-                headers[k.strip().lower().decode("ascii", "replace")] = (
-                    v.strip().decode("utf-8", "replace")
-                )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            pos = head_end + 4
-            continue
-        body_start = head_end + 4
-        body = data[body_start : body_start + length]
-        pos = body_start + length
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        ts_raw = headers.get("warc-date")
-        if not url or not ts_raw:
-            continue
-        try:
-            ts = _dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
-        except ValueError:
-            continue
-        # HTTP payload: strip the status line + headers
-        http_end = body.find(b"\r\n\r\n")
-        html = body[http_end + 4 :] if http_end >= 0 else body
-        yield url, ts, html
+
+def _record_frames(records: Iterator[tuple[str, _dt.datetime, bytes]]):
+    """Pack a record iterator into bounded pandas frames."""
+    import pandas as pd
+
+    urls: list[str] = []
+    tss: list[_dt.datetime] = []
+    htmls: list[bytes] = []
+    nbytes = 0
+
+    def frame():
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": tss,
+                "html": htmls,
+                "text": [""] * len(urls),
+                "lang": [""] * len(urls),
+            }
+        )
+
+    for url, ts, html in records:
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        nbytes += len(html)
+        if len(urls) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
+            yield frame()
+            urls, tss, htmls, nbytes = [], [], [], 0
+    if urls:
+        yield frame()
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files -> pages DataFrame (input_hint shape). One task per
-    file (binaryFile source); records parse inside mapInPandas."""
-    import pandas as pd
-
+    file (binaryFile source); records stream out of mapInPandas in
+    bounded batches. Local (file:) globs stream straight off disk —
+    only the ``path`` column is projected, so binaryFile never loads
+    the archive bytes into the row; other filesystems fall back to the
+    ``content`` column with streaming decode on top."""
     raw = spark.read.format("binaryFile").load(path_glob)
+    scheme = urlparse(path_glob).scheme or "file"
 
-    def gen(batches):
+    if scheme == "file":
+
+        def gen(batches):
+            for pdf in batches:
+                for uri in pdf["path"]:
+                    local = url2pathname(urlparse(uri).path)
+                    with open(local, "rb") as f:
+                        yield from _record_frames(
+                            parse_warc_stream(_decompressed_stream(f))
+                        )
+
+        return raw.select("path").mapInPandas(gen, PAGES_DDL)
+
+    def gen_content(batches):
         for pdf in batches:
-            urls, tss, htmls = [], [], []
             for content in pdf["content"]:
-                for url, ts, html in parse_warc_bytes(bytes(content)):
-                    urls.append(url)
-                    tss.append(ts)
-                    htmls.append(html)
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "warc_ts": tss,
-                    "html": htmls,
-                    "text": [""] * len(urls),
-                    "lang": [""] * len(urls),
-                }
-            )
+                stream = _decompressed_stream(
+                    io.BufferedReader(io.BytesIO(bytes(content)))
+                )
+                yield from _record_frames(parse_warc_stream(stream))
 
-    return raw.select("content").mapInPandas(gen, PAGES_DDL)
+    return raw.select("content").mapInPandas(gen_content, PAGES_DDL)
 
 
 def warc_record(url: str, ts: _dt.datetime, html: bytes) -> bytes:

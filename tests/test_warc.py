@@ -74,3 +74,71 @@ def test_warc_feeds_index_build_identically(spark, tiny_pages_path, tmp_path_fac
     got = {(r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in post_w.collect()}
     want = {(r["term"], r["doc_id"]): (r["tf"], r["weight"]) for r in post_p.collect()}
     assert got == want
+
+
+def test_warc_streaming_decode_bounded_memory(tmp_path_factory):
+    """A multi-member archive whose decompressed size is many times the
+    largest record parses with a resident buffer bounded by ONE record
+    + one chunk — the parser must never inflate the whole archive
+    (stats['max_buf'] is the observed high-water mark), and the first
+    record must come out before the underlying file is fully read
+    (incremental yield, not parse-after-slurp)."""
+    import gzip
+    import io
+
+    from nadry_spark.sources.warc import (
+        _decompressed_stream,
+        parse_warc_stream,
+        warc_record,
+        write_warc,
+    )
+
+    base = tmp_path_factory.mktemp("warcbig")
+    path = str(base / "big.warc.gz")
+    body = b"<html>" + b"x" * 300_000 + b"</html>"
+    n = 200  # ~60 MB decompressed
+    ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    write_warc(
+        path,
+        ((f"https://ex.com/{i}", ts, body) for i in range(n)),
+        per_record_gzip=True,
+    )
+
+    class CountingReader(io.BufferedReader):
+        bytes_read = 0
+
+        def read(self, *a, **kw):
+            out = super().read(*a, **kw)
+            CountingReader.bytes_read += len(out) if out else 0
+            return out
+
+    CountingReader.bytes_read = 0
+    f = CountingReader(open(path, "rb").detach())
+    stats: dict = {}
+    gen = parse_warc_stream(_decompressed_stream(f), stats=stats)
+
+    first = next(gen)
+    assert first[0] == "https://ex.com/0"
+    # incremental: yielding record 0 read (compressed) ~1 member worth,
+    # nowhere near the whole file
+    fsize = os.path.getsize(path)
+    assert CountingReader.bytes_read < fsize / 4, (CountingReader.bytes_read, fsize)
+
+    rest = list(gen)
+    assert len(rest) == n - 1
+    assert all(r[2] == body for r in [first] + rest)
+    f.close()
+
+    record_size = len(warc_record("https://ex.com/0", ts, body))
+    decompressed_total = n * record_size
+    # the memory bound: one record + one chunk + slack, NOT the archive
+    assert stats["max_buf"] < record_size + (1 << 20) + 65536, stats
+    assert stats["max_buf"] < decompressed_total / 20
+
+    # multi-member whole-buffer path agrees (parse_warc_bytes wrapper)
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    from nadry_spark.sources.warc import parse_warc_bytes
+
+    urls = [u for u, _, _ in parse_warc_bytes(raw)]
+    assert urls == [f"https://ex.com/{i}" for i in range(n)]
