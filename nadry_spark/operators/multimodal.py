@@ -7,13 +7,16 @@ Arrow-batched ``mapInPandas`` stages.
 Decode support is honest about the environment:
 
 * **REAL stdlib kernels** for container formats that need no external
-  libraries: PPM (P6) images are parsed with a header scan + numpy
-  reshape, WAV PCM audio with the stdlib ``wave`` module. Resize is
-  nearest-neighbour numpy index slicing. These run end-to-end in tests.
+  libraries: PNG (8-bit grey/RGB/palette/alpha — stdlib zlib inflate +
+  per-scanline unfilter, the dominant web image format), PPM (P6)
+  images via a header scan + numpy reshape, WAV PCM audio with the
+  stdlib ``wave`` module. Resize is nearest-neighbour numpy index
+  slicing. These run end-to-end in tests.
 * **Stub** for codecs that genuinely require PIL/soundfile/ffmpeg
-  (JPEG/PNG/MP3/MP4): ``real_decode`` raises ``NotImplementedError``
-  for them; ``featurize(mode="auto")`` falls back to the deterministic
-  byte-histogram fake so the distributed plumbing always runs.
+  (JPEG/MP3/MP4, plus 16-bit/interlaced PNG): ``real_decode`` raises
+  ``NotImplementedError`` for them; ``featurize(mode="auto")`` falls
+  back to the deterministic byte-histogram fake so the distributed
+  plumbing always runs.
 """
 
 from __future__ import annotations
@@ -90,6 +93,175 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_unfilter_row(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one scanline from its filtered bytes (PNG §9:
+    None/Sub/Up/Average/Paeth). ``prev`` is the reconstructed prior
+    row (zeros for the first). Sub is a per-lane modular cumsum and
+    None/Up are pure vector ops; Average/Paeth carry a left-neighbour
+    dependency and run as per-byte loops (scanline-bounded)."""
+    if f == 0:
+        return line.astype(np.uint8)
+    if f == 2:  # Up
+        return ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+    if f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp], per byte lane
+        lanes = line.astype(np.int64).reshape(-1, bpp)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+    out = np.empty(len(line), np.uint8)
+    if f == 3:  # Average
+        for x in range(len(line)):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        return out
+    if f == 4:  # Paeth
+        for x in range(len(line)):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(line[x]) + pred) & 0xFF
+        return out
+    raise ValueError(f"bad PNG filter type {f}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG into (H, W, 3) uint8 RGB.
+    Pure stdlib zlib + numpy: chunk walk, bounded inflate, per-scanline
+    unfilter, palette/greyscale/alpha conversion to RGB.
+
+    Supports color types 0 (grey), 2 (RGB), 3 (palette), 4 (grey+a),
+    6 (RGBA) at bit depth 8 — the dominant web shapes. 16-bit and
+    interlaced images raise NotImplementedError (fake-feature
+    fallback); malformed chunks raise ValueError. The inflate is
+    bomb-safe: output is capped at the size the IHDR implies, so a
+    hostile 1KB payload can never allocate gigabytes."""
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr: tuple | None = None
+    idat: list[bytes] = []
+    plte: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # data + CRC (CRC not verified — tolerant read)
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            w, h = int.from_bytes(data[0:4], "big"), int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            ihdr = (w, h, depth, color, comp, filt, interlace)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG header fields (comp={comp} filt={filt} color={color})")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    expected = h * (stride + 1)
+    if w <= 0 or h <= 0 or expected > (1 << 31):
+        raise ValueError(f"PNG header declares hostile dimensions {w}x{h}")
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)  # bounded inflate
+    if len(raw) != expected or d.decompress(b"", 1):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)}+ bytes, header implies {expected}"
+        )
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    recon = np.empty((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        recon[y] = _png_unfilter_row(
+            int(rows[y, 0]), rows[y, 1:], recon[y - 1] if y else zero, channels
+        )
+    px = recon.reshape(h, w, channels)
+    if color == 2:
+        return px
+    if color == 0:  # grey -> replicate
+        return np.repeat(px, 3, axis=2)
+    if color == 3:  # palette lookup
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if color == 4:  # grey + alpha -> replicate grey, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> drop alpha
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 -> truecolor 8-bit PNG bytes (fixture writer;
+    deterministic — fixed zlib level). ``filter_type`` applies that PNG
+    filter to every scanline, exercising each unfilter path in
+    round-trip tests."""
+    import zlib
+
+    arr = arr.astype(np.uint8)
+    h, w, _ = arr.shape
+    bpp = 3
+    flat = arr.reshape(h, w * bpp).astype(np.int32)
+    lines = []
+    for y in range(h):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * bpp, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:
+            out = line - left
+        elif filter_type == 2:
+            out = line - prev
+        elif filter_type == 3:
+            out = line - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = line - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (out & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV bytes -> (float64 mono samples in [-1, 1], rate).
     Stdlib ``wave``; 8/16/32-bit PCM."""
@@ -135,17 +307,19 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def real_decode(payload: bytes, kind: str):
     """Decode a payload by container sniffing.
 
-    Returns ("image", (H, W, 3) array) for PPM, ("audio", (samples,
-    rate)) for WAV. Raises NotImplementedError for codecs that need
-    external libraries (JPEG/PNG/MP3/MP4/...) — this is the single swap
-    point where PIL/soundfile/ffmpeg would be wired in.
+    Returns ("image", (H, W, 3) array) for PPM/PNG, ("audio",
+    (samples, rate)) for WAV. Raises NotImplementedError for codecs
+    that need external libraries (JPEG/MP3/MP4/...) — this is the
+    single swap point where PIL/soundfile/ffmpeg would be wired in.
     """
     if payload.startswith(b"P6"):
         return "image", decode_ppm(payload)
+    if payload.startswith(_PNG_MAGIC):
+        return "image", decode_png(payload)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "audio", decode_wav(payload)
     raise NotImplementedError(
-        f"no stdlib decoder for this {kind} payload; JPEG/PNG/MP3/MP4 "
+        f"no stdlib decoder for this {kind} payload; JPEG/MP3/MP4 "
         "require image/audio libraries not present in this container"
     )
 
@@ -267,11 +441,12 @@ AUDIO_RATE = 8000
 
 
 def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
-    """Deterministic media rows: REAL PPM payloads for images, REAL WAV
-    payloads for audio (both stdlib-decodable), opaque bytes for video
-    (exercises the fake-fallback path). Pure Python/numpy — usable with
-    or without a SparkSession (the oracle parquet writer needs it
-    Spark-free)."""
+    """Deterministic media rows: REAL image payloads (alternating PPM
+    and PNG — both stdlib-decodable), REAL WAV payloads for audio,
+    opaque bytes for video (exercises the fake-fallback path). Pure
+    Python/numpy — usable with or without a SparkSession (the oracle
+    parquet writer needs it Spark-free; PNG bytes are deterministic at
+    a fixed zlib level)."""
     import random
 
     rng = random.Random(seed)
@@ -284,8 +459,12 @@ def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
             arr = np.array(
                 [rng.randrange(256) for _ in range(w * h * 3)], dtype=np.uint8
             ).reshape(h, w, 3)
-            payload = encode_ppm(arr)
-            meta = (w, h, 0, "ppm")
+            if (i // 3) % 2:  # alternate containers; pixels stay random
+                payload = encode_png(arr, filter_type=(i // 6) % 5)
+                meta = (w, h, 0, "png")
+            else:
+                payload = encode_ppm(arr)
+                meta = (w, h, 0, "ppm")
         elif kind == "audio":
             rate = AUDIO_RATE
             dur = rng.randint(100, 400)  # ms

@@ -467,3 +467,108 @@ def test_redact_pii_masks_in_reference_order(spark):
     want = "mail <EMAIL> and <URL> costs <NUM> now"
     assert out[1]["redacted_md5"] == hashlib.md5(want.encode()).hexdigest()
     assert out[2]["redacted_md5"] == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png applies each PNG filter (None/Sub/Up/Average/Paeth)
+    to every scanline; decode_png must invert all of them to the same
+    pixels, identically to the PPM kernel on the same data."""
+    import numpy as np
+
+    from nadry_spark.operators.multimodal import (
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_png(encode_png(arr, filter_type=f))
+        assert got.dtype == np.uint8 and got.shape == (13, 9, 3)
+        assert (got == arr).all(), f"filter {f}"
+    # PNG and PPM kernels agree on identical pixel data
+    assert (decode_png(encode_png(arr)) == decode_ppm(encode_ppm(arr))).all()
+
+
+def test_png_color_types_and_hostile():
+    """Grey / palette / grey+alpha / RGBA PNGs all decode to RGB; bad
+    headers raise ValueError, unsupported depths NotImplementedError,
+    and a deflate bomb cannot out-allocate the IHDR-implied size."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from nadry_spark.operators.multimodal import _PNG_MAGIC, decode_png
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png(w, h, depth, color, raw, extra=b"", interlace=0):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, interlace])
+        )
+        return (
+            _PNG_MAGIC + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # grey 2x2 (filter 0 rows): values replicate across RGB
+    grey = png(2, 2, 8, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    out = decode_png(grey)
+    assert out.shape == (2, 2, 3)
+    assert (out[0, 0] == [10, 10, 10]).all() and (out[1, 1] == [40, 40, 40]).all()
+
+    # palette 2x1: indices 1, 0 into a 2-entry PLTE
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    pal = png(2, 1, 8, 3, b"\x00\x01\x00", extra=plte)
+    out = decode_png(pal)
+    assert (out[0, 0] == [0, 255, 0]).all() and (out[0, 1] == [255, 0, 0]).all()
+    # palette index out of range is a normal corrupt-payload error
+    with _pytest.raises(ValueError):
+        decode_png(png(2, 1, 8, 3, b"\x00\x05\x00", extra=plte))
+
+    # grey+alpha and RGBA: alpha dropped
+    ga = png(1, 1, 8, 4, b"\x00\x63\x80")
+    assert (decode_png(ga)[0, 0] == [99, 99, 99]).all()
+    rgba = png(1, 1, 8, 6, b"\x00\x01\x02\x03\xff")
+    assert (decode_png(rgba)[0, 0] == [1, 2, 3]).all()
+
+    # unsupported-but-valid shapes -> NotImplementedError (fake fallback)
+    with _pytest.raises(NotImplementedError):
+        decode_png(png(1, 1, 16, 0, b"\x00\x00\x00"))
+    with _pytest.raises(NotImplementedError):
+        decode_png(png(1, 1, 8, 0, b"\x00\x00", interlace=1))
+
+    # bomb: tiny IDAT inflating to far more than IHDR implies
+    bomb = png(1, 1, 8, 0, b"\x00" * 10_000_000)
+    with _pytest.raises(ValueError):
+        decode_png(bomb)
+    # truncated pixel data
+    with _pytest.raises(ValueError):
+        decode_png(png(4, 4, 8, 2, b"\x00\x01\x02"))
+
+
+def test_png_rows_in_synthetic_media(spark):
+    """The synthetic media table now carries PNG images alongside PPM;
+    featurize decodes them for real (decoded=True, header-true W/H)."""
+    from nadry_spark.operators.multimodal import featurize, synthetic_media
+
+    media = synthetic_media(spark, n=36)
+    metas = {
+        r["media_id"]: r for r in media.select("media_id", "kind", "meta").collect()
+    }
+    codecs = {m["meta"]["codec"] for m in metas.values() if m["kind"] == "image"}
+    assert codecs == {"ppm", "png"}
+    for r in featurize(media, mode="auto").collect():
+        m = metas[r["media_id"]]
+        if m["kind"] == "image":
+            assert r["decoded"] is True, m["meta"]["codec"]
+            assert r["features"][1] == m["meta"]["width"]
+            assert r["features"][2] == m["meta"]["height"]
