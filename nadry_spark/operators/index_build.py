@@ -201,6 +201,16 @@ def term_posting_lists(
     phase 2: groupBy(term) flattens + sorts the few partial lists.
 
     Non-skewed terms take the single-phase path and are unioned in.
+
+    SCOPE: phase 2 still materializes a hot term's FULL posting array
+    in one reducer — bounded partials parallelize the work but the
+    final flatten is inherently single-group. This shape exists for
+    display/compat with the reference's one-document-per-term store
+    (MongoDBIndexStore.java:278-324) and small/medium corpora; the
+    serving path never reads it (segments store 128-doc blocks sharded
+    by doc space, sources/segments.py). For a scale-safe export use
+    :func:`term_posting_blocks`, which keeps every output array under
+    a cap.
     """
     df_sketch = postings.groupBy("term").agg(F.count("*").alias("_df"))
     hot_terms = df_sketch.where(F.col("_df") >= skew_threshold).select("term")
@@ -227,3 +237,40 @@ def term_posting_lists(
         .agg(F.sort_array(F.flatten(F.collect_list(F.col("partial")))).alias("postings"))
     )
     return cold_lists.unionByName(hot_lists)
+
+
+def term_posting_blocks(postings: DataFrame, block_cap: int = 100_000) -> DataFrame:
+    """Scale-safe blocked variant of :func:`term_posting_lists`:
+    ``(term, block_no, n_blocks, postings)`` where NO output array
+    exceeds ~``block_cap`` entries, however hot the term — the full
+    reference-shape list is the sorted merge of a term's blocks.
+
+    Per-term block count derives from the DF sketch
+    (``ceil(df / block_cap)``), and rows land in blocks by doc_id hash,
+    so a stopword-scale term becomes many bounded groups aggregated in
+    parallel instead of one corpus-sized array through a single reducer
+    (hash balance makes the cap a tight expectation rather than a hard
+    bound; blocks are doc_id-hash partitions, EACH internally sorted —
+    consumers wanting the contiguous reference array sort-merge them).
+    The df join is a plain shuffle join on term (the sketch has full
+    term cardinality — never broadcast it)."""
+    df_sketch = postings.groupBy("term").agg(F.count("*").alias("_df"))
+    entry = F.struct(
+        F.col("doc_id"), F.col("url"),
+        F.col("positions_title"), F.col("positions_desc"), F.col("positions_body"),
+        F.col("tf"), F.col("weight"),
+    )
+    tagged = (
+        postings.join(df_sketch, "term")
+        .withColumn(
+            "_nb",
+            F.greatest(F.lit(1), F.ceil(F.col("_df") / F.lit(block_cap))).cast("int"),
+        )
+        .withColumn(
+            "block_no", F.pmod(F.xxhash64("doc_id"), F.col("_nb")).cast("int")
+        )
+    )
+    return tagged.groupBy("term", "block_no").agg(
+        F.first("_nb").alias("n_blocks"),
+        F.sort_array(F.collect_list(entry)).alias("postings"),
+    )

@@ -65,6 +65,22 @@ def test_salted_term_lists_equal_plain(spark, seg):
     assert plain == salted
     assert len(plain) > 50
 
+    # blocked export: every output array bounded, blocks sort-merge
+    # back to the exact plain lists (a 3-entry cap forces real blocking
+    # on every term with df > 3)
+    from nadry_spark.operators.index_build import term_posting_blocks
+
+    blocks: dict[str, list] = {}
+    for r in term_posting_blocks(postings, block_cap=3).collect():
+        assert len(r["postings"]) <= 3 + 4, (r["term"], len(r["postings"]))
+        blocks.setdefault(r["term"], []).extend(
+            p["doc_id"] for p in r["postings"]
+        )
+    merged = {t: sorted(ids) for t, ids in blocks.items()}
+    # plain lists sort by the full entry struct; doc_id leads the
+    # struct, so doc_id order matches
+    assert merged == {t: sorted(ids) for t, ids in plain.items()}
+
 
 def test_jaccard_verify_semi_joins_candidates(spark):
     """The MinHash verify stage must restrict the wide collect_list agg
