@@ -397,6 +397,95 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) revenue: the lineitem x orders fact
+    joined to the broadcast customer->nation->region dimension chain,
+    with subtotal + grand-total rows from rollup. grouping_id
+    disambiguates aggregation levels; names coalesce to 'ALL' because
+    the driver canonicalizer sorts flat columns (NULL vs str breaks a
+    pandas sort). Decimal-exact revenue like pricing_summary."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    dim = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        fact.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+                .cast("double"), 4,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "gid", "revenue", "n_lines",
+        )
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with NO orders since 1998 — the filtered
+    order keys broadcast against the customer table (left_anti), flat
+    row output."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(recent), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+def q_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join semantics per market segment: order-less
+    customers still count toward n_customers while contributing no
+    orders/value (count over the null-extended side skips nulls)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+
+
+def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-flavor: distinct supplier count per (brand, size) for
+    selected sizes, one brand excluded — part is the broadcast dim
+    against the lineitem fact, supplier_cnt is a distinct agg."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = part.where(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 14, 23, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over corpus terms: unlike HLL (whose
     register layouts differ per engine), k-minimum-values over md5 is
@@ -947,6 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "cust_no_orders": q_cust_no_orders,
+        "cust_order_stats": q_cust_order_stats,
+        "brand_suppliers": q_brand_suppliers,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "ann_topk": q_ann_topk,
@@ -1444,6 +1537,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment, o_orderpriority
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(r_name, 'ALL') AS r_name,
+                   coalesce(n_name, 'ALL') AS n_name,
+                   GROUPING(r_name, n_name)::BIGINT AS gid,
+                   round(sum(l_extendedprice::DECIMAL(18,4)
+                             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE, 4)
+                       AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "cust_no_orders": """
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+            )
+        """,
+        "cust_order_stats": """
+            SELECT c_mktsegment,
+                   count(DISTINCT c_custkey)::BIGINT AS n_customers,
+                   count(o_orderkey)::BIGINT AS n_orders,
+                   round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 4) AS total_value
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "brand_suppliers": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_size IN (1, 14, 23, 45)
+            GROUP BY p_brand, p_size
         """,
         "winnow_pairs": rf"""
             WITH doubled AS ({_DOCS_WITH_DUPS_SQL}),
