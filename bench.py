@@ -206,6 +206,32 @@ def main() -> None:
         bm25_topk_multi(msi, q, k=10).collect()
     timings["bm25_multiseg_p50"] = round((time.time() - t0) / len(queries), 3)
 
+    # multi-segment BMW: exercises the per-segment bound inflation
+    # (global avgdl vs each segment's own — bm25.py _shard_bmw
+    # bound_inflation) on the same query set; skip rates per segment
+    # land in extras
+    bm25_topk_multi(msi, queries[0], k=10, mode="bmw").collect()  # warm
+    t0 = time.time()
+    for q in queries:
+        bm25_topk_multi(msi, q, k=10, mode="bmw").collect()
+    timings["bm25_multiseg_bmw_p50"] = round((time.time() - t0) / len(queries), 3)
+    mbs = [bmw_block_stats(s, queries[0], k=10) for s in msi.segments]
+    extras["multiseg_bmw_blocks_total"] = sum(b["n_blocks"] for b in mbs)
+    extras["multiseg_bmw_blocks_decoded"] = sum(b["n_decoded"] for b in mbs)
+
+    # multi-segment phrase: positional match + tf=1 rank across the
+    # family (tombstone-aware candidate union)
+    from nadry_spark.operators.phrase import phrase_ranked
+
+    from nadry_spark.functions.tokenizer import tokenize as _tok
+
+    ph_tokens = _tok("news report")
+    phrase_ranked(msi, ph_tokens).limit(10).collect()  # warm
+    t0 = time.time()
+    for _ in range(2):
+        phrase_ranked(msi, ph_tokens).limit(10).collect()
+    timings["phrase_multiseg"] = round((time.time() - t0) / 2, 3)
+
     # honesty guard: flag any query >1.15x its round-2 time at the same
     # sf so round-over-round deltas stay visible in the bench output
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
