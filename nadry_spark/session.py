@@ -18,16 +18,13 @@ from pyspark.sql import SparkSession
 _SHIPPED_SESSIONS: set[int] = set()
 
 
-def ship_package(spark: SparkSession) -> None:
-    """Ship the nadry_spark package to executors (the spark-submit
-    --py-files story, automated). Without this, Python workers spawned
-    from a different cwd cannot unpickle our pandas UDFs."""
-    key = id(spark)
-    if key in _SHIPPED_SESSIONS:
-        return
+def build_package_zip(dest: str | None = None) -> str:
+    """Zip the nadry_spark package for spark-submit --py-files (and the
+    in-session addPyFile path below). Deterministic walk; returns the
+    zip path."""
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_root)
-    zpath = os.path.join(
+    zpath = dest or os.path.join(
         tempfile.gettempdir(), f"nadry_spark_pkg_{os.getpid()}.zip"
     )
     with zipfile.ZipFile(zpath, "w") as zf:
@@ -36,7 +33,17 @@ def ship_package(spark: SparkSession) -> None:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, repo_root))
-    spark.sparkContext.addPyFile(zpath)
+    return zpath
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the nadry_spark package to executors (the spark-submit
+    --py-files story, automated). Without this, Python workers spawned
+    from a different cwd cannot unpickle our pandas UDFs."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    spark.sparkContext.addPyFile(build_package_zip())
     _SHIPPED_SESSIONS.add(key)
 
 
