@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="directory of page parquet files")
+    ap.add_argument(
+        "--input", required=True,
+        help="directory of page parquet files, or warc:<dir> to watch "
+        "a directory of Common-Crawl WARC archives",
+    )
     ap.add_argument("--work", required=True, help="stream work dir (deltas + checkpoint)")
     ap.add_argument("--serve", required=True, help="serving segments root")
     ap.add_argument("--promote", action="store_true",

@@ -197,6 +197,27 @@ def _record_frames(records: Iterator[tuple[str, _dt.datetime, bytes]]):
         yield frame()
 
 
+def _pages_from_paths(batches):
+    """mapInPandas gen over binaryFile ``path`` rows: open each local
+    archive and stream-decode (bounded memory, disk -> records)."""
+    for pdf in batches:
+        for uri in pdf["path"]:
+            local = url2pathname(urlparse(uri).path)
+            with open(local, "rb") as f:
+                yield from _record_frames(parse_warc_stream(_decompressed_stream(f)))
+
+
+def _pages_from_content(batches):
+    """mapInPandas gen over binaryFile ``content`` rows (non-local
+    filesystems): compressed bytes resident, decode still bounded."""
+    for pdf in batches:
+        for content in pdf["content"]:
+            stream = _decompressed_stream(
+                io.BufferedReader(io.BytesIO(bytes(content)))
+            )
+            yield from _record_frames(parse_warc_stream(stream))
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files -> pages DataFrame (input_hint shape). One task per
     file (binaryFile source); records stream out of mapInPandas in
@@ -206,29 +227,35 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     ``content`` column with streaming decode on top."""
     raw = spark.read.format("binaryFile").load(path_glob)
     scheme = urlparse(path_glob).scheme or "file"
-
     if scheme == "file":
+        return raw.select("path").mapInPandas(_pages_from_paths, PAGES_DDL)
+    return raw.select("content").mapInPandas(_pages_from_content, PAGES_DDL)
 
-        def gen(batches):
-            for pdf in batches:
-                for uri in pdf["path"]:
-                    local = url2pathname(urlparse(uri).path)
-                    with open(local, "rb") as f:
-                        yield from _record_frames(
-                            parse_warc_stream(_decompressed_stream(f))
-                        )
 
-        return raw.select("path").mapInPandas(gen, PAGES_DDL)
-
-    def gen_content(batches):
-        for pdf in batches:
-            for content in pdf["content"]:
-                stream = _decompressed_stream(
-                    io.BufferedReader(io.BytesIO(bytes(content)))
-                )
-                yield from _record_frames(parse_warc_stream(stream))
-
-    return raw.select("content").mapInPandas(gen_content, PAGES_DDL)
+def read_warc_stream(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_warc`: a binaryFile
+    file-source stream over a (growing) directory of WARC archives —
+    drop Common-Crawl files into the directory and each micro-batch
+    parses up to ``max_files_per_trigger`` whole archives (the natural
+    WARC split unit) into pages rows with the same bounded-memory
+    decode as the batch reader. Feed to streaming/ingest.stream_ingest
+    via the ``warc:`` input scheme."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path_glob)
+    )
+    scheme = urlparse(path_glob).scheme or "file"
+    if scheme == "file":
+        return raw.select("path").mapInPandas(_pages_from_paths, PAGES_DDL)
+    return raw.select("content").mapInPandas(_pages_from_content, PAGES_DDL)
 
 
 def warc_record(url: str, ts: _dt.datetime, html: bytes) -> bytes:

@@ -47,16 +47,29 @@ def stream_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
 ):
-    """Start the ingest stream; returns the StreamingQuery."""
+    """Start the ingest stream; returns the StreamingQuery.
+
+    ``input_dir`` is a parquet directory of pages rows, or
+    ``warc:<dir-or-glob>`` to watch a directory of Common-Crawl WARC
+    archives instead (sources/warc.read_warc_stream — whole archives
+    per task, bounded-memory record decode); everything downstream of
+    the source is identical."""
     from nadry_spark.operators.index_build import build_postings, doc_stats, extract_documents
     from nadry_spark.session import ship_package
 
     ship_package(spark)
-    pages = (
-        spark.readStream.schema(PAGES_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    if input_dir.startswith("warc:"):
+        from nadry_spark.sources.warc import read_warc_stream
+
+        pages = read_warc_stream(
+            spark, input_dir[len("warc:"):], max_files_per_trigger
+        )
+    else:
+        pages = (
+            spark.readStream.schema(PAGES_SCHEMA_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

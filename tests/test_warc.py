@@ -142,3 +142,49 @@ def test_warc_streaming_decode_bounded_memory(tmp_path_factory):
 
     urls = [u for u, _, _ in parse_warc_bytes(raw)]
     assert urls == [f"https://ex.com/{i}" for i in range(n)]
+
+
+def test_warc_streaming_ingest_to_serving(spark, tiny_pages_path, tmp_path_factory):
+    """End-to-end: WARC archives dropped into a watched directory ->
+    stream_ingest (warc: scheme) -> finalize -> serving index that
+    answers rank-identically to a batch build from the parquet form of
+    the same corpus."""
+    from nadry_spark.operators.bm25 import bm25_topk
+    from nadry_spark.sources.segments import SegmentIndex, build_segments
+    from nadry_spark.sources.warc import write_warc
+    from nadry_spark.streaming.ingest import finalize_stream_index, stream_ingest
+
+    base = tmp_path_factory.mktemp("warcstream")
+    warc_dir = base / "archives"
+    warc_dir.mkdir()
+    rows = _pages_rows(tiny_pages_path)
+    half = len(rows) // 2
+    write_warc(str(warc_dir / "a.warc.gz"), rows[:half], per_record_gzip=True)
+    write_warc(str(warc_dir / "b.warc.gz"), rows[half:], per_record_gzip=True)
+
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+    stream_ingest(
+        spark, f"warc:{warc_dir}", out_dir, ckpt, max_files_per_trigger=1
+    ).awaitTermination(300)
+    seg_dir = str(base / "seg")
+    finalize_stream_index(spark, out_dir, seg_dir, n_shards=3)
+    idx_s = SegmentIndex(spark, seg_dir)
+
+    batch_dir = str(base / "batch_seg")
+    build_segments(
+        spark, spark.read.parquet(tiny_pages_path), batch_dir, n_shards=3,
+        shards_per_job=3,
+    )
+    idx_b = SegmentIndex(spark, batch_dir)
+    assert idx_s.meta["n_docs"] == idx_b.meta["n_docs"]
+    for q in ["news report update", "table batch value sort"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(idx_s, q, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(idx_b, q, k=10).collect()
+        ]
+        assert got == want, q
