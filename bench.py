@@ -232,19 +232,49 @@ def main() -> None:
         phrase_ranked(msi, ph_tokens).limit(10).collect()
     timings["phrase_multiseg"] = round((time.time() - t0) / 2, 3)
 
-    # honesty guard: flag any query >1.15x its round-2 time at the same
-    # sf so round-over-round deltas stay visible in the bench output
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
-    if os.path.exists(prev_path) and SF_DIR.rstrip("/").endswith("sf0.1"):
-        with open(prev_path) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
+    # honesty guard: flag any query >1.15x its time in the newest
+    # committed CLEAN run at the same sf so round-over-round deltas
+    # stay visible. BENCH/clean_run.json is written by running with
+    # SPARK_GRAFT_RECORD_CLEAN=<tag> at end of round (the driver's
+    # BENCH_r{N}.json files don't reliably carry parseable per-query
+    # numbers); falls back to the parsed r02 record.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prev, prev_tag = {}, None
+    clean_path = os.path.join(repo, "BENCH", "clean_run.json")
+    if os.path.exists(clean_path):
+        with open(clean_path) as f:
+            rec = json.load(f)
+        if rec.get("sf") == SF_DIR.rstrip("/").split("sf")[-1]:
+            prev, prev_tag = rec.get("queries", {}), rec.get("tag", "clean")
+    if not prev:
+        prev_path = os.path.join(repo, "BENCH_r02.json")
+        if os.path.exists(prev_path) and SF_DIR.rstrip("/").endswith("sf0.1"):
+            with open(prev_path) as f:
+                prev = json.load(f).get("parsed", {}).get("queries", {})
+            prev_tag = "r02"
+    if prev:
         regressions = {
-            name: {"r02": prev[name], "now": t}
+            name: {prev_tag: prev[name], "now": t}
             for name, t in timings.items()
             if name in prev and prev[name] > 0.05 and t > prev[name] * 1.15
         }
         if regressions:
-            extras["regressions_vs_r02"] = regressions
+            extras[f"regressions_vs_{prev_tag}"] = regressions
+
+    record_tag = os.environ.get("SPARK_GRAFT_RECORD_CLEAN")
+    if record_tag:
+        os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+        with open(clean_path, "w") as f:
+            json.dump(
+                {
+                    "tag": record_tag,
+                    "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                    "cpus": CPUS,
+                    "bench_pages": N_PAGES,
+                    "queries": timings,
+                },
+                f, indent=1,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
