@@ -188,3 +188,54 @@ def test_warc_streaming_ingest_to_serving(spark, tiny_pages_path, tmp_path_facto
             for r in bm25_topk(idx_b, q, k=10).collect()
         ]
         assert got == want, q
+
+
+def test_warc_stream_chunk_size_invariance():
+    """Property: the streaming parser yields IDENTICAL records whatever
+    the chunk size (boundaries can land inside magics, headers, bodies)
+    and whatever junk rides between records. Pure Python — no Spark."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nadry_spark.sources.warc import (
+        _decompressed_stream,
+        parse_warc_stream,
+        warc_record,
+    )
+
+    ts = dt.datetime(2025, 3, 2, tzinfo=dt.timezone.utc)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bodies=st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=8),
+        junk=st.binary(max_size=64),
+        chunk=st.integers(min_value=1, max_value=512),
+        gzip_per_record=st.booleans(),
+    )
+    def check(bodies, junk, chunk, gzip_per_record):
+        import gzip as _gz
+
+        from hypothesis import assume
+
+        # inter-record junk that itself contains a record magic is
+        # (identically) mis-scanned by both parsers — out of scope here
+        assume(b"WARC/" not in junk)
+
+        parts = []
+        for i, b in enumerate(bodies):
+            rec = warc_record(f"https://ex.com/{i}", ts, b)
+            parts.append(_gz.compress(rec) if gzip_per_record else junk + rec)
+        data = b"".join(parts)
+
+        def parse(chunk_size):
+            stream = _decompressed_stream(io.BufferedReader(io.BytesIO(data)))
+            return list(parse_warc_stream(stream, chunk_size=chunk_size))
+
+        got = parse(chunk)
+        want = parse(1 << 20)
+        assert got == want
+        assert [r[2] for r in got] == list(bodies)
+
+    check()
