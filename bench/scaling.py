@@ -22,37 +22,6 @@ from shutil import which as shutil_which
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-WORKER = r"""
-import json, os, shutil, sys, time
-sys.path.insert(0, {repo!r})
-cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); corpus = sys.argv[3]
-from nadry_spark.session import get_spark
-spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
-from nadry_spark.sources.segments import build_segments, SegmentIndex
-from nadry_spark.operators.bm25 import bm25_topk
-
-pages = spark.read.parquet(corpus)
-seg_dir = f"/tmp/nadry_scaling_seg_{{cpus}}"
-shutil.rmtree(seg_dir, ignore_errors=True)
-t0 = time.time()
-meta = build_segments(spark, pages, seg_dir, n_shards=32, shards_per_job=32)
-build_sec = time.time() - t0
-
-idx = SegmentIndex(spark, seg_dir)
-queries = ["news report update", "table batch value sort", "news 2024",
-           "small filter merge", "report table news batch"]
-bm25_topk(idx, queries[0], k=10).collect()  # warm
-t0 = time.time()
-for q in queries:
-    bm25_topk(idx, q, k=10, mode="taat").collect()
-query_sec = (time.time() - t0) / len(queries)
-print("RESULT " + json.dumps({{
-    "cpus": cpus, "n_docs": meta["n_docs"], "build_sec": round(build_sec, 2),
-    "docs_per_sec": round(meta["n_docs"] / build_sec, 1),
-    "bm25_p50_sec": round(query_sec, 3),
-}}))
-spark.stop()
-"""
 
 
 _PYFILES_ZIP: list[str] = []  # built once per scaling.py invocation
@@ -88,16 +57,23 @@ def run(cpus: int, n_pages: int, corpus: str) -> dict:
             str(cpus), str(n_pages), corpus,
         ]
     else:
-        script = WORKER.format(repo=REPO)
-        cmd = [sys.executable, "-c", script, str(cpus), str(n_pages), corpus]
+        # same worker FILE, plain python with PYTHONPATH — one source
+        # of truth for the leg protocol either way
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "bench", "scaling_worker.py"),
+            str(cpus), str(n_pages), corpus,
+        ]
     if shutil_which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
         cmd,
         capture_output=True,
         text=True,
         timeout=3600,
         cwd=REPO,
+        env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -140,7 +116,6 @@ def main() -> None:
     # on a hypervisor-throttle transient in either direction; the
     # reported efficiency must be a MEDIAN property of the protocol,
     # not the best of several attempts.
-    import statistics
     import time as _time
 
     trials: dict[str, list[dict]] = {"high": [], "low": []}
@@ -153,17 +128,16 @@ def main() -> None:
               f"high {trials['high'][-1]['docs_per_sec']} docs/s, "
               f"low {trials['low'][-1]['docs_per_sec']} docs/s", flush=True)
 
-    def med(leg, key):
-        return statistics.median(r[key] for r in trials[leg])
+    def median_trial(leg):
+        """The whole record of the median trial by docs_per_sec — the
+        reported row stays internally consistent (docs_per_sec really
+        equals n_docs/build_sec of ONE run), unlike independent
+        per-metric medians."""
+        ranked = sorted(trials[leg], key=lambda r: r["docs_per_sec"])
+        return ranked[(len(ranked) - 1) // 2]  # exact for odd N (default)
 
-    high = {**trials["high"][-1],
-            "docs_per_sec": med("high", "docs_per_sec"),
-            "build_sec": med("high", "build_sec"),
-            "bm25_p50_sec": med("high", "bm25_p50_sec")}
-    low = {**trials["low"][-1],
-           "docs_per_sec": med("low", "docs_per_sec"),
-           "build_sec": med("low", "build_sec"),
-           "bm25_p50_sec": med("low", "bm25_p50_sec")}
+    high = median_trial("high")
+    low = median_trial("low")
     ratio = args.high / args.low
     eff_build = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     eff_all = [
@@ -177,7 +151,7 @@ def main() -> None:
         "high": high,
         "per_trial_efficiency": [round(e, 3) for e in eff_all],
         "scaling_efficiency_build": round(eff_build, 3),
-        "basis": f"median of {args.trials} trials per leg",
+        "basis": f"median trial (by docs/s) of {args.trials} per leg",
         "meets_0_8": eff_build >= 0.8,
     }
     print(json.dumps(report, indent=2))
@@ -200,12 +174,14 @@ a {args.pages}-page deterministic synthetic Common-Crawl-style corpus
 positions + manifests) and BM25 top-10 query p50 over the built
 segments.
 
-All figures are MEDIANS over {args.trials} interleaved trials per leg
+Each row is the complete record of the MEDIAN trial (by docs/s) out
+of {args.trials} interleaved trials per leg — internally consistent
+(docs/s == n_docs/build_sec of one actual run)
 (high-leg-first each round, {args.cooldown}s idle cool-down before
 every run — the fair-share recovery protocol; per-trial efficiencies:
 {', '.join(f'{e:.3f}' for e in eff_all)}):
 
-| parallelism | build sec (med) | docs/sec (med) | BM25 top-10 p50 (med s) |
+| parallelism | build sec | docs/sec | BM25 top-10 p50 (s) |
 |---|---|---|---|
 | local[{args.low}] | {low['build_sec']} | {low['docs_per_sec']} | {low['bm25_p50_sec']} |
 | local[{args.high}] | {high['build_sec']} | {high['docs_per_sec']} | {high['bm25_p50_sec']} |

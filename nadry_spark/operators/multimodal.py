@@ -25,6 +25,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -387,10 +388,12 @@ def featurize(media: DataFrame, dim: int = FEATURE_DIM, mode: str = "auto") -> D
                         f = real_features(raw, kind, dim)
                         decoded = True
                     except (ValueError, NotImplementedError, wave.Error,
-                            EOFError, struct.error, IndexError, OverflowError):
+                            EOFError, struct.error, IndexError, OverflowError,
+                            zlib.error):
                         # the expected corrupt/unsupported-payload errors:
                         # truncated RIFF chunks raise wave.Error/EOFError,
                         # bad headers ValueError/struct.error/IndexError,
+                        # corrupt PNG deflate streams zlib.error,
                         # library-needing codecs NotImplementedError. Auto
                         # mode falls back to the deterministic histogram
                         # features for these; anything else is a genuine

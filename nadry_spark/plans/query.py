@@ -242,12 +242,15 @@ class QueryEngine:
             "tokens": list(tokens) if tokens else [],
             "searchTimeSec": round(time.time() - t0, 4),
         }
+        # the two bound sources COMPOSE (a capped count over an
+        # already top-k-bounded bm25 frame is a lower bound if EITHER
+        # bound was hit): count-up-to mode (totalResults == count_cap+1
+        # means "more than count_cap") and the bm25 fast path's frame
+        # filling at `need` rows both mean the true candidate count is
+        # >= totalResults and totalPages is a floor
+        topk_hit = topk_bound is not None and total >= topk_bound
         if self.count_cap is not None:
-            # count-up-to mode: totalResults == count_cap+1 means
-            # "more than count_cap" — flagged, never silently wrong
-            out["totalResultsIsLowerBound"] = total > self.count_cap
-        elif topk_bound is not None and total >= topk_bound:
-            # bm25 top-k fast path filled its frame: the true candidate
-            # count is >= totalResults and totalPages is a floor
+            out["totalResultsIsLowerBound"] = total > self.count_cap or topk_hit
+        elif topk_hit:
             out["totalResultsIsLowerBound"] = True
         return out

@@ -24,6 +24,17 @@ def build_package_zip(dest: str | None = None) -> str:
     zip path."""
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_root)
+    if not os.path.isdir(pkg_root):
+        # imported from a --py-files zip (pkg_root = .../x.zip/nadry_spark):
+        # os.walk over a zip-internal path yields nothing and would
+        # silently produce an EMPTY zip — reuse the archive we were
+        # imported from instead
+        if zipfile.is_zipfile(repo_root):
+            return repo_root
+        raise RuntimeError(
+            f"nadry_spark imported from non-directory {pkg_root!r} that is "
+            "not a zip archive — cannot package for --py-files"
+        )
     zpath = dest or os.path.join(
         tempfile.gettempdir(), f"nadry_spark_pkg_{os.getpid()}.zip"
     )

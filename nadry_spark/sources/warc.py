@@ -56,43 +56,123 @@ _BATCH_RECORDS = 512
 _BATCH_BYTES = 64 << 20
 
 
-def _decompressed_stream(raw: io.BufferedIOBase) -> io.BufferedIOBase:
-    """Wrap gzipped input in a member-at-a-time streaming decoder;
-    pass plain WARC through. Peeks 2 bytes without consuming."""
+class _TolerantMultiGzip:
+    """Member-at-a-time gzip decoder (zlib.decompressobj(31)) that
+    returns everything decodable BEFORE any corruption instead of
+    raising: GzipFile.read() raises EOFError/BadGzipFile mid-call on a
+    truncated member and the data it had already inflated in that call
+    is lost — here a truncated or corrupt tail just ends the stream at
+    the last clean byte (records decoded so far survive). Inflates only
+    what the caller read()s, so memory stays bounded."""
+
+    def __init__(self, raw, comp_chunk: int = 1 << 18):
+        import zlib
+
+        self._zlib = zlib
+        self._raw = raw
+        self._n = comp_chunk
+        self._d = zlib.decompressobj(31)
+        self._buf = b""  # compressed bytes not yet consumed
+        self._dead = False
+
+    def read(self, size: int = -1) -> bytes:
+        if size is None or size < 0:
+            size = 1 << 62  # "all": loop to EOF
+        out = bytearray()
+        while len(out) < size and not self._dead:
+            if self._d.eof:
+                # member boundary: next member starts in unused_data
+                tail = self._d.unused_data + self._buf
+                if not tail:
+                    tail = self._raw.read(self._n)
+                    if not tail:
+                        break  # clean EOF
+                self._d = self._zlib.decompressobj(31)
+                self._buf = tail
+                continue
+            if not self._buf:
+                self._buf = self._raw.read(self._n)
+                if not self._buf:
+                    self._dead = True  # truncated mid-member
+                    break
+            try:
+                data = self._d.decompress(self._buf, size - len(out))
+            except self._zlib.error:
+                self._dead = True  # corrupt member: stop at last clean byte
+                break
+            # CPython quirk: when the member ENDS under a max_length cap,
+            # the remainder shows up in BOTH unused_data and
+            # unconsumed_tail — keeping the tail too would duplicate
+            # those compressed bytes at the member hand-off
+            self._buf = b"" if self._d.eof else self._d.unconsumed_tail
+            out += data
+        return bytes(out)
+
+
+def _decompressed_stream(raw: io.BufferedIOBase):
+    """Wrap gzipped input in a tolerant member-at-a-time streaming
+    decoder; pass plain WARC through. Peeks 2 bytes without consuming."""
     head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
     if not head:  # unpeekable (e.g. bare BytesIO): read + push back
         pos = raw.tell()
         head = raw.read(2)
         raw.seek(pos)
     if head == _GZIP_MAGIC:
-        # GzipFile reads concatenated members transparently and only
-        # inflates what the caller read()s — the bounded path
-        return gzip.GzipFile(fileobj=raw)  # type: ignore[return-value]
+        return _TolerantMultiGzip(raw)
     return raw
 
 
+_MAX_HEADER_BYTES = 1 << 20  # a real WARC header block is < 1 KiB
+_MAX_RECORD_BYTES = 1 << 30  # spec allows huge records; cap what we BUFFER
+
+
 def parse_warc_stream(
-    stream, chunk_size: int = _CHUNK, stats: dict | None = None
+    stream,
+    chunk_size: int = _CHUNK,
+    stats: dict | None = None,
+    max_record_bytes: int = _MAX_RECORD_BYTES,
 ) -> Iterator[tuple[str, _dt.datetime, bytes]]:
     """Yield (url, warc_ts, html_bytes) response records from a
     readable byte stream, incrementally: the resident buffer holds at
     most one record body + one chunk (``stats['max_buf']`` records the
     observed high-water mark — the testable memory bound). Malformed
     records are skipped, not fatal — hostile/truncated archives must
-    never kill the job (same policy as media decode).
+    never kill the job (same policy as media decode):
+
+    * gzip-level corruption (truncated member, junk between members)
+      ends the stream at the last decodable byte instead of raising —
+      records before the corruption survive;
+    * a header block that never terminates within 1 MiB is discarded as
+      garbage rather than buffered to EOF;
+    * a record declaring Content-Length beyond ``max_record_bytes`` is
+      SKIPPED by streaming-discard — its bytes pass through in chunks
+      without ever residing in the buffer, so a hostile length field
+      cannot OOM the task.
     """
+    import zlib
+
     buf = bytearray()
     eof = False
     max_buf = 0
 
-    def fill() -> bool:
-        """Append one chunk; False at EOF."""
-        nonlocal eof, max_buf
+    def read_chunk() -> bytes:
+        """One decompressed chunk; corruption == EOF, never fatal."""
+        nonlocal eof
         if eof:
-            return False
-        chunk = stream.read(chunk_size)
+            return b""
+        try:
+            chunk = stream.read(chunk_size)
+        except (EOFError, OSError, gzip.BadGzipFile, zlib.error):
+            chunk = b""
         if not chunk:
             eof = True
+        return chunk
+
+    def fill() -> bool:
+        """Append one chunk; False at EOF."""
+        nonlocal max_buf
+        chunk = read_chunk()
+        if not chunk:
             return False
         buf.extend(chunk)
         max_buf = max(max_buf, len(buf))
@@ -112,12 +192,16 @@ def parse_warc_stream(
             if head_start:
                 del buf[:head_start]
 
-            # complete the header block
+            # complete the header block (bounded: hostile input with a
+            # magic but no terminator must not buffer to EOF)
             head_end = buf.find(b"\r\n\r\n")
-            while head_end < 0:
+            while head_end < 0 and len(buf) <= _MAX_HEADER_BYTES:
                 if not fill():
                     return
                 head_end = buf.find(b"\r\n\r\n")
+            if head_end < 0:  # unterminated: drop this magic, rescan
+                del buf[:5]
+                continue
 
             headers: dict[str, str] = {}
             for line in bytes(buf[:head_end]).split(b"\r\n")[1:]:
@@ -130,6 +214,24 @@ def parse_warc_stream(
                 length = int(headers.get("content-length", ""))
             except ValueError:
                 del buf[: head_end + 4]
+                continue
+
+            if length < 0:
+                del buf[: head_end + 4]
+                continue
+            if length > max_record_bytes:
+                # streaming-discard: consume the oversized body chunk by
+                # chunk without growing the buffer past one chunk
+                remaining = length - (len(buf) - head_end - 4)
+                del buf[:]
+                while remaining > 0:
+                    chunk = read_chunk()
+                    if not chunk:
+                        return
+                    remaining -= len(chunk)
+                if remaining < 0:  # chunk overshot into the next record
+                    buf.extend(chunk[remaining:])
+                    max_buf = max(max_buf, len(buf))
                 continue
 
             # complete the body (resident bound: one record + one chunk)
@@ -202,7 +304,14 @@ def _pages_from_paths(batches):
     archive and stream-decode (bounded memory, disk -> records)."""
     for pdf in batches:
         for uri in pdf["path"]:
-            local = url2pathname(urlparse(uri).path)
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                raise ValueError(
+                    f"local-path WARC decode got non-file URI {uri!r} — "
+                    "the defaultFS sniff in read_warc chose wrongly; "
+                    "pass an explicit scheme in the glob"
+                )
+            local = url2pathname(parsed.path)
             with open(local, "rb") as f:
                 yield from _record_frames(parse_warc_stream(_decompressed_stream(f)))
 
@@ -218,16 +327,30 @@ def _pages_from_content(batches):
             yield from _record_frames(parse_warc_stream(stream))
 
 
+def _is_local_glob(spark: SparkSession, path_glob: str) -> bool:
+    """Whether a binaryFile glob resolves to local files tasks can
+    open() directly. An explicit scheme decides outright; a bare path
+    resolves against Hadoop's fs.defaultFS (on a cluster whose default
+    filesystem is HDFS/S3, a scheme-less glob is NOT local)."""
+    scheme = urlparse(path_glob).scheme
+    if scheme:
+        return scheme == "file"
+    default = spark.sparkContext._jsc.hadoopConfiguration().get(
+        "fs.defaultFS", "file:///"
+    )
+    return default.startswith("file:")
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files -> pages DataFrame (input_hint shape). One task per
     file (binaryFile source); records stream out of mapInPandas in
-    bounded batches. Local (file:) globs stream straight off disk —
-    only the ``path`` column is projected, so binaryFile never loads
-    the archive bytes into the row; other filesystems fall back to the
-    ``content`` column with streaming decode on top."""
+    bounded batches. Local globs (explicit file: scheme, or scheme-less
+    when fs.defaultFS is local) stream straight off disk — only the
+    ``path`` column is projected, so binaryFile never loads the archive
+    bytes into the row; other filesystems fall back to the ``content``
+    column with streaming decode on top."""
     raw = spark.read.format("binaryFile").load(path_glob)
-    scheme = urlparse(path_glob).scheme or "file"
-    if scheme == "file":
+    if _is_local_glob(spark, path_glob):
         return raw.select("path").mapInPandas(_pages_from_paths, PAGES_DDL)
     return raw.select("content").mapInPandas(_pages_from_content, PAGES_DDL)
 
@@ -252,8 +375,7 @@ def read_warc_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path_glob)
     )
-    scheme = urlparse(path_glob).scheme or "file"
-    if scheme == "file":
+    if _is_local_glob(spark, path_glob):
         return raw.select("path").mapInPandas(_pages_from_paths, PAGES_DDL)
     return raw.select("content").mapInPandas(_pages_from_content, PAGES_DDL)
 

@@ -572,3 +572,36 @@ def test_png_rows_in_synthetic_media(spark):
             assert r["decoded"] is True, m["meta"]["codec"]
             assert r["features"][1] == m["meta"]["width"]
             assert r["features"][2] == m["meta"]["height"]
+
+
+def test_png_corrupt_idat_falls_back(spark):
+    """A PNG-magic payload with garbage IDAT raises zlib.error in the
+    decoder; featurize auto mode must fall back to fake features, not
+    kill the job."""
+    import zlib
+
+    import pytest as _pytest
+
+    from nadry_spark.operators.multimodal import _PNG_MAGIC, decode_png, featurize
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bad = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x99garbage-not-deflate\x42")
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(zlib.error):
+        decode_png(bad)
+    media = spark.createDataFrame(
+        [(0, "image", bad, (2, 2, 0, "png"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    rows = featurize(media, mode="auto").collect()
+    assert len(rows) == 1 and rows[0]["decoded"] is False

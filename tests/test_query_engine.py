@@ -229,3 +229,22 @@ def test_bm25_path_envelope_lower_bound(seg):
     sparse = QueryEngine(idx, scoring="bm25").search(rare, page=0, page_size=10)
     assert sparse["totalResults"] == cnt[rare]
     assert "totalResultsIsLowerBound" not in sparse
+
+
+def test_count_cap_composes_with_bm25_topk_bound(seg):
+    """count_cap over an already top-k-bounded bm25 frame: a roomy cap
+    must NOT report the frame-truncated count as exact (regression: the
+    elif made count_cap swallow the topk lower-bound flag)."""
+    from collections import Counter
+
+    from nadry_spark.plans.query import QueryEngine
+
+    idx, o_postings, _ = seg
+    cnt = Counter(t for t, _ in o_postings if ":" not in t)
+    hot = cnt.most_common(1)[0][0]
+    assert cnt[hot] > 2  # more candidates than need=2
+
+    eng = QueryEngine(idx, scoring="bm25", count_cap=1000)
+    res = eng.search(hot, page=0, page_size=2)
+    assert res["totalResults"] == 2  # top-k frame bound at need
+    assert res["totalResultsIsLowerBound"] is True  # composed, not masked

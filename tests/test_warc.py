@@ -93,10 +93,14 @@ def test_warc_streaming_decode_bounded_memory(tmp_path_factory):
         write_warc,
     )
 
+    import numpy as np
+
     base = tmp_path_factory.mktemp("warcbig")
     path = str(base / "big.warc.gz")
-    body = b"<html>" + b"x" * 300_000 + b"</html>"
-    n = 200  # ~60 MB decompressed
+    # INCOMPRESSIBLE bodies: compressed size ~= raw size, so the
+    # bytes_read assertion below actually measures incremental reads
+    body = b"<html>" + np.random.RandomState(7).bytes(200_000) + b"</html>"
+    n = 100  # ~20 MB raw AND compressed
     ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
     write_warc(
         path,
@@ -115,7 +119,7 @@ def test_warc_streaming_decode_bounded_memory(tmp_path_factory):
     CountingReader.bytes_read = 0
     f = CountingReader(open(path, "rb").detach())
     stats: dict = {}
-    gen = parse_warc_stream(_decompressed_stream(f), stats=stats)
+    gen = parse_warc_stream(_decompressed_stream(f), chunk_size=1 << 18, stats=stats)
 
     first = next(gen)
     assert first[0] == "https://ex.com/0"
@@ -132,7 +136,7 @@ def test_warc_streaming_decode_bounded_memory(tmp_path_factory):
     record_size = len(warc_record("https://ex.com/0", ts, body))
     decompressed_total = n * record_size
     # the memory bound: one record + one chunk + slack, NOT the archive
-    assert stats["max_buf"] < record_size + (1 << 20) + 65536, stats
+    assert stats["max_buf"] < record_size + (1 << 18) + 65536, stats
     assert stats["max_buf"] < decompressed_total / 20
 
     # multi-member whole-buffer path agrees (parse_warc_bytes wrapper)
@@ -239,3 +243,76 @@ def test_warc_stream_chunk_size_invariance():
         assert [r[2] for r in got] == list(bodies)
 
     check()
+
+
+def test_warc_hostile_inputs_bounded_and_survivable():
+    """Corrupt gzip tails end the stream instead of raising (records
+    before the corruption survive); an unterminated header block is
+    discarded, not buffered to EOF; an oversized Content-Length is
+    streaming-discarded without growing the resident buffer, and
+    records AFTER it still parse."""
+    import gzip
+    import io
+
+    from nadry_spark.sources.warc import (
+        _decompressed_stream,
+        parse_warc_stream,
+        warc_record,
+    )
+
+    ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rec_a = warc_record("https://ok.example.com/a", ts, b"<html>a</html>")
+    rec_b = warc_record("https://ok.example.com/b", ts, b"<html>b</html>")
+
+    # corrupt gzip tail: member A intact, member B truncated mid-stream.
+    # No exception; A survives byte-exact; whatever decoded of B before
+    # the cut is at most a prefix (here the cut lands mid-deflate-block,
+    # so B is lost entirely)
+    gz_b = gzip.compress(rec_b)
+    data = gzip.compress(rec_a) + gz_b[: len(gz_b) // 2]
+    out = list(
+        parse_warc_stream(_decompressed_stream(io.BufferedReader(io.BytesIO(data))))
+    )
+    assert out[0] == ("https://ok.example.com/a", ts, b"<html>a</html>")
+    for url, _, html in out[1:]:
+        assert url == "https://ok.example.com/b"
+        assert b"<html>b</html>".startswith(html)
+
+    # corrupt bytes MID-archive: A + junk + C — A must survive; the
+    # decoder stops at the corruption (no crash)
+    rec_c = warc_record("https://ok.example.com/c", ts, b"<html>c</html>")
+    data = gzip.compress(rec_a) + b"\x1f\x8b<garbage>" + gzip.compress(rec_c)
+    out = list(
+        parse_warc_stream(_decompressed_stream(io.BufferedReader(io.BytesIO(data))))
+    )
+    assert out[0] == ("https://ok.example.com/a", ts, b"<html>a</html>")
+
+    # unterminated header: magic + no CRLFCRLF for > _MAX_HEADER_BYTES,
+    # then a good record — parser must discard the garbage and recover
+    from nadry_spark.sources.warc import _MAX_HEADER_BYTES
+
+    junk = b"WARC/1.0\r\nWARC-Type: response" + b"x" * (_MAX_HEADER_BYTES + 4096)
+    stats: dict = {}
+    out = list(
+        parse_warc_stream(
+            io.BufferedReader(io.BytesIO(junk + rec_a)), stats=stats
+        )
+    )
+    assert [u for u, _, _ in out] == ["https://ok.example.com/a"]
+    assert stats["max_buf"] <= _MAX_HEADER_BYTES + (1 << 20) + 65536
+
+    # hostile Content-Length: oversized record skipped by streaming
+    # discard (buffer stays ~one chunk), following record parses
+    big_body = b"z" * 500_000
+    rec_big = warc_record("https://ok.example.com/big", ts, big_body)
+    stats = {}
+    out = list(
+        parse_warc_stream(
+            io.BufferedReader(io.BytesIO(rec_big + rec_b)),
+            chunk_size=4096,
+            stats=stats,
+            max_record_bytes=10_000,
+        )
+    )
+    assert [u for u, _, _ in out] == ["https://ok.example.com/b"]
+    assert stats["max_buf"] < 64_000, stats  # never buffered the big body
