@@ -47,6 +47,10 @@ def main() -> None:
                     help="fold L0 delta batches into the L1 tier after ingest")
     ap.add_argument("--compact", action="store_true",
                     help="forced-merge: rebuild the family into ONE segment")
+    ap.add_argument("--auto-compact-after", type=int, default=None, metavar="N",
+                    help="merge policy: forced-merge automatically when the "
+                    "serving family exceeds N segments after this cycle's "
+                    "finalize (the Lucene tiered-merge trigger, simplified)")
     ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -72,6 +76,14 @@ def main() -> None:
         state = compact_serving(spark, out, args.serve, **kwargs)
     else:
         state = finalize_incremental(spark, out, args.serve, **kwargs)
+        if (
+            args.auto_compact_after is not None
+            and len(state["segments"]) > args.auto_compact_after
+        ):
+            # per-query fan-out is one scan per segment; past the
+            # threshold the rebuild amortizes over every future query
+            state = compact_serving(spark, out, args.serve, **kwargs)
+            state["auto_compacted"] = True
     print(json.dumps(state))
     spark.stop()
 
