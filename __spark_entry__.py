@@ -755,7 +755,10 @@ def q_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate NN (the ANN scale path)."""
+    """Sign-LSH bucketed approximate NN (the ANN scale path), with
+    Hamming-distance-1 multi-probe (recall@10 ~0.5 vs ~0.1
+    single-probe at b=4 on the near-uniform bench embeddings; the
+    oracle mirrors the probe expansion)."""
     from nadry_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1707,16 +1710,30 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
         "lsh_ann": """
-            WITH tagged AS (
+            WITH bits AS (
                 SELECT vec_id, embedding,
-                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-                       (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) AS b1,
+                       (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS b2,
+                       (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) AS b3,
+                       (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS b4,
+                       (CASE WHEN embedding[1] >= 0 THEN '0' ELSE '1' END) AS i1,
+                       (CASE WHEN embedding[2] >= 0 THEN '0' ELSE '1' END) AS i2,
+                       (CASE WHEN embedding[3] >= 0 THEN '0' ELSE '1' END) AS i3,
+                       (CASE WHEN embedding[4] >= 0 THEN '0' ELSE '1' END) AS i4
                 FROM embeddings
             ),
-            q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM tagged WHERE vec_id < 5),
-            v AS (SELECT vec_id AS nid, embedding AS vv, bucket FROM tagged),
+            -- multi-probe: own bucket + every Hamming-distance-1 flip
+            q AS (
+                SELECT vec_id AS qid, embedding AS qv,
+                       unnest(list_value(
+                           b1 || b2 || b3 || b4,
+                           i1 || b2 || b3 || b4,
+                           b1 || i2 || b3 || b4,
+                           b1 || b2 || i3 || b4,
+                           b1 || b2 || b3 || i4)) AS bucket
+                FROM bits WHERE vec_id < 5
+            ),
+            v AS (SELECT vec_id AS nid, embedding AS vv, b1 || b2 || b3 || b4 AS bucket FROM bits),
             pairs AS (SELECT qid, nid, qv, vv FROM q JOIN v USING (bucket) WHERE nid <> qid),
             el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM pairs),
             cos AS (

@@ -72,6 +72,21 @@ def main() -> None:
         t, _ = _timed(lambda fn=fn: fn(spark, SF_DIR).collect())
         timings[name] = round(t, 3)
 
+    # ---- ANN recall evidence: both approximate paths vs brute force
+    # (an ANN that's fast but blind is not done; recall@10 goes in
+    # extras so the speed numbers above carry their quality context)
+    exact = {}
+    for r in entry_mod.queries()["ann_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    for ann in ("lsh_ann", "ivf_ann"):
+        got: dict = {}
+        for r in entry_mod.queries()[ann](spark, SF_DIR).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+        recalls = [
+            len(got.get(q, set()) & n) / len(n) for q, n in exact.items() if n
+        ]
+        extras[f"{ann}_recall_at_10"] = round(sum(recalls) / len(recalls), 3)
+
     # ---- flagship ----
     t, _ = _timed(lambda: entry_mod.entry(spark).collect())
     timings["flagship_exact_rank"] = round(t, 3)
