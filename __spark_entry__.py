@@ -341,6 +341,27 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md5_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filters: duplicate-3-gram
+    and top-3-gram fractions per document."""
+    from nadry_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination probe: docs sharing >=1 distinct word
+    5-gram with a 'benchmark' made of the 5 smallest doc_ids' texts
+    (the eval-set-leakage primitive; the benchmark docs themselves are
+    contaminated by construction, which makes the oracle row
+    self-validating)."""
+    from nadry_spark.operators.textstats import benchmark_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.orderBy("doc_id").limit(5)
+    return benchmark_contamination(docs, bench, "doc_id", "text", n=5)
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing passage fingerprints (MOSS): token 3-grams, window 4,
     min-hash per window — localizes shared passages, not just whole-doc
@@ -1033,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "kmv_distinct": q_kmv_distinct,
@@ -1430,6 +1453,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_sql(),
         "media_features": _media_sql(),
+        "repetition": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+                FROM toks
+            ),
+            g0 AS (
+                SELECT doc_id,
+                       tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+                FROM ex WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_ngrams,
+                   round(1.0::DOUBLE - count(*)::DOUBLE / sum(c)::DOUBLE, 9) AS dup_ngram_frac,
+                   round(max(c)::DOUBLE / sum(c)::DOUBLE, 9) AS top_ngram_frac
+            FROM pg GROUP BY doc_id
+        """,
+        "contamination": r"""
+            WITH bench AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5
+            ),
+            dt AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                FROM documents
+            ),
+            dex AS (
+                SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+                FROM dt
+            ),
+            dg0 AS (
+                SELECT doc_id,
+                       tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+                FROM dex WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM dg0 WHERE g IS NOT NULL),
+            bt AS (
+                SELECT doc_id AS bid, string_split_regex(lower(text), '\s+') AS t
+                FROM bench
+            ),
+            bex AS (
+                SELECT bid, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+                FROM bt
+            ),
+            bg0 AS (
+                SELECT bid,
+                       tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+                FROM bex WINDOW w AS (PARTITION BY bid ORDER BY pos)
+            ),
+            bg AS (SELECT DISTINCT g FROM bg0 WHERE g IS NOT NULL)
+            SELECT doc_id, count(*)::BIGINT AS n_shared
+            FROM dg JOIN bg USING (g)
+            GROUP BY doc_id
+        """,
         "kmv_distinct": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
             pairs AS (SELECT doc_id::VARCHAR || '|' || term AS pair FROM terms),

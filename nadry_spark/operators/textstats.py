@@ -316,3 +316,90 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(step1, F.lit(url_re)).cast("long").alias("n_urls"),
         F.regexp_count(step2, F.lit(num_re)).cast("long").alias("n_nums"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    n-grams (Rae et al. 2021 §A1.1 use duplicate-line and top-n-gram
+    fractions as quality filters; web text with high values is
+    boilerplate/spam):
+
+      dup_ngram_frac  1 - distinct_ngrams / total_ngrams
+      top_ngram_frac  occurrences of the most frequent n-gram / total
+
+    Row-based n-gram formation (posexplode + lead — the CollapseProject
+    -safe shape, see word_shingles) then one (id, gram) count and one
+    per-id aggregate; all whole-stage-codegen column math. Docs with
+    fewer than n tokens emit no n-grams and are absent from the output
+    (no ngrams -> repetition undefined)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, n)]
+    gram = F.when(
+        F.lead("tok", n - 1).over(w_ord).isNotNull(), F.concat_ws(" ", *parts)
+    )
+    grams = toks.select("id", gram.alias("gram")).where(F.col("gram").isNotNull())
+    per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.sum("c").alias("_total"),
+            F.count("*").alias("_distinct"),
+            F.max("c").alias("_maxc"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_total").cast("long").alias("n_ngrams"),
+            F.round(1.0 - F.col("_distinct") / F.col("_total"), 9).alias("dup_ngram_frac"),
+            F.round(F.col("_maxc") / F.col("_total"), 9).alias("top_ngram_frac"),
+        )
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document count of distinct word n-grams shared with a
+    benchmark/eval corpus — the decontamination primitive of
+    training-data pipelines (an n-gram of the eval set appearing in a
+    training doc is leakage; n=8..13 word-grams are the conventional
+    probes). Returns (id, n_shared) for contaminated docs only.
+
+    The benchmark keeps its per-row ids through shingling (the shingle
+    window partitions by them — shingles must never span two benchmark
+    texts), then collapses to DISTINCT n-grams and broadcasts (eval
+    sets are tiny next to the corpus); the doc side streams through the
+    same row-based shingle shape as word_shingles — one shuffle for
+    the per-doc count, none for the probe join."""
+    from nadry_spark.operators.dedup import word_shingles
+
+    doc_sh = word_shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        word_shingles(
+            benchmark.select(
+                F.col(bench_id_col).alias("bid"), F.col(bench_text_col)
+            ),
+            "bid", bench_text_col, n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("id").alias(id_col), F.col("n_shared").cast("long").alias("n_shared"))
+    )

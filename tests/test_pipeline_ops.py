@@ -605,3 +605,61 @@ def test_png_corrupt_idat_falls_back(spark):
     )
     rows = featurize(media, mode="auto").collect()
     assert len(rows) == 1 and rows[0]["decoded"] is False
+
+
+def test_repetition_stats(spark):
+    """A doc that is one phrase looped has high duplicate/top 3-gram
+    fractions; a doc of distinct words has zero duplication; docs
+    shorter than n tokens are absent."""
+    from nadry_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),       # all grams identical
+            (2, "one two three four five six"),          # all grams distinct
+            (3, "a b"),                                  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text", n=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_ngrams"] == 4 and rows[1]["dup_ngram_frac"] == 0.75
+    assert rows[1]["top_ngram_frac"] == 1.0
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == pytest.approx(0.25)
+
+
+def test_benchmark_contamination(spark):
+    """Only docs sharing an n-gram with the benchmark are returned,
+    counted over DISTINCT shared shingles; benchmark texts never
+    shingle across row boundaries."""
+    from nadry_spark.operators.textstats import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated words nothing shared here at all"),
+            (3, "prefix text then the quick brown fox jumps too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in benchmark_contamination(docs, bench, n=5).collect()
+    }
+    # doc 1 holds both benchmark 5-grams; doc 3 only the first; doc 2 none
+    assert got == {1: 2, 3: 1}
+    # no cross-row benchmark shingle: "jumps over the lazy dog" (spans
+    # the two bench rows) exists in doc 1 but must NOT count
+    bench_one = spark.createDataFrame(
+        [(100, "jumps over the lazy dog")], "doc_id long, text string"
+    )
+    got_one = {
+        r["doc_id"]: r["n_shared"]
+        for r in benchmark_contamination(docs, bench_one, n=5).collect()
+    }
+    assert got_one == {1: 1}
