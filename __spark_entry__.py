@@ -251,6 +251,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold all-pairs n-gram Jaccard near-dups via the
+    All-Pairs/PPJoin prefix filter (Bayardo WWW'07 / Xiao WWW'08).
+    Lossless vs the naive shingle self-join the oracle runs — unlike
+    minhash_pairs the result is the EXACT J>=0.5 pair set, with the
+    prefix filter (not LSH recall) doing the candidate pruning."""
+    from nadry_spark.operators.dedup import ngram_jaccard_dups
+
+    pairs = ngram_jaccard_dups(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        shingle_n=3, threshold=0.5,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit md5-derived SimHash signature per doc."""
     from nadry_spark.operators.dedup import simhash_signatures
@@ -679,6 +694,51 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value quantiles (p50/p90/p99) using the
+    rank-based discrete definition — the value at 1-indexed position
+    ceil(p*n) in (value, event_id) order. No interpolation, so the
+    formulation is bit-identical across engines (approx_percentile
+    sketches would not oracle-check). Two shuffles: one sort within
+    event_type partitions, one 8-group agg; at 100TB this is the
+    standard exact-quantile shape (a t-digest sketch is the
+    approximate alternative when a single sort is too much — see
+    kmv_distinct for the sketch pattern)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_events")]
+    for name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+            ).alias(name)
+        )
+    return r.groupBy("event_type").agg(*aggs)
+
+
+_VALUE_QUANTILES_SQL = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           max(n)::BIGINT AS n_events,
+           max(CASE WHEN rn = ceil(0.5::DOUBLE * n)::BIGINT THEN value END) AS p50,
+           max(CASE WHEN rn = ceil(0.9::DOUBLE * n)::BIGINT THEN value END) AS p90,
+           max(CASE WHEN rn = ceil(0.99::DOUBLE * n)::BIGINT THEN value END) AS p99
+    FROM r GROUP BY event_type
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize events per user with a 30-minute inactivity gap."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1047,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_keep": q_exact_keep,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_dups": q_jaccard_dups,
         "simhash_sigs": q_simhash_sigs,
         "simhash_groups": q_simhash_groups,
         "cosine_dups": q_cosine_dups,
@@ -1070,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
+        "value_quantiles": q_value_quantiles,
         "sessionization": q_sessionization,
         "bm25_rank": q_bm25_rank,
         "bm25_conj": q_bm25_conj,
@@ -1130,6 +1192,34 @@ def _minhash_sql() -> str:
             FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         )
         SELECT id_a, id_b, round(jacc, 9) AS jaccard FROM j WHERE jacc >= 0.5
+    """
+
+
+def _ngram_jaccard_sql() -> str:
+    """Naive all-pairs shingle-join Jaccard at J>=0.5 — the oracle for
+    jaccard_dups. The Spark side runs the prefix-filtered plan; the
+    filter is lossless, so the naive formulation is the ground truth
+    it must match exactly."""
+    return f"""
+        WITH base AS ({_DOCS_WITH_DUPS_SQL}),
+        toks AS (SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS t FROM base),
+        ex AS (SELECT id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+        sh0 AS (
+            SELECT id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM ex WINDOW w AS (PARTITION BY id ORDER BY pos)
+        ),
+        sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+        sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_int
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        j AS (
+            SELECT id_a, id_b, n_int / (sa.n_sh + sb.n_sh - n_int) AS jacc
+            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        )
+        SELECT id_a, id_b, round(jacc, 9) AS jaccard FROM j WHERE jacc >= 0.5::DOUBLE
     """
 
 
@@ -1452,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
             FROM doubled GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_pairs": _minhash_sql(),
+        "jaccard_dups": _ngram_jaccard_sql(),
         "media_features": _media_sql(),
         "repetition": r"""
             WITH toks AS (
@@ -1740,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "value_quantiles": _VALUE_QUANTILES_SQL,
         "bm25_rank": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),

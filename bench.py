@@ -87,6 +87,27 @@ def main() -> None:
         ]
         extras[f"{ann}_recall_at_10"] = round(sum(recalls) / len(recalls), 3)
 
+    # ---- prefix-filter pruning evidence: candidate pairs actually
+    # joined by jaccard_dups vs the naive shingle-join pair bound
+    # sum_shingle C(df,2) (what the un-filtered all-pairs join would
+    # generate) — the number that decides whether the exact Jaccard
+    # join survives a corpus 100x this size
+    from nadry_spark.operators.dedup import ngram_jaccard_dups, word_shingles
+
+    jstats: dict = {}
+    ngram_jaccard_dups(
+        entry_mod._docs_with_dups(spark, SF_DIR), "doc_id", "text",
+        shingle_n=3, threshold=0.5, stats=jstats,
+    ).collect()
+    naive_bound = (
+        word_shingles(entry_mod._docs_with_dups(spark, SF_DIR), "doc_id", "text", 3)
+        .groupBy("shingle").count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    extras["jaccard_prefix_candidates"] = jstats["candidate_pairs"]
+    extras["jaccard_naive_pair_bound"] = int(naive_bound)
+
     # ---- flagship ----
     t, _ = _timed(lambda: entry_mod.entry(spark).collect())
     timings["flagship_exact_rank"] = round(t, 3)
@@ -246,6 +267,20 @@ def main() -> None:
     for _ in range(2):
         phrase_ranked(msi, ph_tokens).limit(10).collect()
     timings["phrase_multiseg"] = round((time.time() - t0) / 2, 3)
+
+    # full serving-envelope latency (QueryEngine.search: rank + count +
+    # page + snippet enrichment — the user-facing number, vs the raw
+    # bm25_*_p50 frame collects above). The bm25 fast path serves in
+    # TWO Spark jobs: its top-k frame is bounded at `need` rows, so one
+    # collect yields count+page, then one broadcast enrichment join.
+    from nadry_spark.plans.query import QueryEngine
+
+    eng = QueryEngine(idx, scoring="bm25")
+    eng.search(queries[0])  # warm (and cached — use distinct queries below)
+    t0 = time.time()
+    for q in queries[1:] + ["report value", "update sort"]:
+        eng.search(q)
+    timings["serving_bm25_p50"] = round((time.time() - t0) / 4, 3)
 
     # honesty guard: flag any query >1.15x its time in the newest
     # committed CLEAN run at the same sf so round-over-round deltas

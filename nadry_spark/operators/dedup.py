@@ -341,6 +341,106 @@ def jaccard_pairs(
     return out
 
 
+def prefix_filtered_candidates(
+    shingles: DataFrame,
+    threshold: float,
+    *,
+    stats: dict | None = None,
+) -> DataFrame:
+    """All-Pairs/PPJoin prefix-filtered candidate pairs for an
+    exact-threshold Jaccard self-join (Bayardo et al., "Scaling Up All
+    Pairs Similarity Search", WWW'07; Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW'08).
+
+    Fix any global total order on shingles. If J(A,B) >= t then
+    |A∩B| >= ceil(t*|A∪B|) >= ceil(t*|x|) for x in {A,B}, so the
+    globally-smallest common shingle has at least ceil(t*|x|)-1
+    intersection members after it inside each set — it must sit within
+    the first |x| - ceil(t*|x|) + 1 shingles (the Jaccard prefix) of
+    BOTH sets. Equi-joining prefixes only is therefore LOSSLESS vs the
+    naive all-pairs shingle join, and the order (global df asc,
+    shingle asc) puts the rarest shingles in the prefix: the frequent
+    boilerplate shingles that make the naive join O(sum df^2) land in
+    suffixes and never generate candidates. A size-compatibility
+    predicate (min(|A|,|B|) >= t*max, valid since J <= min/max) prunes
+    cross-size pairs inside the join itself.
+
+    Cost: one shuffle by shingle (df window), one by id (prefix rank),
+    then a self-join whose fan-out is bounded by rare-shingle df — the
+    shape that survives a corpus 100x this size, unlike the naive
+    shingle self-join.
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    ranked = (
+        shingles.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
+    ).select("id", "shingle", "n_sh")
+    if stats is not None:
+        # evidence jobs only when the caller asks for them
+        stats["shingle_rows"] = shingles.count()
+        stats["prefix_rows"] = prefix.count()
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact-threshold all-pairs n-gram Jaccard near-dup join:
+    shingle -> prefix-filtered candidates -> jaccard verify.
+
+    Unlike ``minhash_dedup_pairs`` (probabilistic candidate recall,
+    capped buckets), this returns EXACTLY the set of pairs with
+    J >= threshold — the prefix filter is lossless by construction —
+    while still avoiding the O(sum df^2) naive shingle self-join.
+    Returns (id_a, id_b, jaccard). ``stats`` (optional) records
+    shingle/prefix/candidate-pair counts as pruning evidence.
+
+    Persist discipline mirrors ``minhash_dedup_pairs``: the shingle
+    frame feeds both the candidate generation and the verify join, so
+    it is persisted for the call and released once the (small) verified
+    pair set is checkpointed.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    cand = prefix_filtered_candidates(sh, threshold, stats=stats)
+    if stats is not None:
+        cand = cand.persist()
+        stats["candidate_pairs"] = cand.count()
+    pairs = jaccard_pairs(sh, cand, threshold).localCheckpoint()
+    sh.unpersist()
+    if stats is not None:
+        cand.unpersist()
+    return pairs
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -156,22 +156,41 @@ class QueryEngine:
             self._cache_put(search_query, envelope)
             return envelope
 
-        # totalResults + one page, both off one cached materialization —
-        # at no point does more than page_size rows reach the driver
-        ranked_df = ranked_df.persist()
-        try:
+        # totalResults + one page. When the frame is KNOWN bounded —
+        # the bm25 fast path tops out at `need` rows, and count-up-to
+        # mode bounds interest at count_cap+1 — ONE collect of the
+        # bounded frame replaces persist + count job + page job (3
+        # Spark jobs -> 1; the count/page split only pays off when the
+        # frame is unbounded). totalResults/page semantics are
+        # identical: both formulations see the same deterministic
+        # (score desc, tie-break) order, and total stays
+        # min(candidates, bounds) either way. Driver residency is
+        # O(need) / O(count_cap) rows — the bound the caller opted
+        # into, not the corpus.
+        if topk_bound is not None:
+            rows = ranked_df.collect()  # <= need rows by construction
+            total = len(rows)
             if self.count_cap is not None:
-                # count-up-to: CollectLimit stops scanning once
-                # count_cap+1 rows exist — bounded work however many
-                # candidates the query matches
-                total = ranked_df.limit(self.count_cap + 1).count()
-            else:
+                total = min(total, self.count_cap + 1)
+            page_rows = rows[page * page_size : (page + 1) * page_size]
+        elif self.count_cap is not None:
+            cap1 = self.count_cap + 1
+            n_fetch = max(cap1, (page + 1) * page_size)
+            rows = ranked_df.limit(n_fetch).collect()
+            total = min(len(rows), cap1)
+            page_rows = rows[page * page_size : (page + 1) * page_size]
+        else:
+            # reference-exact mode needs the TRUE candidate count: keep
+            # the two-job shape off one cached materialization — at no
+            # point does more than page_size rows reach the driver
+            ranked_df = ranked_df.persist()
+            try:
                 total = ranked_df.count()
-            page_rows = (
-                ranked_df.offset(page * page_size).limit(page_size).collect()
-            )
-        finally:
-            ranked_df.unpersist()
+                page_rows = (
+                    ranked_df.offset(page * page_size).limit(page_size).collect()
+                )
+            finally:
+                ranked_df.unpersist()
 
         enriched = self._enrich(page_rows, tokens)
         envelope = self._envelope(

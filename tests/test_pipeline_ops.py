@@ -144,6 +144,73 @@ def test_jaccard_exact_value(spark):
     assert out[0]["jaccard"] == pytest.approx(3 / 5)
 
 
+def test_prefix_filtered_jaccard_matches_naive(spark):
+    """The All-Pairs/PPJoin prefix filter is LOSSLESS: at every
+    threshold the prefix-filtered pipeline returns exactly the pairs
+    the naive all-pairs shingle join returns."""
+    import random
+
+    from nadry_spark.operators.dedup import (
+        jaccard_pairs,
+        ngram_jaccard_dups,
+        word_shingles,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30)))))
+    # planted near-dups: light mutations of existing docs
+    for i in range(30, 40):
+        base = rows[i - 30][1].split()
+        j = rng.randrange(len(base))
+        base[j] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    sh = word_shingles(df, "id", "text", n=3).persist()
+    for t in (0.3, 0.5, 0.8):
+        naive = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(sh, None, t).collect()
+        }
+        stats = {}
+        fast = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_dups(
+                df, "id", "text", shingle_n=3, threshold=t, stats=stats
+            ).collect()
+        }
+        assert fast == naive, f"threshold={t}"
+        # the filter must actually prune: prefixes are a strict subset
+        # of the shingle rows once t > 0
+        assert stats["prefix_rows"] < stats["shingle_rows"]
+        assert stats["candidate_pairs"] >= len(naive)
+    sh.unpersist()
+
+
+def test_prefix_filter_prunes_boilerplate(spark):
+    """Docs sharing only a frequent boilerplate shingle never become
+    candidates: the common shingle lands in every doc's suffix (global
+    df ordering) so the candidate count stays small while the naive
+    join would pair every doc with every other."""
+    from nadry_spark.operators.dedup import prefix_filtered_candidates, word_shingles
+
+    # 20 docs: each has a unique core + one shared boilerplate trigram
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d common boiler plate") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sh = word_shingles(df, "id", "text", n=3)
+    cand = prefix_filtered_candidates(sh, 0.5).count()
+    # naive join on the shared "common boiler plate" shingle alone
+    # would produce C(20,2)=190 pairs; the prefix filter keeps none
+    # (every real J(A,B) = 1/9 < 0.5 and the shared shingle has
+    # df=20, sorting it to the very end of each doc's order)
+    assert cand == 0
+
+
 def test_simhash_identical_docs_same_sig(docs_df):
     from nadry_spark.operators.dedup import simhash_dup_groups, simhash_signatures
 
