@@ -387,6 +387,43 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumnRenamed("id", "doc_id")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate spans (Lee et al. ACL'22 re-expressed for
+    Spark): corpus-wide duplicated token 8-grams merged into maximal
+    per-doc spans — the exact token ranges substring dedup would cut."""
+    from nadry_spark.operators.textstats import duplicate_spans
+
+    spans = duplicate_spans(_docs_with_dups(spark, sf_dir), "doc_id", "text", k=8)
+    return spans.withColumnRenamed("id", "doc_id")
+
+
+_DUP_SPANS_SQL = f"""
+    WITH base AS ({_DOCS_WITH_DUPS_SQL}),
+    toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+        FROM base
+    ),
+    g0 AS (
+        SELECT id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8
+    ),
+    grams AS (SELECT id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS gh FROM g0),
+    occ AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    dupw AS (SELECT g.id, g.pos FROM grams g JOIN occ USING (gh)),
+    isl0 AS (
+        SELECT id, pos,
+               CASE WHEN pos > lag(pos, 1, -1000000000) OVER (PARTITION BY id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS ni
+        FROM dupw
+    ),
+    isl AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl0)
+    SELECT id AS doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
+           (max(pos) + 8 - min(pos))::BIGINT AS span_tokens, count(*)::BIGINT AS n_windows
+    FROM isl GROUP BY id, island
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-flavor scan-aggregate over lineitem. Money sums run in
     DECIMAL so they are EXACT and order-independent (double summation
@@ -1118,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "contamination": q_contamination,
         "winnow_fp": q_winnow_fp,
+        "dup_spans": q_dup_spans,
         "winnow_pairs": q_winnow_pairs,
         "kmv_distinct": q_kmv_distinct,
         "clean_corpus": q_clean_corpus,
@@ -1810,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, split_part(s, '|', 2)::BIGINT AS pos, split_part(s, '|', 1) AS fp
             FROM ex
         """,
+        "dup_spans": _DUP_SPANS_SQL,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
             v AS (SELECT vec_id AS nid, embedding AS vv FROM embeddings),

@@ -285,6 +285,78 @@ def winnow_dup_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    *,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans — the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22, public paper), re-expressed Spark-first: instead
+    of a suffix array (inherently sequential, one machine), hash every
+    token k-gram, count occurrences CORPUS-WIDE, and mark a window
+    duplicated when its k-gram occurs >= min_occurrences times
+    anywhere (self-repeats included, as in the paper). Per document,
+    overlapping or adjacent duplicated windows merge into maximal
+    token spans via gaps-and-islands — exactly the token ranges
+    ExactSubstr would cut, for runs of length >= k.
+
+    Plan shape at 100TB: one posexplode, k-gram hashes via lead()
+    windows (codegen, per-doc partitions bounded by doc length), ONE
+    groupBy(md5) count for global occurrence, a semi-join of grams
+    against the duplicated-hash set (shuffle on 16-byte hashes), then
+    per-doc island windows. No self-join, no pair blow-up: boilerplate
+    k-grams only ever contribute a count and a membership bit, so a
+    stopword-scale gram costs O(df), not O(df^2).
+
+    Output: (id, span_start, span_end, span_tokens, n_windows) with
+    token-index spans [span_start, span_end) and
+    span_tokens = span_end - span_start >= k.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, k)]
+    gh = F.when(
+        F.lead("tok", k - 1).over(w_ord).isNotNull(),
+        F.md5(F.concat_ws(" ", *gram_parts)),
+    )
+    grams = (
+        toks.select("id", "pos", gh.alias("gh"))
+        .where(F.col("gh").isNotNull())
+        .localCheckpoint()  # feeds the count agg AND the semi-join probe
+    )
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= min_occurrences)
+        .select("gh")
+    )
+    dup_windows = grams.join(dup_hashes, "gh", "left_semi").select("id", "pos")
+    # gaps-and-islands: windows [pos, pos+k) merge while pos <= prev+k
+    # (pos is strictly increasing within a doc, so prev+k is the
+    # running max end and the merge test is exact interval merging)
+    new_island = F.when(
+        F.col("pos") > F.lag("pos", 1, -(10 ** 9)).over(w_ord) + k, 1
+    ).otherwise(0)
+    islands = dup_windows.select(
+        "id", "pos", F.sum(new_island).over(w_ord).alias("island")
+    )
+    return islands.groupBy("id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+        (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    ).drop("island")
+
+
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Training-data PII scrub: emails -> <EMAIL>, URLs -> <URL>,
     numbers -> <NUM>, applied in the reference tokenizer's masking

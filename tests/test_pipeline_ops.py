@@ -516,6 +516,63 @@ def test_winnow_dup_pairs_links_shared_passages(spark):
     assert stats["max_pairs_dropped"] == stats["skipped_fps"] * (600 * 599) // 2
 
 
+def test_duplicate_spans_exact_boundaries(spark):
+    """Cross-doc shared substring and intra-doc self-repeat both mark
+    spans with exact token boundaries; unique text marks nothing."""
+    from nadry_spark.operators.textstats import duplicate_spans
+
+    shared = "alpha bravo charlie delta"  # 4 tokens, shared run
+    rows = [
+        # doc 0: unique prefix (3 toks) + shared run at pos 3..6
+        (0, "u0a u0b u0c " + shared + " z0a z0b z0c"),
+        # doc 1: shared run at pos 0..3
+        (1, shared + " q1a q1b q1c q1d q1e q1f"),
+        # doc 2: fully unique
+        (2, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+        # doc 3: self-repeat — same 4-gram twice in one doc
+        (3, "r0 " + shared + " mid1 mid2 mid3 mid4 mid5 " + shared + " r1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(df, "id", "text", k=4).collect()
+    }
+    # k=4 over a 4-token shared run -> exactly one duplicated window
+    assert out[0] == (3, 7, 1)
+    assert out[1] == (0, 4, 1)
+    assert 2 not in out
+    # doc 3 has the gram at pos 1 and pos 10 — two islands, but
+    # collect() returns one row per island; both present
+    rows3 = [
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "id", "text", k=4)
+        .where(F.col("id") == 3)
+        .collect()
+    ]
+    assert sorted(rows3) == [(1, 5), (10, 14)]
+
+
+def test_duplicate_spans_merge_overlapping_windows(spark):
+    """A long shared run yields ONE maximal span (overlapping windows
+    merge), and adjacent-but-distinct duplicated grams chain too."""
+    from nadry_spark.operators.textstats import duplicate_spans
+
+    run = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    rows = [
+        (0, "x0 x1 " + run + " y0 y1"),
+        (1, run),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["span_start"], r["span_end"], r["span_tokens"], r["n_windows"])
+        for r in duplicate_spans(df, "id", "text", k=4).collect()
+    }
+    # doc 0: duplicated 4-gram windows at pos 2..8 (7 windows) merge
+    # into one span covering tokens [2, 12)
+    assert out[0] == (2, 12, 10, 7)
+    assert out[1] == (0, 10, 10, 7)
+
+
 def test_redact_pii_masks_in_reference_order(spark):
     from nadry_spark.operators.textstats import redact_pii
 
