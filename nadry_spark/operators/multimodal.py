@@ -7,13 +7,15 @@ Arrow-batched ``mapInPandas`` stages.
 Decode support is honest about the environment:
 
 * **REAL stdlib kernels** for container formats that need no external
-  libraries: PNG (8-bit grey/RGB/palette/alpha — stdlib zlib inflate +
-  per-scanline unfilter, the dominant web image format), PPM (P6)
-  images via a header scan + numpy reshape, WAV PCM audio with the
-  stdlib ``wave`` module. Resize is nearest-neighbour numpy index
-  slicing. These run end-to-end in tests.
+  libraries: PNG in FULL (every legal depth/color-type combo —
+  1/2/4/8/16-bit grey, palette, RGB(A), grey+alpha — interlaced
+  (Adam7) or progressive; stdlib zlib inflate + per-scanline
+  unfilter, the dominant web image format), PPM (P6) images via a
+  header scan + numpy reshape, WAV PCM audio with the stdlib ``wave``
+  module. Resize is nearest-neighbour numpy index slicing. These run
+  end-to-end in tests.
 * **Stub** for codecs that genuinely require PIL/soundfile/ffmpeg
-  (JPEG/MP3/MP4, plus 16-bit/interlaced PNG): ``real_decode`` raises
+  (JPEG/MP3/MP4): ``real_decode`` raises
   ``NotImplementedError`` for them; ``featurize(mode="auto")`` falls
   back to the deterministic byte-histogram fake so the distributed
   plumbing always runs.
@@ -130,17 +132,72 @@ def _png_unfilter_row(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> n
     raise ValueError(f"bad PNG filter type {f}")
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG into (H, W, 3) uint8 RGB.
-    Pure stdlib zlib + numpy: chunk walk, bounded inflate, per-scanline
-    unfilter, palette/greyscale/alpha conversion to RGB.
+# valid (color -> allowed bit depths) per PNG §11.2.2
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 
-    Supports color types 0 (grey), 2 (RGB), 3 (palette), 4 (grey+a),
-    6 (RGBA) at bit depth 8 — the dominant web shapes. 16-bit and
-    interlaced images raise NotImplementedError (fake-feature
-    fallback); malformed chunks raise ValueError. The inflate is
-    bomb-safe: output is capped at the size the IHDR implies, so a
-    hostile 1KB payload can never allocate gigabytes."""
+# Adam7 pass layout (PNG §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_stride(w: int, channels: int, depth: int) -> int:
+    """Filtered-scanline payload bytes for a w-pixel row (ceil of the
+    bit width — sub-byte depths pack, bit-padded at row end)."""
+    return (w * channels * depth + 7) // 8
+
+
+def _png_decode_subimage(
+    raw: np.ndarray, w: int, h: int, channels: int, depth: int
+) -> np.ndarray:
+    """Unfilter + sample-expand one (sub)image from its raw filtered
+    bytes. Returns (h, w, channels) uint8 samples: 16-bit scales to
+    its high byte, sub-byte grey expands via the standard
+    255/(2^d-1) replication, palette indices pass through unscaled.
+    Filtering always operates on BYTES (PNG §9), so bpp is the
+    byte-width of one pixel, floored at 1 for packed depths."""
+    stride = _png_stride(w, channels, depth)
+    bpp = max(1, channels * depth // 8)
+    rows = raw.reshape(h, stride + 1)
+    recon = np.empty((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        recon[y] = _png_unfilter_row(
+            int(rows[y, 0]), rows[y, 1:], recon[y - 1] if y else zero, bpp
+        )
+    if depth == 8:
+        return recon.reshape(h, w, channels)
+    if depth == 16:
+        # big-endian sample pairs -> high byte (the standard 16->8 map)
+        return (
+            recon.reshape(h, stride)
+            .view(">u2")
+            .astype(np.uint16)
+            .__rshift__(8)
+            .astype(np.uint8)
+            .reshape(h, w, channels)
+        )
+    # packed 1/2/4-bit samples (grey or palette indices): unpack each
+    # row's bits, regroup depth bits per sample, drop row padding
+    bits = np.unpackbits(recon, axis=1)[:, : w * depth]  # channels == 1 here
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+    return samples.reshape(h, w, 1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG into (H, W, 3) uint8 RGB. Pure stdlib zlib +
+    numpy: chunk walk, bounded inflate, per-scanline unfilter,
+    palette/greyscale/alpha conversion to RGB.
+
+    Full coverage of the spec's pixel layouts: color types 0 (grey),
+    2 (RGB), 3 (palette), 4 (grey+a), 6 (RGBA) at every legal bit
+    depth (1/2/4/8/16 as PNG §11.2.2 allows per type), interlaced
+    (Adam7) or not. 16-bit scales to the high byte; sub-byte grey
+    expands by 255/(2^d-1). Malformed chunks raise ValueError. The
+    inflate is bomb-safe: output is capped at the size the IHDR
+    implies, so a hostile 1KB payload can never allocate gigabytes."""
     import zlib
 
     if not payload.startswith(_PNG_MAGIC):
@@ -175,13 +232,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG header fields (comp={comp} filt={filt} color={color})")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"illegal depth {depth} for PNG color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = _PNG_CHANNELS[color]
-    stride = w * channels
-    expected = h * (stride + 1)
+    if interlace == 0:
+        passes = [(0, 0, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            passes.append((x0, y0, max(pw, 0), max(ph, 0)))
+    expected = sum(
+        ph * (_png_stride(pw, channels, depth) + 1)
+        for _, _, pw, ph in passes
+        if pw and ph
+    )
     if w <= 0 or h <= 0 or expected > (1 << 31):
         raise ValueError(f"PNG header declares hostile dimensions {w}x{h}")
     d = zlib.decompressobj()
@@ -190,25 +258,33 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG pixel data is {len(raw)}+ bytes, header implies {expected}"
         )
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    recon = np.empty((h, stride), np.uint8)
-    zero = np.zeros(stride, np.uint8)
-    for y in range(h):
-        recon[y] = _png_unfilter_row(
-            int(rows[y, 0]), rows[y, 1:], recon[y - 1] if y else zero, channels
-        )
-    px = recon.reshape(h, w, channels)
-    if color == 2:
-        return px
-    if color == 0:  # grey -> replicate
-        return np.repeat(px, 3, axis=2)
-    if color == 3:  # palette lookup
+    buf = np.frombuffer(raw, np.uint8)
+    px = np.zeros((h, w, channels), np.uint8)
+    off = 0
+    for x0, y0, dx, dy in (
+        [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    ):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (_png_stride(pw, channels, depth) + 1)
+        sub = _png_decode_subimage(buf[off : off + n], pw, ph, channels, depth)
+        px[y0::dy, x0::dx] = sub
+        off += n
+    if color == 3:  # palette lookup (indices never scale)
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[idx]
+    if depth < 8:  # sub-byte GREY: expand to full range
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    if color == 2:
+        return px
+    if color == 0:  # grey -> replicate
+        return np.repeat(px, 3, axis=2)
     if color == 4:  # grey + alpha -> replicate grey, drop alpha
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]  # RGBA -> drop alpha
@@ -260,6 +336,33 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
     )
     idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def encode_png_adam7(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> Adam7-INTERLACED truecolor 8-bit PNG bytes
+    (fixture writer; deterministic — fixed zlib level, filter 0 per
+    pass scanline). Pass layout per PNG §8.2."""
+    import zlib
+
+    arr = arr.astype(np.uint8)
+    h, w, _ = arr.shape
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
+    idat = zlib.compress(raw, 6)
     return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
@@ -463,7 +566,10 @@ def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
                 [rng.randrange(256) for _ in range(w * h * 3)], dtype=np.uint8
             ).reshape(h, w, 3)
             if (i // 3) % 2:  # alternate containers; pixels stay random
-                payload = encode_png(arr, filter_type=(i // 6) % 5)
+                if (i // 6) % 5 == 4:  # every 5th PNG row: Adam7
+                    payload = encode_png_adam7(arr)
+                else:
+                    payload = encode_png(arr, filter_type=(i // 6) % 5)
                 meta = (w, h, 0, "png")
             else:
                 payload = encode_ppm(arr)

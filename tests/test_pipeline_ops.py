@@ -664,11 +664,17 @@ def test_png_color_types_and_hostile():
     rgba = png(1, 1, 8, 6, b"\x00\x01\x02\x03\xff")
     assert (decode_png(rgba)[0, 0] == [1, 2, 3]).all()
 
-    # unsupported-but-valid shapes -> NotImplementedError (fake fallback)
-    with _pytest.raises(NotImplementedError):
-        decode_png(png(1, 1, 16, 0, b"\x00\x00\x00"))
-    with _pytest.raises(NotImplementedError):
-        decode_png(png(1, 1, 8, 0, b"\x00\x00", interlace=1))
+    # 16-bit and interlaced are REAL now (see the dedicated tests);
+    # the 1x1 degenerate cases decode here
+    assert decode_png(png(1, 1, 16, 0, b"\x00\x12\x34")).tolist() == [[[18, 18, 18]]]
+    assert decode_png(png(1, 1, 8, 0, b"\x00\x07", interlace=1)).tolist() == [[[7, 7, 7]]]
+    # illegal depth/color combos and interlace methods are corrupt input
+    with _pytest.raises(ValueError):
+        decode_png(png(1, 1, 16, 3, b"\x00\x00\x00", extra=plte))
+    with _pytest.raises(ValueError):
+        decode_png(png(1, 1, 1, 2, b"\x00\x00"))
+    with _pytest.raises(ValueError):
+        decode_png(png(1, 1, 8, 0, b"\x00\x00", interlace=2))
 
     # bomb: tiny IDAT inflating to far more than IHDR implies
     bomb = png(1, 1, 8, 0, b"\x00" * 10_000_000)
@@ -677,6 +683,101 @@ def test_png_color_types_and_hostile():
     # truncated pixel data
     with _pytest.raises(ValueError):
         decode_png(png(4, 4, 8, 2, b"\x00\x01\x02"))
+
+
+def _png_fixture(w, h, depth, color, raw, extra=b"", interlace=0):
+    import zlib
+
+    from nadry_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, color, 0, 0, interlace])
+    )
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + extra
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decode():
+    """16-bit samples (big-endian) scale to their high byte; the Up
+    filter operates on bytes with the 16-bit pixel width."""
+    import numpy as np
+
+    from nadry_spark.operators.multimodal import decode_png
+
+    # 2x2 RGB 16-bit, filter 0: pixel (r,g,b) = (0x1234, 0x0001, 0xFF00), ...
+    def px(*vals):
+        return b"".join(v.to_bytes(2, "big") for v in vals)
+
+    row0 = b"\x00" + px(0x1234, 0x0001, 0xFF00) + px(0xABCD, 0x8000, 0x00FF)
+    row1 = b"\x02" + b"\x00" * 12  # Up filter: copies row 0 exactly
+    out = decode_png(_png_fixture(2, 2, 16, 2, row0 + row1))
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [0x12, 0x00, 0xFF]
+    assert out[0, 1].tolist() == [0xAB, 0x80, 0x00]
+    assert (out[1] == out[0]).all()
+    # 16-bit grey+alpha: grey high byte replicates, alpha dropped
+    ga = _png_fixture(1, 1, 16, 4, b"\x00" + px(0x7F10, 0xFFFF))
+    assert decode_png(ga)[0, 0].tolist() == [0x7F, 0x7F, 0x7F]
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit grey expands by 255/(2^d-1); 4-bit palette indices
+    pass through unscaled; row bit-padding is dropped."""
+    from nadry_spark.operators.multimodal import decode_png
+
+    # 1-bit grey, 3x2: rows 101 / 010 packed into one byte each
+    out = decode_png(_png_fixture(3, 2, 1, 0, b"\x00\xa0\x00\x40"))
+    assert out[:, :, 0].tolist() == [[255, 0, 255], [0, 255, 0]]
+    # 2-bit grey, 3x1: values 0,1,3 -> 0,85,255
+    out = decode_png(_png_fixture(3, 1, 2, 0, b"\x00" + bytes([0b00_01_11_00])))
+    assert out[:, :, 0].tolist() == [[0, 85, 255]]
+    # 4-bit palette, 3x1: indices 2,0,1
+    import zlib as _z
+
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (_z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    out = decode_png(
+        _png_fixture(3, 1, 4, 3, b"\x00\x20\x10", extra=chunk(b"PLTE", plte))
+    )
+    assert out[0].tolist() == [[70, 80, 90], [10, 20, 30], [40, 50, 60]]
+
+
+def test_png_adam7_matches_progressive():
+    """An Adam7-interlaced encoding of an image decodes to exactly the
+    same pixels as the plain encoding — pass extraction, per-pass
+    unfiltering, and scatter are lossless."""
+    import numpy as np
+
+    from nadry_spark.operators.multimodal import _ADAM7, decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for (h, w) in ((10, 13), (8, 8), (3, 5), (1, 9), (7, 1)):
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        got = decode_png(_png_fixture(w, h, 8, 2, raw, interlace=1))
+        assert (got == arr).all(), (h, w)
+        assert (decode_png(encode_png(arr)) == arr).all()
 
 
 def test_png_rows_in_synthetic_media(spark):
