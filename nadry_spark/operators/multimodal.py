@@ -366,6 +366,461 @@ def encode_png_adam7(arr: np.ndarray) -> bytes:
     return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT) — pure numpy/stdlib
+# ---------------------------------------------------------------------------
+
+# zigzag scan order (T.81 Figure 5), generated: diagonal d=r+c walks
+# bottom-left->top-right on even d, top-right->bottom-left on odd
+_JPEG_ZZ: list[tuple[int, int]] = []
+for _d in range(15):
+    _cells = [(_r, _d - _r) for _r in range(8) if 0 <= _d - _r < 8]
+    _JPEG_ZZ.extend(_cells[::-1] if _d % 2 == 0 else _cells)
+_JPEG_ZZ_ROWS = np.array([r for r, _ in _JPEG_ZZ])
+_JPEG_ZZ_COLS = np.array([c for _, c in _JPEG_ZZ])
+
+# orthonormal 8x8 DCT-II basis: T[k,n] = s(k) cos(pi (2n+1) k / 16)
+# with s(0)=sqrt(1/8), s(k)=sqrt(2/8) — identical to T.81's FDCT
+# normalization (1/4 c(u)c(v) double sum), so spatial = T' B T and
+# B = T f T' ARE the spec transforms
+_JPEG_T = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos(np.pi * (2 * n + 1) * k / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _jpeg_huff_decode_table(counts: list[int], symbols: bytes) -> dict:
+    """(length, code) -> symbol map from a DHT segment's canonical
+    (counts per length 1..16, symbol list)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("JPEG DHT counts exceed symbol list")
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded JPEG segment with
+    0xFF00 byte unstuffing; restart markers resynchronize via
+    ``restart``; any other marker mid-scan is corrupt input."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def _next_byte(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG scan")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("truncated JPEG scan")
+            if d[p + 1] != 0x00:
+                raise ValueError("unexpected marker inside JPEG scan")
+            self.pos = p + 2
+            return 0xFF
+        self.pos = p + 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self.buf, self.n = self._next_byte(), 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        self.n = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("missing JPEG restart marker")
+        self.pos = p + 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential DCT JPEG (ITU-T T.81, the format
+    of nearly every web photo) into (H, W, 3) uint8 RGB. Pure
+    numpy/stdlib: marker walk, canonical Huffman decode, dequantize,
+    orthonormal-matrix IDCT, chroma upsample, JFIF YCbCr->RGB.
+    Supports grey and 3-component scans, arbitrary 1-2 sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Progressive
+    (SOF2) and arithmetic/hierarchical variants raise
+    NotImplementedError; corrupt structure raises ValueError."""
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = d[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        seg = d[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        body_at = pos + 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[i : i + n]
+                if len(raw) < n:
+                    raise ValueError("truncated DQT")
+                qts[tq] = (
+                    np.frombuffer(raw, ">u2") if pq else np.frombuffer(raw, np.uint8)
+                ).astype(np.int32)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = seg[i + 17 : i + 17 + nsym]
+                if len(symbols) < nsym:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _jpeg_huff_decode_table(counts, symbols)
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG SOF not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 15))
+            return _jpeg_decode_scan(
+                d, body_at, sof, scan, qts, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        pos = body_at
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(d, pos, sof, scan, qts, huff, restart_interval):
+    h, w, comps = sof
+    if h <= 0 or w <= 0 or h * w > (1 << 26):
+        raise ValueError(f"JPEG header declares hostile dimensions {w}x{h}")
+    if len(comps) not in (1, 3) or len(scan) != len(comps):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG not supported (grey/YCbCr only)"
+        )
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise NotImplementedError("JPEG sampling factors beyond 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    scan_tables = {cs: (dc, ac) for cs, dc, ac in scan}
+    planes, preds = [], []
+    for cid, ch, cv, tq in comps:
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), np.int32))
+        preds.append(0)
+        if tq not in qts:
+            raise ValueError(f"JPEG component references missing DQT {tq}")
+        dc_id, ac_id = scan_tables[cid]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG scan references missing DHT")
+    bits = _JpegBits(d, pos)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bits.restart()
+                preds = [0] * len(preds)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                dc_t = huff[(0, scan_tables[cid][0])]
+                ac_t = huff[(1, scan_tables[cid][1])]
+                qt = qts[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, np.int32)
+                        t = bits.huff(dc_t)
+                        if t > 11:
+                            raise ValueError("bad JPEG DC category")
+                        preds[ci] += _jpeg_extend(bits.read_bits(t), t)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                            k += 1
+                        block = np.zeros((8, 8), np.float64)
+                        block[_JPEG_ZZ_ROWS, _JPEG_ZZ_COLS] = zz * qt
+                        px = _JPEG_T.T @ block @ _JPEG_T + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                            np.round(px), 0, 255
+                        ).astype(np.int32)
+            n_mcu += 1
+    full = []
+    for (cid, ch, cv, tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(up[:h, :w].astype(np.float64))
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing; final byte padded
+    with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.n = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.buf = (self.buf << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _jpeg_fixture_tables():
+    """Deterministic VALID canonical Huffman tables for the fixture
+    encoder (not the Annex K defaults — compression is irrelevant for
+    fixtures): all 12 DC categories at 5 bits; AC symbols 0x00-0xFE at
+    9 bits and 0xFF at 10 (Kraft 255/512 + 1/1024 < 1). Returns
+    (dc_counts, dc_symbols, dc_codes, ac_counts, ac_symbols,
+    ac_codes) with codes as {symbol: (code, length)}."""
+    dc_counts = [0] * 16
+    dc_counts[4] = 12
+    dc_symbols = bytes(range(12))
+    dc_codes = {s: (s, 5) for s in range(12)}
+    ac_counts = [0] * 16
+    ac_counts[8], ac_counts[9] = 255, 1
+    ac_symbols = bytes(range(256))
+    ac_codes = {s: (s, 9) for s in range(255)}
+    ac_codes[255] = (510, 10)  # canonical: (255 << 1) after the 9-bit run
+    return dc_counts, dc_symbols, dc_codes, ac_counts, ac_symbols, ac_codes
+
+
+_JPEG_FIXTURE_Q = 4  # flat quant step for both tables: error <= ~2/px
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    subsample: bool = True,
+    restart_interval: int = 0,
+    grey: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 -> baseline JPEG bytes (fixture writer;
+    deterministic). Flat quant tables (step 4), simple valid canonical
+    Huffman tables, 4:2:0 chroma subsampling (2x2 mean) by default or
+    4:4:4 with ``subsample=False``, optional restart markers;
+    ``grey=True`` emits a 1-component luma-only scan (BT.601 Y of the
+    RGB input). Exists to exercise decode_jpeg's real paths — not for
+    compression."""
+    arr = arr.astype(np.float64)
+    h, w, _ = arr.shape
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def pad(plane, mult):
+        ph = -plane.shape[0] % mult
+        pw = -plane.shape[1] % mult
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    if grey:
+        subsample = False
+    if subsample:
+        ysub, mcu = 2, 16
+        ypad = pad(y, 16)
+        # 2x2 mean subsample on the padded-to-even plane
+        ce = pad(cb, 2)
+        re_ = pad(cr, 2)
+        cbs = pad(ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean((1, 3)), 8)
+        crs = pad(re_.reshape(re_.shape[0] // 2, 2, re_.shape[1] // 2, 2).mean((1, 3)), 8)
+    else:
+        ysub, mcu = 1, 8
+        ypad, cbs, crs = pad(y, 8), pad(cb, 8), pad(cr, 8)
+
+    qt = np.full(64, _JPEG_FIXTURE_Q, np.int32)
+    dc_counts, dc_symbols, dc_codes, ac_counts, ac_symbols, ac_codes = (
+        _jpeg_fixture_tables()
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt.tolist()))  # qt 0 (luma)
+    out += seg(0xDB, bytes([0x01]) + bytes(qt.tolist()))  # qt 1 (chroma)
+    if grey:
+        sof = (
+            bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([1]) + bytes([1, 0x11, 0])
+        )
+    else:
+        sof = (
+            bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+            + bytes([1, (ysub << 4) | ysub, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1])
+        )
+    out += seg(0xC0, sof)
+    for tc_th in (0x00, 0x10, 0x01, 0x11):  # same tables under ids 0 and 1
+        counts, symbols = (
+            (dc_counts, dc_symbols) if tc_th >> 4 == 0 else (ac_counts, ac_symbols)
+        )
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    if grey:
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    wtr = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(block, ci):
+        shifted = block - 128.0
+        coef = _JPEG_T @ shifted @ _JPEG_T.T
+        q = np.round(coef / _JPEG_FIXTURE_Q).astype(np.int32)
+        zz = q[_JPEG_ZZ_ROWS, _JPEG_ZZ_COLS]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t = int(diff).bit_length() if diff != 0 else 0
+        code, ln = dc_codes[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = int(np.nonzero(zz)[0].max()) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln2 = ac_codes[0xF0]
+                wtr.write(c, ln2)
+                run -= 16
+            s = abs(v).bit_length()
+            c, ln2 = ac_codes[(run << 4) | s]
+            wtr.write(c, ln2)
+            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+            if k == last_nz:
+                break
+        if last_nz < 63:
+            c, ln2 = ac_codes[0x00]
+            wtr.write(c, ln2)
+
+    mcux = ypad.shape[1] // mcu
+    mcuy = ypad.shape[0] // mcu
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                out += wtr.flush()
+                out += bytes([0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)])
+                wtr.__init__()
+                preds[:] = [0, 0, 0]
+            for by in range(ysub):
+                for bx in range(ysub):
+                    y0, x0 = my * mcu + by * 8, mx * mcu + bx * 8
+                    put_block(ypad[y0 : y0 + 8, x0 : x0 + 8], 0)
+            if not grey:
+                put_block(cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], 1)
+                put_block(crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], 2)
+            n_mcu += 1
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV bytes -> (float64 mono samples in [-1, 1], rate).
     Stdlib ``wave``; 8/16/32-bit PCM."""
@@ -411,20 +866,23 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def real_decode(payload: bytes, kind: str):
     """Decode a payload by container sniffing.
 
-    Returns ("image", (H, W, 3) array) for PPM/PNG, ("audio",
-    (samples, rate)) for WAV. Raises NotImplementedError for codecs
-    that need external libraries (JPEG/MP3/MP4/...) — this is the
-    single swap point where PIL/soundfile/ffmpeg would be wired in.
+    Returns ("image", (H, W, 3) array) for PPM/PNG/baseline-JPEG,
+    ("audio", (samples, rate)) for WAV. Raises NotImplementedError for
+    codecs that need external libraries (MP3/MP4/progressive JPEG/...)
+    — this is the single swap point where PIL/soundfile/ffmpeg would
+    be wired in.
     """
     if payload.startswith(b"P6"):
         return "image", decode_ppm(payload)
     if payload.startswith(_PNG_MAGIC):
         return "image", decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return "image", decode_jpeg(payload)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "audio", decode_wav(payload)
     raise NotImplementedError(
-        f"no stdlib decoder for this {kind} payload; JPEG/MP3/MP4 "
-        "require image/audio libraries not present in this container"
+        f"no stdlib decoder for this {kind} payload; MP3/MP4 "
+        "require audio/video libraries not present in this container"
     )
 
 
@@ -547,12 +1005,13 @@ AUDIO_RATE = 8000
 
 
 def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
-    """Deterministic media rows: REAL image payloads (alternating PPM
-    and PNG — both stdlib-decodable), REAL WAV payloads for audio,
-    opaque bytes for video (exercises the fake-fallback path). Pure
-    Python/numpy — usable with or without a SparkSession (the oracle
-    parquet writer needs it Spark-free; PNG bytes are deterministic at
-    a fixed zlib level)."""
+    """Deterministic media rows: REAL image payloads (rotating PPM,
+    PNG and baseline JPEG — all stdlib-decodable), REAL WAV payloads
+    for audio, opaque bytes for video (exercises the fake-fallback
+    path). Pure Python/numpy — usable with or without a SparkSession
+    (the oracle parquet writer needs it Spark-free; PNG bytes are
+    deterministic at a fixed zlib level, JPEG at fixed fixture
+    tables)."""
     import random
 
     rng = random.Random(seed)
@@ -565,12 +1024,20 @@ def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
             arr = np.array(
                 [rng.randrange(256) for _ in range(w * h * 3)], dtype=np.uint8
             ).reshape(h, w, 3)
-            if (i // 3) % 2:  # alternate containers; pixels stay random
-                if (i // 6) % 5 == 4:  # every 5th PNG row: Adam7
+            container = (i // 3) % 3  # rotate containers; pixels stay random
+            if container == 1:
+                if (i // 9) % 5 == 4:  # every 5th PNG row: Adam7
                     payload = encode_png_adam7(arr)
                 else:
-                    payload = encode_png(arr, filter_type=(i // 6) % 5)
+                    payload = encode_png(arr, filter_type=(i // 9) % 5)
                 meta = (w, h, 0, "png")
+            elif container == 2:
+                payload = encode_jpeg(
+                    arr,
+                    subsample=(i // 9) % 2 == 0,  # alternate 4:2:0 / 4:4:4
+                    restart_interval=2 if (i // 9) % 3 == 2 else 0,
+                )
+                meta = (w, h, 0, "jpeg")
             else:
                 payload = encode_ppm(arr)
                 meta = (w, h, 0, "ppm")

@@ -781,8 +781,9 @@ def test_png_adam7_matches_progressive():
 
 
 def test_png_rows_in_synthetic_media(spark):
-    """The synthetic media table now carries PNG images alongside PPM;
-    featurize decodes them for real (decoded=True, header-true W/H)."""
+    """The synthetic media table carries PPM, PNG and baseline-JPEG
+    images; featurize decodes all of them for real (decoded=True,
+    header-true W/H)."""
     from nadry_spark.operators.multimodal import featurize, synthetic_media
 
     media = synthetic_media(spark, n=36)
@@ -790,7 +791,7 @@ def test_png_rows_in_synthetic_media(spark):
         r["media_id"]: r for r in media.select("media_id", "kind", "meta").collect()
     }
     codecs = {m["meta"]["codec"] for m in metas.values() if m["kind"] == "image"}
-    assert codecs == {"ppm", "png"}
+    assert codecs == {"ppm", "png", "jpeg"}
     for r in featurize(media, mode="auto").collect():
         m = metas[r["media_id"]]
         if m["kind"] == "image":
@@ -830,6 +831,113 @@ def test_png_corrupt_idat_falls_back(spark):
     )
     rows = featurize(media, mode="auto").collect()
     assert len(rows) == 1 and rows[0]["decoded"] is False
+
+
+def test_jpeg_roundtrip_modes():
+    """encode_jpeg -> decode_jpeg across the decoder's real paths:
+    4:4:4, 4:2:0 chroma upsampling, restart markers, grey scans, odd
+    (non-MCU-multiple) dimensions. The fixture encoder quantizes with
+    a flat step of 4, so constant blocks survive near-exactly and
+    arbitrary content stays within a small bounded error."""
+    import numpy as np
+
+    from nadry_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+
+    # constant image, 4:4:4: DCT is a lone DC coefficient -> exact
+    # modulo color-transform rounding
+    arr = np.full((16, 16, 3), 120, np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, subsample=False))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - 120).max() <= 1
+
+    # random content, 4:4:4, odd dims: bounded quant error, exact crop
+    arr = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, subsample=False))
+    assert out.shape == (24, 17, 3)
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 16
+
+    # smooth gradient, 4:2:0, odd dims: chroma upsample stays close
+    y, x = np.mgrid[0:33, 0:29]
+    arr = np.stack([(y * 3) % 256, (x * 5) % 256, ((x + y) * 2) % 256], 2).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(arr, subsample=True))
+    assert out.shape == (33, 29, 3)
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 12
+
+    # restart markers change the byte stream, not the pixels
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(arr, subsample=True))
+    restarted = decode_jpeg(encode_jpeg(arr, subsample=True, restart_interval=1))
+    assert (plain == restarted).all()
+
+    # grey scan: decodes to BT.601 luma replicated across RGB
+    grey = decode_jpeg(encode_jpeg(arr, grey=True))
+    assert grey.shape == (32, 32, 3)
+    assert (grey[:, :, 0] == grey[:, :, 1]).all()
+    assert (grey[:, :, 1] == grey[:, :, 2]).all()
+    luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    assert np.abs(grey[:, :, 0].astype(float) - luma).max() <= 16
+
+    # encoder output is bit-deterministic (fixture tables, no RNG)
+    assert encode_jpeg(arr) == encode_jpeg(arr)
+
+
+def test_jpeg_errors_and_fallback(spark):
+    """Progressive/unsupported SOFs raise NotImplementedError,
+    structural corruption ValueError, hostile headers are bounded —
+    and featurize auto mode falls back to fake features for all of
+    them instead of killing the job."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nadry_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        featurize,
+    )
+
+    arr = (np.arange(16 * 16 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(
+        16, 16, 3
+    )
+    good = bytearray(encode_jpeg(arr, subsample=False))
+
+    # flip the SOF0 marker to SOF2 (progressive): env-blocked, honest
+    sof_at = good.find(b"\xff\xc0")
+    progressive = bytes(good[:sof_at]) + b"\xff\xc2" + bytes(good[sof_at + 2 :])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\x00\x00")  # bad marker alignment
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(good[:40]))  # truncated mid-segment
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(good[:-20]))  # truncated scan data
+
+    # hostile dimensions in SOF must be rejected before allocation
+    h_at = sof_at + 5
+    hostile = bytearray(good)
+    hostile[h_at : h_at + 4] = (30000).to_bytes(2, "big") + (30000).to_bytes(2, "big")
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(hostile))
+
+    media = spark.createDataFrame(
+        [
+            (0, "image", progressive, (16, 16, 0, "jpeg")),
+            (1, "image", bytes(good[:-20]), (16, 16, 0, "jpeg")),
+            (2, "image", bytes(good), (16, 16, 0, "jpeg")),
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    rows = {r["media_id"]: r for r in featurize(media, mode="auto").collect()}
+    assert rows[0]["decoded"] is False
+    assert rows[1]["decoded"] is False
+    assert rows[2]["decoded"] is True
+    assert rows[2]["features"][1] == 16.0 and rows[2]["features"][2] == 16.0
 
 
 def test_repetition_stats(spark):
