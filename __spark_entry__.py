@@ -801,6 +801,88 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent order placed by
+    the same user at or before the event. Runs the union+window
+    formulation (operators/temporal.asof_join — one shuffle on the
+    key, no range join); the oracle is DuckDB's native ASOF LEFT JOIN,
+    so the two independent as-of implementations must agree row-for-
+    row. Orders are deduped to one row per (custkey, orderdate) (max
+    orderkey) first — as-of ties at identical timestamps have no
+    defined winner otherwise."""
+    from nadry_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"), "ts"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    o = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+            F.unix_timestamp("o_orderdate").alias("last_orderdate_epoch"),
+        )
+    )
+    joined = asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["last_orderkey", "last_totalprice", "last_orderdate_epoch"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("last_orderkey"), F.lit(-1)).cast("long").alias(
+            "last_orderkey"
+        ),
+        F.coalesce(F.col("last_totalprice"), F.lit(0.0)).alias("last_totalprice"),
+        F.coalesce(F.col("last_orderdate_epoch"), F.lit(-1)).cast("long").alias(
+            "last_orderdate_epoch"
+        ),
+    )
+
+
+def q_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: the first 50 'error' events each open a
+    2-hour incident window; count every event falling in [lo, hi).
+    Runs the bucketed equi-join (operators/temporal.interval_join —
+    intervals explode to the <=2 two-hour buckets they span, points
+    hash-join on their single bucket; no nested-loop plan). The oracle
+    is DuckDB's plain range-predicate join, so the bucketed plan must
+    reproduce the naive semantics exactly."""
+    from nadry_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = (
+        ev.where(F.col("event_type") == "error")
+        .orderBy("event_id")
+        .limit(50)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("lo"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(7_200_000_000)).alias("hi"),
+        )
+    )
+    pts = ev.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"), "value")
+    joined = interval_join(
+        pts, iv, point_col="p_us", lo_col="lo", hi_col="hi",
+        bucket_width=7_200_000_000,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking formula over the documents table (tokenizer-lite):
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
@@ -1171,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "value_quantiles": q_value_quantiles,
         "sessionization": q_sessionization,
+        "asof_enrich": q_asof_enrich,
+        "interval_counts": q_interval_counts,
         "bm25_rank": q_bm25_rank,
         "bm25_conj": q_bm25_conj,
         "lsh_ann": q_lsh_ann,
@@ -2052,5 +2136,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(DISTINCT sess_no)::BIGINT AS n_sessions,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id
+        """,
+        # independent as-of implementation: DuckDB's native ASOF LEFT
+        # JOIN vs Spark's union+window formulation
+        "asof_enrich": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            ),
+            o2 AS (SELECT * FROM o1 WHERE rn = 1)
+            SELECT e.event_id,
+                   e.user_id::BIGINT AS user_id,
+                   coalesce(o2.o_orderkey, -1)::BIGINT AS last_orderkey,
+                   coalesce(o2.o_totalprice, 0.0::DOUBLE)::DOUBLE AS last_totalprice,
+                   coalesce(epoch(o2.o_orderdate), -1)::BIGINT AS last_orderdate_epoch
+            FROM events e
+            ASOF LEFT JOIN o2
+              ON e.user_id = o2.o_custkey AND o2.o_orderdate <= e.ts
+        """,
+        # naive range-predicate join: the bucketed equi-join plan must
+        # reproduce these semantics exactly
+        "interval_counts": """
+            WITH iv AS (
+                SELECT event_id AS window_id,
+                       epoch_us(ts) AS lo,
+                       epoch_us(ts) + 7200000000 AS hi
+                FROM events WHERE event_type = 'error'
+                ORDER BY event_id LIMIT 50
+            )
+            SELECT iv.window_id,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(e.value)::DOUBLE, 6) AS sum_value
+            FROM iv JOIN events e
+              ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
+            GROUP BY iv.window_id
         """,
     }
