@@ -649,8 +649,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (TRUE in the oracle: cross-checks the decode
                    pipeline's hash against the JVM's over the same
                    parquet bytes)
-      decoded      kind IN (image, audio)  (all synthetic payloads of
-                   those kinds are well-formed PPM/WAV)
+      decoded      image rows + pcm16 audio rows (PPM/PNG/JPEG/WAV all
+                   sample-decode for real; mp3 audio and mp4/fake
+                   video rows are metadata-probe-only => fallback)
       img_w/img_h  from the REAL decode's features vs meta.width/height
                    stored independently in the parquet — a genuine
                    header-parse check
@@ -685,6 +686,48 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probe over the synthetic media table: sniff
+    + header-only parse (PPM/PNG/JPEG dimensions, WAV exact duration
+    from frame count, MP4 mvhd/tkhd box walk, MP3 frame-header walk
+    with ID3v2 skip) — no sample/frame decode, O(header) bytes per
+    row. The oracle derives every column from the meta struct the
+    Spark-free fixture writer stored independently in the parquet, so
+    each container parser is checked against ground truth: a wrong
+    box offset, fixed-point shift, or frame-size formula mismatches.
+    Unknown payloads (the 'fake' video rows) probe as
+    ('unknown', -1, 0, 0) — the probe never raises."""
+    from nadry_spark.operators.multimodal import (
+        probe_media_df,
+        write_synthetic_media_parquet,
+    )
+
+    write_synthetic_media_parquet(MEDIA_PARQUET, n=64)
+    media = spark.read.parquet(MEDIA_PARQUET)
+    return probe_media_df(media)
+
+
+def _media_probe_sql() -> str:
+    from nadry_spark.operators.multimodal import write_synthetic_media_parquet
+
+    write_synthetic_media_parquet(MEDIA_PARQUET, n=64)
+    return f"""
+        SELECT media_id,
+               kind,
+               CASE meta.codec WHEN 'pcm16' THEN 'wav'
+                               WHEN 'fake' THEN 'unknown'
+                               ELSE meta.codec END AS container,
+               (CASE WHEN meta.codec = 'fake' THEN -1
+                     WHEN kind = 'image' THEN 0
+                     ELSE meta.duration_ms END)::BIGINT AS duration_ms,
+               (CASE WHEN kind = 'image' OR meta.codec = 'mp4'
+                     THEN meta.width ELSE 0 END)::BIGINT AS width,
+               (CASE WHEN kind = 'image' OR meta.codec = 'mp4'
+                     THEN meta.height ELSE 0 END)::BIGINT AS height
+        FROM read_parquet('{MEDIA_PARQUET}')
+    """
+
+
 def _media_sql() -> str:
     """Writes the media parquet as a side effect so the oracle works
     regardless of whether the driver runs SQL or Spark first."""
@@ -700,10 +743,12 @@ def _media_sql() -> str:
                octet_length(payload)::BIGINT AS n_bytes,
                lower(sha256(hex(payload))) AS payload_sha,
                TRUE AS sha_ok,
-               kind IN ('image', 'audio') AS decoded,
+               (kind = 'image'
+                OR (kind = 'audio' AND meta.codec = 'pcm16')) AS decoded,
                (CASE WHEN kind = 'image' THEN meta.width ELSE 0 END)::BIGINT AS img_w,
                (CASE WHEN kind = 'image' THEN meta.height ELSE 0 END)::BIGINT AS img_h,
-               (CASE WHEN kind = 'audio' THEN {AUDIO_RATE} ELSE 0 END)::BIGINT AS audio_rate
+               (CASE WHEN kind = 'audio' AND meta.codec = 'pcm16'
+                     THEN {AUDIO_RATE} ELSE 0 END)::BIGINT AS audio_rate
         FROM read_parquet('{MEDIA_PARQUET}')
     """
 
@@ -1249,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_suppliers": q_brand_suppliers,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
+        "media_probe": q_media_probe,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "value_quantiles": q_value_quantiles,
@@ -1666,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "jaccard_dups": _ngram_jaccard_sql(),
         "media_features": _media_sql(),
+        "media_probe": _media_probe_sql(),
         "repetition": r"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

@@ -14,11 +14,18 @@ Decode support is honest about the environment:
   header scan + numpy reshape, WAV PCM audio with the stdlib ``wave``
   module. Resize is nearest-neighbour numpy index slicing. These run
   end-to-end in tests.
-* **Stub** for codecs that genuinely require PIL/soundfile/ffmpeg
-  (JPEG/MP3/MP4): ``real_decode`` raises
-  ``NotImplementedError`` for them; ``featurize(mode="auto")`` falls
-  back to the deterministic byte-histogram fake so the distributed
-  plumbing always runs.
+* **REAL baseline JPEG** (ITU-T T.81 sequential DCT) in pure
+  numpy/stdlib — see ``decode_jpeg``.
+* **REAL container-metadata probes** for MP4 (ISO 14496-12 box walk:
+  mvhd duration/timescale, tkhd width/height) and MP3 (MPEG-1 audio
+  frame-header walk with ID3v2 skip) — ``probe_media`` extracts
+  duration/dimensions/rate without decoding any samples/frames, the
+  first pass a 100 TB media pipeline runs.
+* **Stub** for sample/frame decode of codecs that genuinely require
+  soundfile/ffmpeg (MP3/MP4 payloads, progressive JPEG):
+  ``real_decode`` raises ``NotImplementedError`` for them;
+  ``featurize(mode="auto")`` falls back to the deterministic
+  byte-histogram fake so the distributed plumbing always runs.
 """
 
 from __future__ import annotations
@@ -855,6 +862,319 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# container-metadata probes (no sample/frame decode) — MP4 + MP3
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Walk an ISO 14496-12 (MP4/QuickTime) box tree and return
+    ``{"container": "mp4", "duration_ms", "width", "height",
+    "n_tracks"}`` from mvhd (duration/timescale) and the first video
+    trak's tkhd (16.16 fixed-point width/height). Metadata only — no
+    codec work; the probe a media pipeline runs on every object before
+    deciding what to decode. Raises ValueError on corrupt structure.
+    """
+    d = payload
+
+    def walk(lo: int, hi: int):
+        """Yield (type, body_lo, body_hi) for the boxes in [lo, hi)."""
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(d[pos : pos + 4], "big")
+            btype = d[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4 largesize box")
+                size = int.from_bytes(d[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                raise ValueError("corrupt MP4 box size")
+            yield btype, body, pos + size
+            pos += size
+
+    tops = {t: (a, b) for t, a, b in walk(0, len(d))}
+    if b"moov" not in tops:
+        raise ValueError("MP4 has no moov box")
+    duration_ms = 0
+    width = height = 0
+    n_tracks = 0
+    moov_lo, moov_hi = tops[b"moov"]
+    for t, a, b in walk(moov_lo, moov_hi):
+        if t == b"mvhd":
+            ver = d[a]
+            if ver == 1:
+                timescale = int.from_bytes(d[a + 20 : a + 24], "big")
+                duration = int.from_bytes(d[a + 24 : a + 32], "big")
+            else:
+                timescale = int.from_bytes(d[a + 12 : a + 16], "big")
+                duration = int.from_bytes(d[a + 16 : a + 20], "big")
+            if timescale == 0:
+                raise ValueError("MP4 mvhd timescale 0")
+            duration_ms = duration * 1000 // timescale
+        elif t == b"trak":
+            n_tracks += 1
+            for tt, ta, tb in walk(a, b):
+                if tt == b"tkhd":
+                    ver = d[ta]
+                    # tkhd body: after version-dependent times the box
+                    # ends with matrix(36) + width(4) + height(4)
+                    w16 = int.from_bytes(d[tb - 8 : tb - 4], "big")
+                    h16 = int.from_bytes(d[tb - 4 : tb], "big")
+                    if w16 and h16 and not width:
+                        width, height = w16 >> 16, h16 >> 16
+    return {
+        "container": "mp4",
+        "duration_ms": int(duration_ms),
+        "width": int(width),
+        "height": int(height),
+        "n_tracks": n_tracks,
+    }
+
+
+def encode_mp4_stub(
+    duration_ms: int, width: int, height: int, n_tracks: int = 1
+) -> bytes:
+    """Minimal valid MP4 box tree (ftyp + moov(mvhd, trak(tkhd)*n) +
+    mdat filler) with timescale 1000 so mvhd duration == duration_ms
+    exactly. Fixture writer for the probe — carries no samples."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime, mtime
+        + (1000).to_bytes(4, "big")  # timescale: 1ms units
+        + int(duration_ms).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume 1.0
+        + bytes(10)  # reserved
+        + _MP4_UNITY_MATRIX
+        + bytes(24)  # pre_defined
+        + (n_tracks + 1).to_bytes(4, "big"),  # next_track_ID
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            bytes([0, 0, 0, 7])  # version 0, flags: enabled|in-movie
+            + bytes(8)  # ctime, mtime
+            + tid.to_bytes(4, "big")
+            + bytes(4)  # reserved
+            + int(duration_ms).to_bytes(4, "big")
+            + bytes(8)  # reserved
+            + bytes(4)  # layer + alternate_group
+            + bytes(4)  # volume + reserved
+            + _MP4_UNITY_MATRIX
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big"),
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", bytes((duration_ms * 7 + i) % 251 for i in range(48)))
+    return ftyp + moov + mdat
+
+
+_MP4_UNITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + bytes(12)
+    + (0x00010000).to_bytes(4, "big") + bytes(12)
+    + (0x40000000).to_bytes(4, "big")
+)
+
+# MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by header index,
+# sample rate by index
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0
+)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk MPEG-1 Layer III frame headers (ID3v2 tag skipped via its
+    synchsafe size) and return ``{"container": "mp3", "duration_ms",
+    "sample_rate", "bitrate_kbps", "n_frames"}``. Duration is
+    n_frames * 1152 samples / rate — exact, no decode. Raises
+    ValueError if no valid frame sequence is found."""
+    d = payload
+    pos = 0
+    if d[:3] == b"ID3":
+        if len(d) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for byte in d[6:10]:  # synchsafe 7-bit bytes
+            if byte & 0x80:
+                raise ValueError("corrupt ID3v2 synchsafe size")
+            size = (size << 7) | byte
+        pos = 10 + size
+    n_frames = 0
+    rate = bitrate = 0
+    while pos + 4 <= len(d):
+        h = d[pos : pos + 4]
+        if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+            break
+        if (h[1] & 0x18) != 0x18 or (h[1] & 0x06) != 0x02:
+            raise ValueError("not MPEG-1 Layer III")
+        br = _MP3_BITRATES[h[2] >> 4]
+        sr = _MP3_RATES[(h[2] >> 2) & 3]
+        if not br or not sr:
+            raise ValueError("bad MP3 bitrate/samplerate index")
+        if n_frames == 0:
+            rate, bitrate = sr, br
+        elif (sr, br) != (rate, bitrate):
+            raise ValueError("VBR/mixed-header MP3 not supported by probe")
+        padding = (h[2] >> 1) & 1
+        frame_len = 144 * br * 1000 // sr + padding
+        pos += frame_len
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "container": "mp3",
+        "duration_ms": n_frames * 1152 * 1000 // rate,
+        "sample_rate": rate,
+        "bitrate_kbps": bitrate,
+        "n_frames": n_frames,
+    }
+
+
+def encode_mp3_stub(
+    n_frames: int, bitrate_kbps: int = 128, rate: int = 32000, id3: bool = True
+) -> bytes:
+    """Valid MPEG-1 Layer III frame-header sequence with deterministic
+    junk frame bodies (no real audio). rate=32000 makes each frame
+    exactly 36 ms and 144*br/sr an integer, so the probe's duration is
+    exact. Optional ID3v2 tag exercises the skip path."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(rate)
+    header = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+    )  # MPEG-1 L3, no padding, stereo
+    frame_len = 144 * bitrate_kbps * 1000 // rate
+    out = bytearray()
+    if id3:
+        tag_body = b"TALBfixture-album\x00" + bytes(10)
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+        ) + tag_body
+    for f in range(n_frames):
+        body = bytes((f * 31 + i * 7) % 251 for i in range(frame_len - 4))
+        out += header + body
+    return bytes(out)
+
+
+def probe_media(payload: bytes) -> dict:
+    """Container sniff + header/metadata parse, no sample decode.
+
+    Returns ``{"container", "duration_ms", "width", "height"}``:
+    images (ppm/png/jpeg) parse true dimensions with duration 0, WAV
+    parses exact duration from frame count/rate, MP4/MP3 parse
+    duration (and dimensions for MP4) from container metadata alone.
+    Unknown or corrupt payloads return container "unknown" and
+    duration -1 — the probe NEVER raises; it is the triage pass that
+    decides what a pipeline tries to decode.
+    """
+    out = {"container": "unknown", "duration_ms": -1, "width": 0, "height": 0}
+    try:
+        if payload.startswith(b"P6"):
+            arr = decode_ppm(payload)
+            return {"container": "ppm", "duration_ms": 0,
+                    "width": arr.shape[1], "height": arr.shape[0]}
+        if payload.startswith(_PNG_MAGIC):
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            if payload[12:16] != b"IHDR" or not w or not h:
+                raise ValueError("corrupt PNG IHDR")
+            return {"container": "png", "duration_ms": 0, "width": w, "height": h}
+        if payload.startswith(b"\xff\xd8"):
+            return {"container": "jpeg", "duration_ms": 0, **_jpeg_dims(payload)}
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                rate = wf.getframerate()
+                if rate <= 0:
+                    raise ValueError("WAV rate 0")
+                return {"container": "wav",
+                        "duration_ms": wf.getnframes() * 1000 // rate,
+                        "width": 0, "height": 0}
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            m = parse_mp4_meta(payload)
+            return {"container": "mp4", "duration_ms": m["duration_ms"],
+                    "width": m["width"], "height": m["height"]}
+        if payload[:3] == b"ID3" or (
+            len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+        ):
+            m = parse_mp3_meta(payload)
+            return {"container": "mp3", "duration_ms": m["duration_ms"],
+                    "width": 0, "height": 0}
+    except (ValueError, NotImplementedError, wave.Error, EOFError,
+            struct.error, IndexError, OverflowError, zlib.error):
+        pass
+    return out
+
+
+def _jpeg_dims(payload: bytes) -> dict:
+    """Width/height from the first SOF marker — the marker walk of
+    decode_jpeg without entropy decode (works for progressive too:
+    dimensions live in SOF regardless of coding mode)."""
+    d = payload
+    pos = 2
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = d[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h = int.from_bytes(d[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(d[pos + 7 : pos + 9], "big")
+            return {"width": w, "height": h}
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOF marker")
+
+
+PROBE_DDL = (
+    "media_id long, kind string, container string, duration_ms long, "
+    "width long, height long"
+)
+
+
+def probe_media_df(media: DataFrame) -> DataFrame:
+    """mapInPandas metadata-probe stage: (media rows) -> PROBE_DDL
+    rows. Header-only parsing — bytes per row touched are O(header),
+    not O(payload), so this is the cheap first pass over a 100 TB
+    corpus that routes rows to decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probes = [
+                probe_media(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "container": [p["container"] for p in probes],
+                    "duration_ms": [p["duration_ms"] for p in probes],
+                    "width": [p["width"] for p in probes],
+                    "height": [p["height"] for p in probes],
+                }
+            )
+
+    return media.mapInPandas(run, PROBE_DDL)
+
+
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize of a (H, W, C) array via index slicing."""
     h, w = arr.shape[:2]
@@ -1042,15 +1362,30 @@ def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
                 payload = encode_ppm(arr)
                 meta = (w, h, 0, "ppm")
         elif kind == "audio":
-            rate = AUDIO_RATE
-            dur = rng.randint(100, 400)  # ms
-            t = np.arange(int(rate * dur / 1000.0))
-            freq = rng.uniform(100.0, 1000.0)
-            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t / rate), rate)
-            meta = (0, 0, dur, "pcm16")
+            if (i // 3) % 3 == 2:  # every 3rd audio row: MP3 frame walk
+                n_frames = rng.randint(3, 12)
+                payload = encode_mp3_stub(n_frames, id3=(i // 9) % 2 == 0)
+                meta = (0, 0, 36 * n_frames, "mp3")  # 1152/32000 = 36ms
+            else:
+                rate = AUDIO_RATE
+                dur = rng.randint(100, 400)  # ms
+                t = np.arange(int(rate * dur / 1000.0))
+                freq = rng.uniform(100.0, 1000.0)
+                payload = encode_wav(
+                    0.5 * np.sin(2 * np.pi * freq * t / rate), rate
+                )
+                meta = (0, 0, dur, "pcm16")
         else:
-            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-            meta = (0, 0, rng.randint(1000, 10000), "fake")
+            if (i // 3) % 2 == 1:  # every other video row: real MP4 boxes
+                w, h = rng.randint(16, 640), rng.randint(16, 480)
+                dur = rng.randint(1000, 10000)
+                payload = encode_mp4_stub(dur, w, h, n_tracks=1 + (i // 6) % 2)
+                meta = (w, h, dur, "mp4")
+            else:
+                payload = bytes(
+                    rng.getrandbits(8) for _ in range(rng.randint(64, 512))
+                )
+                meta = (0, 0, rng.randint(1000, 10000), "fake")
         rows.append((i, kind, payload, meta))
     return rows
 

@@ -334,8 +334,9 @@ def test_multimodal_featurize_and_frame_plan(spark):
         assert r["sha256"] == hashlib.sha256(raw[mid]).hexdigest()
         assert r["n_bytes"] == len(raw[mid])
         kind = raw_rows[mid]["kind"]
-        if kind in ("image", "audio"):
-            # REAL stdlib decode (PPM / WAV)
+        codec = raw_rows[mid]["meta"]["codec"]
+        if kind == "image" or codec == "pcm16":
+            # REAL stdlib sample decode (PPM/PNG/JPEG / WAV)
             assert r["decoded"] is True
             assert r["features"] == pytest.approx(
                 real_features(raw[mid], kind).tolist()
@@ -349,7 +350,7 @@ def test_multimodal_featurize_and_frame_plan(spark):
                 assert r["features"][2] == pytest.approx(
                     raw_rows[mid]["meta"]["duration_ms"] / 1000.0, abs=0.01
                 )
-        else:  # video payloads have no stdlib codec -> fake fallback
+        else:  # mp3/mp4/fake payloads: metadata-probe-only -> fallback
             assert r["decoded"] is False
             assert r["features"] == pytest.approx(fake_features(raw[mid]).tolist())
             assert abs(sum(r["features"]) - 1.0) < 1e-5
@@ -938,6 +939,91 @@ def test_jpeg_errors_and_fallback(spark):
     assert rows[1]["decoded"] is False
     assert rows[2]["decoded"] is True
     assert rows[2]["features"][1] == 16.0 and rows[2]["features"][2] == 16.0
+
+
+def test_media_metadata_probes():
+    """MP4 box walk + MP3 frame walk parse exactly what the fixture
+    encoders wrote; corrupt structures raise; probe_media never raises
+    and routes every container correctly (including progressive-JPEG
+    dimensions, which live in SOF regardless of coding mode)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nadry_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_mp3_stub,
+        encode_mp4_stub,
+        encode_wav,
+        parse_mp3_meta,
+        parse_mp4_meta,
+        probe_media,
+    )
+
+    m = parse_mp4_meta(encode_mp4_stub(5230, 320, 240, n_tracks=2))
+    assert m == {"container": "mp4", "duration_ms": 5230, "width": 320,
+                 "height": 240, "n_tracks": 2}
+    # version-1 mvhd (64-bit times): hand-built box tree
+    def box(t, b):
+        return (8 + len(b)).to_bytes(4, "big") + t + b
+    mvhd_v1 = box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16)  # v1, ctime/mtime 64-bit
+        + (90000).to_bytes(4, "big")  # timescale
+        + (90000 * 7).to_bytes(8, "big")  # duration: 7s
+        + bytes(80),
+    )
+    v1 = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1)
+    assert parse_mp4_meta(v1)["duration_ms"] == 7000
+    with _pytest.raises(ValueError):
+        parse_mp4_meta(box(b"ftyp", b"isom"))  # no moov
+    with _pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x30moovrest-is-too-short")
+
+    p = parse_mp3_meta(encode_mp3_stub(7, id3=True))
+    assert p["duration_ms"] == 7 * 36 and p["sample_rate"] == 32000
+    assert parse_mp3_meta(encode_mp3_stub(4, id3=False))["n_frames"] == 4
+    with _pytest.raises(ValueError):
+        parse_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x05hello")  # no frames
+
+    # probe_media: exact WAV duration, progressive-JPEG dims, garbage
+    wav = encode_wav(np.zeros(1600), rate=8000)
+    assert probe_media(wav) == {"container": "wav", "duration_ms": 200,
+                                "width": 0, "height": 0}
+    jarr = np.zeros((24, 31, 3), np.uint8)
+    good = bytearray(encode_jpeg(jarr, subsample=False))
+    sof_at = good.find(b"\xff\xc0")
+    progressive = bytes(good[:sof_at]) + b"\xff\xc2" + bytes(good[sof_at + 2 :])
+    pr = probe_media(progressive)
+    assert (pr["container"], pr["width"], pr["height"]) == ("jpeg", 31, 24)
+    assert probe_media(b"\x00\x01garbage") == {
+        "container": "unknown", "duration_ms": -1, "width": 0, "height": 0}
+    assert probe_media(b"")["container"] == "unknown"
+    # corrupt MP4: sniffs as ftyp but walk fails -> unknown, no raise
+    assert probe_media(b"\x00\x00\x00\x99ftyp")["container"] == "unknown"
+
+
+def test_media_probe_df_matches_fixture_meta(spark):
+    """The distributed probe stage agrees with the ground-truth meta
+    struct for every synthetic row (ppm/png/jpeg/wav/mp3/mp4/fake)."""
+    from nadry_spark.operators.multimodal import probe_media_df, synthetic_media
+
+    media = synthetic_media(spark, n=48)
+    metas = {r["media_id"]: r for r in media.select("media_id", "kind", "meta").collect()}
+    containers = set()
+    for r in probe_media_df(media).collect():
+        m = metas[r["media_id"]]
+        w, h, dur, codec = (m["meta"]["width"], m["meta"]["height"],
+                            m["meta"]["duration_ms"], m["meta"]["codec"])
+        containers.add(r["container"])
+        want_container = {"pcm16": "wav", "fake": "unknown"}.get(codec, codec)
+        assert r["container"] == want_container
+        want_dur = -1 if codec == "fake" else (0 if m["kind"] == "image" else dur)
+        assert r["duration_ms"] == want_dur, (codec, r)
+        if m["kind"] == "image" or codec == "mp4":
+            assert (r["width"], r["height"]) == (w, h)
+        else:
+            assert (r["width"], r["height"]) == (0, 0)
+    assert containers == {"ppm", "png", "jpeg", "wav", "mp3", "mp4", "unknown"}
 
 
 def test_repetition_stats(spark):
