@@ -251,6 +251,59 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components
+    (fixed 6-round min-label propagation, operators/components.py)
+    over the MinHash-LSH pair graph, plus per-cluster size. The
+    keep-one-per-cluster step of corpus cleaning needs the transitive
+    closure — pairs alone under-remove (A~B, B~C but A!~C). Oracle
+    unrolls the same 6 rounds as chained CTEs (the pagerank
+    fixed-iteration pattern), so the propagation itself is
+    cross-checked, not just the pair input."""
+    from nadry_spark.operators.components import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, src="id_a", dst="id_b", iterations=6)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "component").select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+# typos chosen for multi-candidate neighbourhoods in the testdata
+# vocabulary so the (dist, df desc, term) ranking is actually exercised
+FUZZY_QUERIES = ["dat", "vale", "stor", "jion"]
+
+
+def q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-style fuzzy suggestions: vocabulary terms within edit
+    distance 2 of each (misspelled) query term, top-5 by (distance,
+    df desc, term). Runs the SymSpell deletion-neighbourhood equi-join
+    (operators/fuzzy.py — no cross join); the oracle IS the naive
+    cross join with DuckDB's levenshtein, so the neighbourhood
+    pruning is proven lossless on the real vocabulary."""
+    from nadry_spark.operators.fuzzy import fuzzy_match
+
+    tf = q_doc_term_tf(spark, sf_dir)
+    vocab = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    queries = spark.createDataFrame([(q,) for q in FUZZY_QUERIES], "q string")
+    out = fuzzy_match(
+        queries, vocab, "q", "term", max_dist=2, top_k=5,
+        rank_cols=[F.desc("df")],
+    )
+    return out.select(
+        "q",
+        "term",
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold all-pairs n-gram Jaccard near-dups via the
     All-Pairs/PPJoin prefix filter (Bayardo WWW'07 / Xiao WWW'08).
@@ -1271,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_keep": q_exact_keep,
         "minhash_pairs": q_minhash_pairs,
+        "dup_clusters": q_dup_clusters,
+        "fuzzy_suggest": q_fuzzy_suggest,
         "jaccard_dups": q_jaccard_dups,
         "simhash_sigs": q_simhash_sigs,
         "simhash_groups": q_simhash_groups,
@@ -1313,6 +1368,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
     }
+
+
+def _dup_clusters_sql() -> str:
+    """6-round min-label propagation unrolled as chained CTEs over the
+    minhash pair graph — mirrors connected_components(iterations=6)
+    exactly (fixed rounds, so parity holds regardless of
+    convergence)."""
+    # AS MATERIALIZED is load-bearing: without it DuckDB inlines each
+    # CTE at every reference, so the l5->l6 chain doubles per round and
+    # the base minhash pipeline (with its documents scans) explodes
+    # ~2^rounds-fold — slow AND it exhausts file handles re-opening
+    # the parquet in hundreds of inlined scans
+    rounds = ""
+    prev = "l0"
+    for i in range(1, 7):
+        rounds += f""",
+        l{i} AS MATERIALIZED (
+            SELECT v, min(c) AS c FROM (
+                SELECT v, c FROM {prev}
+                UNION ALL
+                SELECT e.a AS v, l.c AS c FROM e JOIN {prev} l ON l.v = e.b
+            ) GROUP BY v
+        )"""
+        prev = f"l{i}"
+    return f"""
+        WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_sql()}) p),
+        e AS MATERIALIZED (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS c FROM e){rounds},
+        sizes AS (SELECT c, count(*)::BIGINT AS n FROM {prev} GROUP BY c)
+        SELECT l.v AS doc_id, l.c AS cluster_id, sizes.n AS cluster_size
+        FROM {prev} l JOIN sizes ON l.c = sizes.c
+    """
+
+
+def _fuzzy_suggest_sql() -> str:
+    qvals = ", ".join(f"('{q}')" for q in FUZZY_QUERIES)
+    return f"""
+        WITH vocab AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM ({_TERMS_LITE_SQL})
+            GROUP BY term
+        ),
+        q(q) AS (VALUES {qvals}),
+        cand AS (
+            SELECT q.q, v.term, levenshtein(q.q, v.term) AS dist, v.df
+            FROM q CROSS JOIN vocab v
+            WHERE levenshtein(q.q, v.term) <= 2
+        ),
+        r AS (
+            SELECT q, term, dist, df,
+                   row_number() OVER (PARTITION BY q
+                                      ORDER BY dist ASC, df DESC, term ASC) AS rank
+            FROM cand
+        )
+        SELECT q, term, dist::BIGINT AS dist, df, rank::BIGINT AS rank
+        FROM r WHERE rank <= 5
+    """
 
 
 def _minhash_sql() -> str:
@@ -1710,6 +1826,8 @@ def oracle_sql() -> dict[str, str]:
             FROM doubled GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_pairs": _minhash_sql(),
+        "dup_clusters": _dup_clusters_sql(),
+        "fuzzy_suggest": _fuzzy_suggest_sql(),
         "jaccard_dups": _ngram_jaccard_sql(),
         "media_features": _media_sql(),
         "media_probe": _media_probe_sql(),
