@@ -14,15 +14,16 @@ Decode support is honest about the environment:
   header scan + numpy reshape, WAV PCM audio with the stdlib ``wave``
   module. Resize is nearest-neighbour numpy index slicing. These run
   end-to-end in tests.
-* **REAL baseline JPEG** (ITU-T T.81 sequential DCT) in pure
-  numpy/stdlib — see ``decode_jpeg``.
+* **REAL JPEG** (ITU-T T.81) in pure numpy/stdlib — baseline
+  sequential AND progressive (SOF2 spectral selection + successive
+  approximation), see ``decode_jpeg``.
 * **REAL container-metadata probes** for MP4 (ISO 14496-12 box walk:
   mvhd duration/timescale, tkhd width/height) and MP3 (MPEG-1 audio
   frame-header walk with ID3v2 skip) — ``probe_media`` extracts
   duration/dimensions/rate without decoding any samples/frames, the
   first pass a 100 TB media pipeline runs.
 * **Stub** for sample/frame decode of codecs that genuinely require
-  soundfile/ffmpeg (MP3/MP4 payloads, progressive JPEG):
+  soundfile/ffmpeg (MP3/MP4 payloads):
   ``real_decode`` raises ``NotImplementedError`` for them;
   ``featurize(mode="auto")`` falls back to the deterministic
   byte-histogram fake so the distributed plumbing always runs.
@@ -478,13 +479,15 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential DCT JPEG (ITU-T T.81, the format
-    of nearly every web photo) into (H, W, 3) uint8 RGB. Pure
-    numpy/stdlib: marker walk, canonical Huffman decode, dequantize,
-    orthonormal-matrix IDCT, chroma upsample, JFIF YCbCr->RGB.
-    Supports grey and 3-component scans, arbitrary 1-2 sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Progressive
-    (SOF2) and arithmetic/hierarchical variants raise
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    DCT JPEG (ITU-T T.81, the formats of essentially every web photo)
+    into (H, W, 3) uint8 RGB. Pure numpy/stdlib: marker walk,
+    canonical Huffman decode, dequantize, orthonormal-matrix IDCT,
+    chroma upsample, JFIF YCbCr->RGB. Supports grey and 3-component
+    scans, arbitrary 1-2 sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+    restart intervals, and the full progressive scan machinery
+    (spectral selection, successive approximation, EOB-run coding —
+    Annex G). Arithmetic/hierarchical/lossless variants raise
     NotImplementedError; corrupt structure raises ValueError."""
     d = payload
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
@@ -493,6 +496,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     sof = None
+    progressive = False
     restart_interval = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -532,7 +536,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _jpeg_huff_decode_table(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -541,15 +545,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG SOF not supported")
+            raise NotImplementedError(
+                "arithmetic/hierarchical/lossless JPEG SOF not supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                # progressive images carry MANY scans (with DHT/DRI
+                # segments allowed between them): hand the walk over
+                return _jpeg_decode_progressive(
+                    d, pos, sof, qts, huff, restart_interval
+                )
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -629,6 +640,12 @@ def _jpeg_decode_scan(d, pos, sof, scan, qts, huff, restart_interval):
                             np.round(px), 0, 255
                         ).astype(np.int32)
             n_mcu += 1
+    return _jpeg_planes_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_planes_to_rgb(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample component planes to full resolution, crop the MCU
+    padding, and convert (JFIF YCbCr->RGB, or replicate grey)."""
     full = []
     for (cid, ch, cv, tq), plane in zip(comps, planes):
         up = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
@@ -641,6 +658,246 @@ def _jpeg_decode_scan(d, pos, sof, scan, qts, huff, restart_interval):
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode_progressive(d, pos, sof, qts, huff, restart_interval):
+    """Progressive (SOF2) decode per ITU-T T.81 Annex G: multiple SOS
+    scans refine one coefficient array per component via spectral
+    selection (Ss..Se bands) and successive approximation (point
+    transform Al, refinement scans Ah>0, AC EOB-run coding). All
+    scans accumulate into int32 coefficient planes; dequantize + IDCT
+    run ONCE at EOI, vectorized over every block. ``pos`` is the byte
+    offset of the first SOS marker; DHT/DQT/DRI segments between
+    scans are honored."""
+    h, w, comps = sof
+    if h <= 0 or w <= 0 or h * w > (1 << 26):
+        raise ValueError(f"JPEG header declares hostile dimensions {w}x{h}")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG not supported (grey/YCbCr only)"
+        )
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise NotImplementedError("JPEG sampling factors beyond 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_cid = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    # coefficient planes over the full (MCU-padded) block grid;
+    # non-interleaved scans cover only the true block dims
+    coefs, true_bw, true_bh = [], [], []
+    for cid, ch, cv, tq in comps:
+        if tq not in qts:
+            raise ValueError(f"JPEG component references missing DQT {tq}")
+        coefs.append(np.zeros((mcuy * cv, mcux * ch, 64), np.int32))
+        true_bw.append((-(-(w * ch) // hmax) + 7) // 8)
+        true_bh.append((-(-(h * cv) // vmax) + 7) // 8)
+
+    n_scans = 0
+    while True:
+        # find the next marker (pos may sit on it already, or we just
+        # finished an entropy segment and must skip to the next 0xFF)
+        while pos + 1 < len(d) and not (d[pos] == 0xFF and d[pos + 1] != 0x00):
+            pos += 1
+        if pos + 1 >= len(d):
+            raise ValueError("truncated progressive JPEG (no EOI)")
+        marker = d[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        seg = d[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        body_at = pos + 2 + seglen
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                huff[(tc, th)] = _jpeg_huff_decode_table(
+                    counts, seg[i + 17 : i + 17 + nsym]
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            n_scans += 1
+            if n_scans > 256:
+                raise ValueError("hostile progressive JPEG: too many scans")
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in by_cid:
+                    raise ValueError("SOS references unknown component")
+                scomps.append((by_cid[cs], tables >> 4, tables & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if ss > se or se > 63 or al > 13:
+                raise ValueError("bad progressive scan parameters")
+            bits = _JpegBits(d, body_at)
+            _prog_scan(
+                bits, d, coefs, comps, scomps, ss, se, ah, al,
+                huff, restart_interval, mcux, mcuy, true_bw, true_bh,
+            )
+            pos = bits.pos
+            continue
+        # other segments (APPn/COM/DQT redefinition) skipped
+        pos = body_at
+    if n_scans == 0:
+        raise ValueError("progressive JPEG has no scans")
+
+    planes = []
+    for (cid, ch, cv, tq), cf in zip(comps, coefs):
+        bh, bw = cf.shape[:2]
+        blocks = np.zeros((bh, bw, 8, 8), np.float64)
+        blocks[:, :, _JPEG_ZZ_ROWS, _JPEG_ZZ_COLS] = cf * qts[tq]
+        # same association order as the baseline per-block path
+        # ((T' @ B) @ T) so sequential and progressive encodings of
+        # identical coefficients decode bit-identically
+        px = np.matmul(np.matmul(_JPEG_T.T, blocks), _JPEG_T) + 128.0
+        px = np.clip(np.round(px), 0, 255).astype(np.int32)
+        planes.append(
+            px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _jpeg_planes_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _prog_scan(bits, d, coefs, comps, scomps, ss, se, ah, al, huff,
+               restart_interval, mcux, mcuy, true_bw, true_bh):
+    """One progressive scan (T.81 G.2): DC or AC band, first pass
+    (Ah=0) or refinement (Ah>0), interleaved (multi-component DC) or
+    non-interleaved block raster."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        preds = [0] * len(coefs)
+        dc_tabs = {}
+        for ci, dc_id, _ in scomps:
+            if ah == 0:
+                if (0, dc_id) not in huff:
+                    raise ValueError("scan references missing DC DHT")
+                dc_tabs[ci] = huff[(0, dc_id)]
+
+        def dc_unit(ci, byy, bxx):
+            cf = coefs[ci][byy, bxx]
+            if ah == 0:
+                t = bits.huff(dc_tabs[ci])
+                if t > 15:
+                    raise ValueError("bad JPEG DC category")
+                preds[ci] += _jpeg_extend(bits.read_bits(t), t)
+                cf[0] = preds[ci] << al
+            else:  # refinement: one raw bit per block
+                if bits.read_bit():
+                    cf[0] = int(cf[0]) | (1 << al)
+
+        if len(scomps) > 1:  # interleaved over the full MCU grid
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                        bits.restart()
+                        preds = [0] * len(coefs)
+                    for ci, _, _ in scomps:
+                        _, ch, cv, _ = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc_unit(ci, my * cv + by, mx * ch + bx)
+                    n_mcu += 1
+        else:  # single component: raster over its true block dims
+            ci = scomps[0][0]
+            n_unit = 0
+            for byy in range(true_bh[ci]):
+                for bxx in range(true_bw[ci]):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        bits.restart()
+                        preds = [0] * len(coefs)
+                    dc_unit(ci, byy, bxx)
+                    n_unit += 1
+        return
+
+    # AC scan: exactly one component, non-interleaved (T.81 G.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ac_id = scomps[0]
+    if (1, ac_id) not in huff:
+        raise ValueError("scan references missing AC DHT")
+    ac_t = huff[(1, ac_id)]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    n_unit = 0
+    for byy in range(true_bh[ci]):
+        for bxx in range(true_bw[ci]):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                bits.restart()
+                eobrun = 0
+            n_unit += 1
+            cf = coefs[ci][byy, bxx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.huff(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1 + (bits.read_bits(r) if r else 0)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    cf[k] = _jpeg_extend(bits.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement (T.81 G.2 / libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = bits.huff(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) + (bits.read_bits(r) if r else 0)
+                                break  # this block finishes in EOB processing
+                        else:
+                            if s != 1:
+                                raise ValueError("bad refinement magnitude")
+                            val = p1 if bits.read_bit() else m1
+                        # advance past r zero-history coefficients,
+                        # emitting correction bits for nonzero ones;
+                        # the break position is then consumed too (the
+                        # placement slot for s=1, the 16th zero of a
+                        # ZRL for s=0)
+                        while k <= se:
+                            if cf[k] != 0:
+                                if bits.read_bit() and (cf[k] & p1) == 0:
+                                    cf[k] += p1 if cf[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if k <= se:
+                            if val:
+                                cf[k] = val
+                            k += 1
+                if eobrun > 0:
+                    # EOB region: correction bits only, to band end
+                    while k <= se:
+                        if cf[k] != 0:
+                            if bits.read_bit() and (cf[k] & p1) == 0:
+                                cf[k] += p1 if cf[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
 
 
 class _JpegBitWriter:
@@ -693,6 +950,34 @@ def _jpeg_fixture_tables():
 _JPEG_FIXTURE_Q = 4  # flat quant step for both tables: error <= ~2/px
 
 
+def _jpeg_prep_planes(arr: np.ndarray, subsample: bool):
+    """RGB -> padded (Y, Cb, Cr) planes for the fixture encoders.
+    Returns (ypad, cbs, crs, ysub, mcu)."""
+    arr = arr.astype(np.float64)
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def pad(plane, mult):
+        ph = -plane.shape[0] % mult
+        pw = -plane.shape[1] % mult
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    if subsample:
+        ysub, mcu = 2, 16
+        ypad = pad(y, 16)
+        # 2x2 mean subsample on the padded-to-even plane
+        ce = pad(cb, 2)
+        re_ = pad(cr, 2)
+        cbs = pad(ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean((1, 3)), 8)
+        crs = pad(re_.reshape(re_.shape[0] // 2, 2, re_.shape[1] // 2, 2).mean((1, 3)), 8)
+    else:
+        ysub, mcu = 1, 8
+        ypad, cbs, crs = pad(y, 8), pad(cb, 8), pad(cr, 8)
+    return ypad, cbs, crs, ysub, mcu
+
+
 def encode_jpeg(
     arr: np.ndarray,
     subsample: bool = True,
@@ -706,31 +991,10 @@ def encode_jpeg(
     ``grey=True`` emits a 1-component luma-only scan (BT.601 Y of the
     RGB input). Exists to exercise decode_jpeg's real paths — not for
     compression."""
-    arr = arr.astype(np.float64)
-    h, w, _ = arr.shape
-    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-
-    def pad(plane, mult):
-        ph = -plane.shape[0] % mult
-        pw = -plane.shape[1] % mult
-        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-
     if grey:
         subsample = False
-    if subsample:
-        ysub, mcu = 2, 16
-        ypad = pad(y, 16)
-        # 2x2 mean subsample on the padded-to-even plane
-        ce = pad(cb, 2)
-        re_ = pad(cr, 2)
-        cbs = pad(ce.reshape(ce.shape[0] // 2, 2, ce.shape[1] // 2, 2).mean((1, 3)), 8)
-        crs = pad(re_.reshape(re_.shape[0] // 2, 2, re_.shape[1] // 2, 2).mean((1, 3)), 8)
-    else:
-        ysub, mcu = 1, 8
-        ypad, cbs, crs = pad(y, 8), pad(cb, 8), pad(cr, 8)
+    h, w, _ = arr.shape
+    ypad, cbs, crs, ysub, mcu = _jpeg_prep_planes(arr, subsample)
 
     qt = np.full(64, _JPEG_FIXTURE_Q, np.int32)
     dc_counts, dc_symbols, dc_codes, ac_counts, ac_symbols, ac_codes = (
@@ -824,6 +1088,237 @@ def encode_jpeg(
                 put_block(crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], 2)
             n_mcu += 1
     out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, subsample: bool = True, grey: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 -> progressive (SOF2) JPEG bytes encoding the
+    SAME quantized coefficients as ``encode_jpeg`` — so progressive
+    and sequential streams of one image must decode bit-identically
+    (the round-trip test's invariant). Scan script exercises every
+    progressive decode path: interleaved DC first pass at Al=1, DC
+    refinement, per-component spectral-selection AC bands (1-20,
+    21-63) at Al=1 with EOB-run coding, then AC refinement scans
+    (Ah=1, Al=0) with correction bits. Fixture writer — deterministic,
+    not compression-tuned."""
+    if grey:
+        subsample = False
+    h, w, _ = arr.shape
+    ypad, cbs, crs, ysub, mcu = _jpeg_prep_planes(arr, subsample)
+
+    def quantize(plane):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        # same association order as encode_jpeg's per-block path
+        coef = np.matmul(np.matmul(_JPEG_T, blocks - 128.0), _JPEG_T.T)
+        q = np.round(coef / _JPEG_FIXTURE_Q).astype(np.int64)
+        return q[:, :, _JPEG_ZZ_ROWS, _JPEG_ZZ_COLS]
+
+    if grey:
+        planes = [quantize(ypad)]
+        samps = [(1, 1)]
+    else:
+        planes = [quantize(ypad), quantize(cbs), quantize(crs)]
+        samps = [(ysub, ysub), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    true_dims = [
+        ((-(-(h * cv) // vmax) + 7) // 8, (-(-(w * ch) // hmax) + 7) // 8)
+        for ch, cv in samps
+    ]
+    mcux = planes[0].shape[1] // samps[0][0]
+    mcuy = planes[0].shape[0] // samps[0][1]
+
+    qt = np.full(64, _JPEG_FIXTURE_Q, np.int32)
+    dc_counts, dc_symbols, dc_codes, ac_counts, ac_symbols, ac_codes = (
+        _jpeg_fixture_tables()
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt.tolist()))
+    out += seg(0xDB, bytes([0x01]) + bytes(qt.tolist()))
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i, (ch, cv) in enumerate(samps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)
+    for tc_th in (0x00, 0x10, 0x01, 0x11):
+        counts, symbols = (
+            (dc_counts, dc_symbols) if tc_th >> 4 == 0 else (ac_counts, ac_symbols)
+        )
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for i in comp_ids:
+            tid = 0 if i == 0 else 1
+            body += bytes([i + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_blocks_in_order():
+        """Interleaved MCU order (matches the decoder's multi-comp DC
+        path); grey degenerates to the same raster."""
+        if ncomp == 1:
+            bh, bw = true_dims[0]
+            for byy in range(bh):
+                for bxx in range(bw):
+                    yield 0, byy, bxx
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (ch, cv) in enumerate(samps):
+                        for by in range(cv):
+                            for bx in range(ch):
+                                yield ci, my * cv + by, mx * ch + bx
+
+    # ---- scan 1: DC first pass, Al=1, interleaved ----
+    wtr = _JpegBitWriter()
+    preds = [0] * ncomp
+    for ci, byy, bxx in dc_blocks_in_order():
+        v = int(planes[ci][byy, bxx, 0]) >> 1  # arithmetic point transform
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = int(diff).bit_length() if diff != 0 else 0
+        code, ln = dc_codes[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    out += wtr.flush()
+
+    # ---- AC first passes: per component, two spectral bands, Al=1 ----
+    def ac_first(ci, ss, se):
+        wtr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                wtr.write(code, ln)
+                if nb:
+                    wtr.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        bh, bw = true_dims[ci]
+        for byy in range(bh):
+            for bxx in range(bw):
+                zz = planes[ci][byy, bxx]
+                r = 0
+                for k in range(ss, se + 1):
+                    c = int(zz[k])
+                    mag = (abs(c)) >> 1
+                    if mag == 0:
+                        r += 1
+                        continue
+                    v = mag if c > 0 else -mag
+                    flush_eob()
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        r -= 16
+                    s = mag.bit_length()
+                    code, ln = ac_codes[(r << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    for ci in range(ncomp):
+        for ss, se in ((1, 20), (21, 63)):
+            out += sos_header([ci], ss, se, 0, 1)
+            out += ac_first(ci, ss, se)
+
+    # ---- DC refinement: Ah=1, Al=0, one raw bit per block ----
+    wtr = _JpegBitWriter()
+    for ci, byy, bxx in dc_blocks_in_order():
+        wtr.write(int(planes[ci][byy, bxx, 0]) & 1, 1)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    out += wtr.flush()
+
+    # ---- AC refinement: Ah=1, Al=0 (T.81 G.1.2.3 / libjpeg
+    # encode_mcu_AC_refine: newly-significant symbols interleaved with
+    # buffered correction bits, EOB runs carry pending bits) ----
+    def ac_refine(ci, ss, se):
+        wtr = _JpegBitWriter()
+        eobrun = 0
+        pend: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                wtr.write(code, ln)
+                if nb:
+                    wtr.write(eobrun - (1 << nb), nb)
+            for bit in pend:
+                wtr.write(bit, 1)
+            eobrun = 0
+            pend = []
+
+        bh, bw = true_dims[ci]
+        for byy in range(bh):
+            for bxx in range(bw):
+                zz = planes[ci][byy, bxx]
+                band = [int(zz[k]) for k in range(ss, se + 1)]
+                absv = [abs(c) for c in band]
+                eobpos = -1  # index within band of last newly-significant
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                r = 0
+                br: list[int] = []
+                for i, c in enumerate(band):
+                    t = absv[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        r -= 16
+                        for bit in br:
+                            wtr.write(bit, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if c > 0 else 0, 1)
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    for ci in range(ncomp):
+        for ss, se in ((1, 20), (21, 63)):
+            out += sos_header([ci], ss, se, 1, 0)
+            out += ac_refine(ci, ss, se)
+
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1352,11 +1847,16 @@ def synthetic_media_rows(n: int = 64, seed: int = 7) -> list[tuple]:
                     payload = encode_png(arr, filter_type=(i // 9) % 5)
                 meta = (w, h, 0, "png")
             elif container == 2:
-                payload = encode_jpeg(
-                    arr,
-                    subsample=(i // 9) % 2 == 0,  # alternate 4:2:0 / 4:4:4
-                    restart_interval=2 if (i // 9) % 3 == 2 else 0,
-                )
+                if (i // 9) % 3 == 1:  # every 3rd JPEG row: progressive
+                    payload = encode_jpeg_progressive(
+                        arr, subsample=(i // 9) % 2 == 0
+                    )
+                else:
+                    payload = encode_jpeg(
+                        arr,
+                        subsample=(i // 9) % 2 == 0,  # alternate 4:2:0 / 4:4:4
+                        restart_interval=2 if (i // 9) % 3 == 2 else 0,
+                    )
                 meta = (w, h, 0, "jpeg")
             else:
                 payload = encode_ppm(arr)

@@ -886,11 +886,51 @@ def test_jpeg_roundtrip_modes():
     assert encode_jpeg(arr) == encode_jpeg(arr)
 
 
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) and sequential streams of the same image
+    encode identical quantized coefficients, so they must decode
+    BIT-IDENTICALLY — across chroma modes, odd dims, grey, and
+    coefficient distributions that force every Annex-G path (EOB runs
+    across blocks, ZRL-in-refinement, newly-significant + correction
+    bits, dense high-frequency bands)."""
+    import numpy as np
+
+    from nadry_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [rng.integers(0, 256, s).astype(np.uint8)
+             for s in ((24, 17, 3), (33, 29, 3), (9, 9, 3))]
+    cases.append(np.full((40, 48, 3), 77, np.uint8))  # all-AC-zero: max EOB runs
+    sparse = np.full((48, 40, 3), 128, np.uint8)  # isolated spikes: ZRL paths
+    sparse[5, 5] = [255, 0, 0]
+    sparse[37, 3] = [0, 255, 255]
+    cases.append(sparse)
+    checker = ((np.indices((32, 32)).sum(axis=0) % 2) * 255).astype(np.uint8)
+    cases.append(np.repeat(checker[:, :, None], 3, axis=2))  # dense high-freq
+
+    for arr in cases:
+        for sub in (False, True):
+            base = decode_jpeg(encode_jpeg(arr, subsample=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(arr, subsample=sub))
+            assert (base == prog).all(), (arr.shape, sub)
+    g = cases[0]
+    assert (
+        decode_jpeg(encode_jpeg(g, grey=True))
+        == decode_jpeg(encode_jpeg_progressive(g, grey=True))
+    ).all()
+    # deterministic bytes
+    assert encode_jpeg_progressive(g) == encode_jpeg_progressive(g)
+
+
 def test_jpeg_errors_and_fallback(spark):
-    """Progressive/unsupported SOFs raise NotImplementedError,
-    structural corruption ValueError, hostile headers are bounded —
-    and featurize auto mode falls back to fake features for all of
-    them instead of killing the job."""
+    """Unsupported SOFs raise NotImplementedError, structural
+    corruption ValueError, hostile headers are bounded — and featurize
+    auto mode falls back to fake features for all of them instead of
+    killing the job."""
     import numpy as np
     import pytest as _pytest
 
@@ -905,11 +945,16 @@ def test_jpeg_errors_and_fallback(spark):
     )
     good = bytearray(encode_jpeg(arr, subsample=False))
 
-    # flip the SOF0 marker to SOF2 (progressive): env-blocked, honest
     sof_at = good.find(b"\xff\xc0")
+    # flip SOF0 to SOF2: a baseline full-band SOS inside a progressive
+    # stream is structurally corrupt (progressive DC scans need Se=0)
     progressive = bytes(good[:sof_at]) + b"\xff\xc2" + bytes(good[sof_at + 2 :])
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(progressive)
+    # flip to SOF9 (arithmetic): genuinely unsupported
+    arith = bytes(good[:sof_at]) + b"\xff\xc9" + bytes(good[sof_at + 2 :])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(arith)
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\x00\x00")  # bad marker alignment
