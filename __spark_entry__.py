@@ -251,6 +251,58 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of documents: membership decided
+    by the salted md5 of the key alone (operators/sampling.py), so
+    the sample is reproducible across runs/partitionings/engines —
+    the oracle recomputes the SAME decision in DuckDB, which rand()
+    sampling could never pass."""
+    from nadry_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, "doc_id", 0.1, salt="r4").select("doc_id", "lang")
+
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota (5 docs per lang) in salted-hash order
+    — deterministic balanced subsetting without collecting group
+    sizes. sample_rank is the 1-based hash-order rank inside the
+    stratum."""
+    from nadry_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, ["lang"], "doc_id", 5, salt="s4")
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch term frequencies (width 64, depth 4) next to
+    exact counts. The sketch is a FIXED-SIZE (256-counter) frequency
+    summary built in one aggregation — the heavy-hitter structure for
+    corpora where a full per-key groupBy is what's being avoided. The
+    md5-derived buckets are bit-deterministic, so DuckDB rebuilds the
+    identical sketch and the estimates hash-match; the est>=exact
+    over-estimate invariant is also asserted in pytest."""
+    from nadry_spark.operators.sketches import cms_estimate, cms_table
+
+    occ = q_doc_term_tf(spark, sf_dir).select(
+        F.explode(F.array_repeat(F.col("term"), F.col("tf").cast("int"))).alias(
+            "term"
+        )
+    )
+    sketch = cms_table(occ, "term", width=64, depth=4)
+    keys = occ.select("term").distinct()
+    est = cms_estimate(sketch, keys, "term", width=64, depth=4)
+    exact = occ.groupBy("term").agg(F.count("*").alias("exact_count"))
+    return exact.join(est, "term").select(
+        "term",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("cms_count").cast("long").alias("cms_count"),
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> duplicate CLUSTERS: connected components
     (fixed 6-round min-label propagation, operators/components.py)
@@ -1326,6 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
         "fuzzy_suggest": q_fuzzy_suggest,
+        "doc_sample": q_doc_sample,
+        "strat_sample": q_strat_sample,
+        "cms_counts": q_cms_counts,
         "jaccard_dups": q_jaccard_dups,
         "simhash_sigs": q_simhash_sigs,
         "simhash_groups": q_simhash_groups,
@@ -1428,6 +1483,68 @@ def _fuzzy_suggest_sql() -> str:
         )
         SELECT q, term, dist::BIGINT AS dist, df, rank::BIGINT AS rank
         FROM r WHERE rank <= 5
+    """
+
+
+_HASH_FRAC = "('0x' || substring(md5({expr}), 1, 13))::BIGINT / 4503599627370496::DOUBLE"
+
+
+def _sampling_sql() -> dict[str, str]:
+    doc_hash = _HASH_FRAC.format(expr="'r4|' || doc_id::VARCHAR")
+    strat_hash = _HASH_FRAC.format(expr="'s4|' || doc_id::VARCHAR")
+    return {
+        "doc_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {doc_hash} < 0.1::DOUBLE
+        """,
+        "strat_sample": f"""
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY {strat_hash} ASC,
+                                                   doc_id ASC) AS sample_rank
+                FROM documents
+            )
+            SELECT doc_id, lang, sample_rank::BIGINT AS sample_rank
+            FROM r WHERE sample_rank <= 5
+        """,
+    }
+
+
+def _cms_sql() -> str:
+    bucket = (
+        "('0x' || substring(md5(r.row::VARCHAR || '|' || term), 1, 13))"
+        "::BIGINT % 64"
+    )
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM ({_TERMS_LITE_SQL}) GROUP BY doc_id, term
+        ),
+        occ AS (
+            SELECT unnest(list_transform(range(tf), x -> term)) AS term
+            FROM tf
+        ),
+        rows_(row) AS (VALUES (0), (1), (2), (3)),
+        sk AS (
+            SELECT row, bucket, count(*)::BIGINT AS cnt FROM (
+                SELECT r.row AS row, {bucket} AS bucket
+                FROM occ CROSS JOIN rows_ r
+            ) GROUP BY row, bucket
+        ),
+        keys AS (SELECT DISTINCT term FROM occ),
+        probes AS (
+            SELECT term, r.row AS row, {bucket} AS bucket
+            FROM keys CROSS JOIN rows_ r
+        ),
+        est AS (
+            SELECT term, min(cnt)::BIGINT AS cms_count
+            FROM probes JOIN sk USING (row, bucket)
+            GROUP BY term
+        ),
+        exact AS (SELECT term, count(*)::BIGINT AS exact_count FROM occ GROUP BY term)
+        SELECT exact.term, exact_count, cms_count
+        FROM exact JOIN est ON exact.term = est.term
     """
 
 
@@ -1828,6 +1945,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "fuzzy_suggest": _fuzzy_suggest_sql(),
+        **_sampling_sql(),
+        "cms_counts": _cms_sql(),
         "jaccard_dups": _ngram_jaccard_sql(),
         "media_features": _media_sql(),
         "media_probe": _media_probe_sql(),

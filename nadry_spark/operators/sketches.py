@@ -60,3 +60,73 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         ).alias("est_distinct"),
         F.lit(exact).cast("long").alias("exact_distinct"),
     )
+
+
+def cms_bucket(col, row: int, width: int):
+    """Deterministic Count-Min bucket for hash row ``row``: md5 of the
+    salted value, 13 hex digits (exact in a 64-bit int), mod width.
+    Identical arithmetic in Spark and DuckDB."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), col)), 1, _HEX_DIGITS),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_table(df: DataFrame, col: str, width: int = 256, depth: int = 4) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan, J.Alg 2005) as a
+    DataFrame: ``depth`` independent hash rows of ``width`` counters,
+    built in ONE aggregation over an explode of the depth rows —
+    (row, bucket, cnt) with depth*width rows max, regardless of input
+    size or cardinality. The fixed-size frequency summary for streams
+    / corpora where a full per-key groupBy is the thing being avoided.
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-query the sketch for each key: min over the depth rows of
+    the key's bucket counter. CMS never under-estimates (every
+    occurrence lands in the counted bucket) — ``est >= true`` always,
+    with overestimate bounded by collisions (~N/width per row, min
+    over depth rows). Join is (keys x depth) vs the fixed-size sketch:
+    broadcastable regardless of corpus size."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(key_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_count"))
+    )
