@@ -303,6 +303,24 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) keys over (user_id, ts) for the events table —
+    the clustering key behind OPTIMIZE ZORDER-style layout
+    (operators/layout.py). The interleave is a closed-form column
+    expression (no UDF), so DuckDB recomputes the identical 32-bit
+    keys; the layout benefit itself (partition bounding boxes shrink)
+    is asserted in pytest where it can be measured."""
+    from nadry_spark.operators.layout import zvalue
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        zvalue(
+            [F.col("user_id"), F.unix_timestamp("ts") % 65536], bits=16
+        ).alias("zval"),
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> duplicate CLUSTERS: connected components
     (fixed 6-round min-label propagation, operators/components.py)
@@ -1379,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "fuzzy_suggest": q_fuzzy_suggest,
         "doc_sample": q_doc_sample,
+        "zorder_keys": q_zorder_keys,
         "strat_sample": q_strat_sample,
         "cms_counts": q_cms_counts,
         "jaccard_dups": q_jaccard_dups,
@@ -1509,6 +1528,17 @@ def _sampling_sql() -> dict[str, str]:
             FROM r WHERE sample_rank <= 5
         """,
     }
+
+
+def _zorder_sql() -> str:
+    from nadry_spark.operators.layout import zvalue_sql
+
+    # epoch(ts)::BIGINT ROUNDS half-up in DuckDB; Spark unix_timestamp
+    # floors — integer-divide epoch_us instead for identical seconds
+    z = zvalue_sql(["user_id", "(epoch_us(ts) // 1000000) % 65536"], bits=16)
+    return f"""
+        SELECT event_id, ({z})::BIGINT AS zval FROM events
+    """
 
 
 def _cms_sql() -> str:
@@ -1946,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_sql(),
         "fuzzy_suggest": _fuzzy_suggest_sql(),
         **_sampling_sql(),
+        "zorder_keys": _zorder_sql(),
         "cms_counts": _cms_sql(),
         "jaccard_dups": _ngram_jaccard_sql(),
         "media_features": _media_sql(),
