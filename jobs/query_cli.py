@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--scoring", choices=["exact", "bm25"], default="exact")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="bm25 scoring only; exact mode is disjunctive like the reference")
+    ap.add_argument("--did-you-mean", action="store_true",
+                    help="attach a didYouMean fuzzy suggestion to zero-result envelopes")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -57,7 +59,9 @@ def main() -> None:
         data = [r.asDict() for r in rows[args.page * args.page_size :]]
         print(json.dumps({"success": True, "data": data, "mode": "and"}, default=str, indent=2))
     else:
-        engine = QueryEngine(idx, scoring=args.scoring)
+        engine = QueryEngine(
+            idx, scoring=args.scoring, did_you_mean=args.did_you_mean
+        )
         result = engine.search(args.query, page=args.page, page_size=args.page_size)
         print(json.dumps(result, default=str, indent=2))
     spark.stop()

@@ -55,6 +55,7 @@ class QueryEngine:
         scoring: str = "exact",
         count_cap: int | None = None,
         cache_cap: int = 1024,
+        did_you_mean: bool = False,
     ):
         """index: a SegmentIndex or a MultiSegmentIndex (the
         incremental-serving family) — both expose the common serving
@@ -72,6 +73,17 @@ class QueryEngine:
         hit the envelope carries totalResultsIsLowerBound=True.
         Default None keeps the reference-exact full count.
 
+        did_you_mean: opt-in extension BEYOND the reference
+        envelope — when a query returns zero results, fuzzy-match each
+        token against the index term dictionary (SymSpell
+        deletion-neighbourhood join, operators/fuzzy.py) and attach a
+        `didYouMean` corrected-query string when any token has a
+        vocabulary term within edit distance 2 (ranked by distance,
+        then df, then term). The vocabulary's deletion variants are
+        built ONCE per engine and cached, so each miss pays only the
+        tiny query-side expansion + a hash join. Off by default to
+        keep the envelope reference-exact.
+
         cache_cap: max cached query envelopes. The reference caches
         every distinct query forever (SearchController.java:35-46) —
         unbounded in a long-lived server. We keep the quirk SEMANTICS
@@ -83,6 +95,8 @@ class QueryEngine:
         self.scoring = scoring
         self.count_cap = count_cap
         self.cache_cap = int(cache_cap)
+        self.did_you_mean = bool(did_you_mean)
+        self._vocab_variants = None  # lazily-built deletion index
         self._cache: "OrderedDict[str, dict]" = OrderedDict()
 
     def _cache_put(self, key: str, envelope: dict) -> None:
@@ -153,6 +167,7 @@ class QueryEngine:
                 topk_bound = need
         if not tokens or ranked_df is None:
             envelope = self._envelope([], 0, page, page_size, meta_tokens, t0)
+            self._attach_did_you_mean(envelope, tokens)
             self._cache_put(search_query, envelope)
             return envelope
 
@@ -196,8 +211,57 @@ class QueryEngine:
         envelope = self._envelope(
             enriched, total, page, page_size, meta_tokens, t0, topk_bound=topk_bound
         )
+        self._attach_did_you_mean(envelope, tokens)
         self._cache_put(search_query, envelope)
         return envelope
+
+    def _attach_did_you_mean(self, envelope: dict, tokens) -> None:
+        """Zero-result queries get a `didYouMean` corrected-query
+        suggestion (opt-in; see __init__). Mutates the envelope."""
+        if (
+            not self.did_you_mean
+            or envelope.get("totalResults", 0) != 0
+            or not tokens
+        ):
+            return
+        from pyspark.sql import Window
+
+        from nadry_spark.operators.fuzzy import deletion_variants
+
+        spark = self.index.spark
+        if self._vocab_variants is None:
+            if hasattr(self.index, "segments"):  # MultiSegmentIndex
+                vocab = None
+                for s in self.index.segments:
+                    part = s.terms.select("term", "df")
+                    vocab = part if vocab is None else vocab.unionByName(part)
+                vocab = vocab.groupBy("term").agg(F.sum("df").alias("df"))
+            else:
+                vocab = self.index.terms.select("term", "df")
+            self._vocab_variants = deletion_variants(
+                vocab, "term", out="_var"
+            ).persist()
+        qdf = spark.createDataFrame([(t,) for t in set(tokens)], "q string")
+        qv = deletion_variants(qdf, "q", out="_var")
+        cands = (
+            qv.join(self._vocab_variants, "_var")
+            .drop("_var")
+            .distinct()
+            .withColumn("dist", F.levenshtein(F.col("q"), F.col("term")))
+            .where((F.col("dist") <= 2) & (F.col("dist") > 0))
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        best = {
+            r["q"]: r["term"]
+            for r in cands.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .collect()
+        }
+        corrected = [best.get(t, t) for t in tokens]
+        if corrected != list(tokens):
+            envelope["didYouMean"] = " ".join(corrected)
 
     def _enrich(self, page_rows, tokens):
         """J4 + F15: join content for the k paged docs only, snippet UDF."""

@@ -248,3 +248,36 @@ def test_count_cap_composes_with_bm25_topk_bound(seg):
     res = eng.search(hot, page=0, page_size=2)
     assert res["totalResults"] == 2  # top-k frame bound at need
     assert res["totalResultsIsLowerBound"] is True  # composed, not masked
+
+
+def test_did_you_mean_on_zero_results(seg):
+    """Opt-in didYouMean: a misspelled token with an indexed term
+    within edit distance 2 gets a corrected-query suggestion on
+    zero-result envelopes; hit envelopes and the default engine never
+    carry the field."""
+    from collections import Counter
+
+    from nadry_spark.plans.query import QueryEngine
+
+    idx, o_postings, _ = seg
+    cnt = Counter(t for t, _ in o_postings if ":" not in t and len(t) >= 5)
+    common = cnt.most_common(1)[0][0]
+    typo = common[:-1] + ("x" if common[-1] != "x" else "z")  # dist 1
+    assert typo not in cnt
+
+    eng = QueryEngine(idx, scoring="bm25", did_you_mean=True)
+    res = eng.search(typo)
+    assert res["totalResults"] == 0
+    assert res["didYouMean"] == common
+
+    # a hit query never carries the field
+    hit = eng.search(common)
+    assert hit["totalResults"] > 0 and "didYouMean" not in hit
+
+    # gibberish with no neighbour: no suggestion
+    none = eng.search("qqqqqqqqqqqq")
+    assert none["totalResults"] == 0 and "didYouMean" not in none
+
+    # reference-exact default: field never appears
+    plain = QueryEngine(idx, scoring="bm25")
+    assert "didYouMean" not in plain.search(typo)
