@@ -38,7 +38,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--input", required=True,
-        help="directory of page parquet files, or warc:<dir> to watch "
+        help="directory of page parquet files, or warc:<dir> (wet:<dir>) to watch "
         "a directory of Common-Crawl WARC archives",
     )
     ap.add_argument("--work", required=True, help="stream work dir (deltas + checkpoint)")

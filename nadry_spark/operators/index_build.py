@@ -59,8 +59,16 @@ def extract_documents(pages: DataFrame) -> DataFrame:
     spark = pages.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
     pages = pages.repartition(target, "url")
+    # WET fall-through: rows with no html but a prefilled text column
+    # (Common Crawl conversion records, sources/warc.read_wet) are
+    # already extracted — index the text directly (empty title/
+    # description, no links; the P1 empty/oversize bounds still apply).
+    # html rows run the reference-exact extractor as before.
+    has_text = "text" in pages.columns
+    html_ok = F.col("html").isNotNull() & (F.length("html") > 0)
     extracted = (
-        pages.select("url", extract_udf(F.col("html"), F.col("url")).alias("doc"))
+        pages.where(html_ok)
+        .select("url", extract_udf(F.col("html"), F.col("url")).alias("doc"))
         .where(F.col("doc.content").isNotNull())
         .select(
             F.sha2(F.col("url"), 256).alias("doc_id"),
@@ -71,6 +79,24 @@ def extract_documents(pages: DataFrame) -> DataFrame:
             F.col("doc.links").alias("links"),
         )
     )
+    if has_text:
+        text_rows = (
+            pages.where(
+                (~html_ok)
+                & F.col("text").isNotNull()
+                & (F.length("text") > 0)
+                & (F.length("text") <= 100_000_000)
+            )
+            .select(
+                F.sha2(F.col("url"), 256).alias("doc_id"),
+                "url",
+                F.lit("").alias("title"),
+                F.lit("").alias("description"),
+                F.col("text").alias("content"),
+                F.array().cast("array<string>").alias("links"),
+            )
+        )
+        extracted = extracted.unionByName(text_rows)
     tokenized = extracted.select(
         "*",
         tokenize_udf(F.col("title")).alias("tokens_title"),

@@ -35,12 +35,19 @@ def read_table(spark: SparkSession, source: str) -> DataFrame:
       the runtime jar; raises a clear error otherwise)
     * ``warc:<path-or-glob>`` — WARC archives (ISO 28500 / Common
       Crawl layout incl. per-record gzip), parsed into the pages shape
+    * ``wet:<path-or-glob>`` — WET extracted-text archives (Common
+      Crawl conversion records); rows carry text with empty html and
+      index through the text fall-through without re-extraction
     * ``parquet:<path>`` or a bare path — Parquet directory
     """
     if source.startswith("warc:"):
         from nadry_spark.sources.warc import read_warc
 
         return read_warc(spark, source[len("warc:"):])
+    if source.startswith("wet:"):
+        from nadry_spark.sources.warc import read_wet
+
+        return read_wet(spark, source[len("wet:"):])
     if source.startswith("iceberg:"):
         name = source[len("iceberg:"):]
         if not iceberg_available(spark):

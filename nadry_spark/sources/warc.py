@@ -131,8 +131,10 @@ def parse_warc_stream(
     chunk_size: int = _CHUNK,
     stats: dict | None = None,
     max_record_bytes: int = _MAX_RECORD_BYTES,
+    record_types: tuple[str, ...] = ("response",),
 ) -> Iterator[tuple[str, _dt.datetime, bytes]]:
-    """Yield (url, warc_ts, html_bytes) response records from a
+    """Yield (url, warc_ts, payload_bytes) records of the requested
+    WARC-Types from a
     readable byte stream, incrementally: the resident buffer holds at
     most one record body + one chunk (``stats['max_buf']`` records the
     observed high-water mark — the testable memory bound). Malformed
@@ -241,7 +243,8 @@ def parse_warc_stream(
             body = bytes(buf[head_end + 4 : body_end])
             del buf[:body_end]
 
-            if headers.get("warc-type") != "response":
+            rtype = headers.get("warc-type")
+            if rtype not in record_types:
                 continue
             url = headers.get("warc-target-uri")
             ts_raw = headers.get("warc-date")
@@ -251,10 +254,12 @@ def parse_warc_stream(
                 ts = _dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
             except ValueError:
                 continue
-            # HTTP payload: strip the status line + headers
-            http_end = body.find(b"\r\n\r\n")
-            html = body[http_end + 4 :] if http_end >= 0 else body
-            yield url, ts, html
+            if rtype == "response":
+                # HTTP payload: strip the status line + headers
+                http_end = body.find(b"\r\n\r\n")
+                body = body[http_end + 4 :] if http_end >= 0 else body
+            # conversion (WET) bodies are the bare extracted text
+            yield url, ts, body
     finally:
         if stats is not None:
             stats["max_buf"] = max_buf
@@ -267,8 +272,12 @@ def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, _dt.datetime, bytes]]:
     yield from parse_warc_stream(_decompressed_stream(io.BufferedReader(io.BytesIO(data))))
 
 
-def _record_frames(records: Iterator[tuple[str, _dt.datetime, bytes]]):
-    """Pack a record iterator into bounded pandas frames."""
+def _record_frames(
+    records: Iterator[tuple[str, _dt.datetime, bytes]], as_text: bool = False
+):
+    """Pack a record iterator into bounded pandas frames. ``as_text``
+    (WET conversion records) routes the payload to the ``text``
+    column — extraction is already done, html stays empty."""
     import pandas as pd
 
     urls: list[str] = []
@@ -277,6 +286,16 @@ def _record_frames(records: Iterator[tuple[str, _dt.datetime, bytes]]):
     nbytes = 0
 
     def frame():
+        if as_text:
+            return pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": [b""] * len(urls),
+                    "text": [h.decode("utf-8", "replace") for h in htmls],
+                    "lang": [""] * len(urls),
+                }
+            )
         return pd.DataFrame(
             {
                 "url": urls,
@@ -299,7 +318,7 @@ def _record_frames(records: Iterator[tuple[str, _dt.datetime, bytes]]):
         yield frame()
 
 
-def _pages_from_paths(batches):
+def _pages_from_paths(batches, record_types=("response",), as_text=False):
     """mapInPandas gen over binaryFile ``path`` rows: open each local
     archive and stream-decode (bounded memory, disk -> records)."""
     for pdf in batches:
@@ -313,10 +332,15 @@ def _pages_from_paths(batches):
                 )
             local = url2pathname(parsed.path)
             with open(local, "rb") as f:
-                yield from _record_frames(parse_warc_stream(_decompressed_stream(f)))
+                yield from _record_frames(
+                    parse_warc_stream(
+                        _decompressed_stream(f), record_types=record_types
+                    ),
+                    as_text=as_text,
+                )
 
 
-def _pages_from_content(batches):
+def _pages_from_content(batches, record_types=("response",), as_text=False):
     """mapInPandas gen over binaryFile ``content`` rows (non-local
     filesystems): compressed bytes resident, decode still bounded."""
     for pdf in batches:
@@ -324,7 +348,10 @@ def _pages_from_content(batches):
             stream = _decompressed_stream(
                 io.BufferedReader(io.BytesIO(bytes(content)))
             )
-            yield from _record_frames(parse_warc_stream(stream))
+            yield from _record_frames(
+                parse_warc_stream(stream, record_types=record_types),
+                as_text=as_text,
+            )
 
 
 def _is_local_glob(spark: SparkSession, path_glob: str) -> bool:
@@ -407,3 +434,73 @@ def write_warc(path: str, rows, per_record_gzip: bool = False) -> str:
             rec = warc_record(url, ts, html)
             f.write(gzip.compress(rec) if per_record_gzip else rec)
     return path
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET (Common Crawl extracted-text) archives -> pages DataFrame:
+    conversion records carry the already-extracted plain text, so rows
+    come back with ``text`` filled and ``html`` empty — the index
+    build's text fall-through (operators/index_build.py) indexes them
+    without re-extraction. Same bounded-memory streaming decode and
+    local-path/content dispatch as :func:`read_warc`."""
+    from functools import partial
+
+    raw = spark.read.format("binaryFile").load(path_glob)
+    if _is_local_glob(spark, path_glob):
+        return raw.select("path").mapInPandas(
+            partial(_pages_from_paths, record_types=("conversion",), as_text=True),
+            PAGES_DDL,
+        )
+    return raw.select("content").mapInPandas(
+        partial(_pages_from_content, record_types=("conversion",), as_text=True),
+        PAGES_DDL,
+    )
+
+
+def wet_record(url: str, ts: _dt.datetime, text: str) -> bytes:
+    """One WET conversion record (bare text payload, no HTTP)."""
+    body = text.encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "Content-Type: text/plain\r\n"
+    ).encode()
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
+def write_wet(path: str, rows, per_record_gzip: bool = False) -> str:
+    """rows of (url, warc_ts, text) -> one WET file on disk."""
+    with open(path, "wb") as f:
+        for url, ts, text in rows:
+            rec = wet_record(url, ts, text)
+            f.write(gzip.compress(rec) if per_record_gzip else rec)
+    return path
+
+
+def read_wet_stream(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_wet` — watch a
+    directory of WET archives, same bounded decode per micro-batch."""
+    from functools import partial
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path_glob)
+    )
+    if _is_local_glob(spark, path_glob):
+        return raw.select("path").mapInPandas(
+            partial(_pages_from_paths, record_types=("conversion",), as_text=True),
+            PAGES_DDL,
+        )
+    return raw.select("content").mapInPandas(
+        partial(_pages_from_content, record_types=("conversion",), as_text=True),
+        PAGES_DDL,
+    )

@@ -49,11 +49,12 @@ def stream_ingest(
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
-    ``input_dir`` is a parquet directory of pages rows, or
+    ``input_dir`` is a parquet directory of pages rows,
     ``warc:<dir-or-glob>`` to watch a directory of Common-Crawl WARC
-    archives instead (sources/warc.read_warc_stream — whole archives
-    per task, bounded-memory record decode); everything downstream of
-    the source is identical."""
+    archives (sources/warc.read_warc_stream — whole archives per
+    task, bounded-memory record decode), or ``wet:<dir-or-glob>`` for
+    extracted-text WET archives (indexed via the text fall-through);
+    everything downstream of the source is identical."""
     from nadry_spark.operators.index_build import build_postings, doc_stats, extract_documents
     from nadry_spark.session import ship_package
 
@@ -63,6 +64,12 @@ def stream_ingest(
 
         pages = read_warc_stream(
             spark, input_dir[len("warc:"):], max_files_per_trigger
+        )
+    elif input_dir.startswith("wet:"):
+        from nadry_spark.sources.warc import read_wet_stream
+
+        pages = read_wet_stream(
+            spark, input_dir[len("wet:"):], max_files_per_trigger
         )
     else:
         pages = (

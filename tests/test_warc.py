@@ -316,3 +316,93 @@ def test_warc_hostile_inputs_bounded_and_survivable():
     )
     assert [u for u, _, _ in out] == ["https://ok.example.com/b"]
     assert stats["max_buf"] < 64_000, stats  # never buffered the big body
+
+
+def test_wet_roundtrip_and_mixed_index(spark, tmp_path_factory):
+    """WET conversion records round-trip into pages rows with text
+    filled and html empty; extract_documents' text fall-through
+    indexes them next to html rows, and the WET docs are queryable."""
+    from nadry_spark.operators.index_build import extract_documents
+    from nadry_spark.sources.catalog import read_table
+    from nadry_spark.sources.warc import read_wet, write_wet
+
+    base = tmp_path_factory.mktemp("wet")
+    ts = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    wet_rows = [
+        (f"https://wet{i}.example/page", ts, f"zebra quokka text number {i}")
+        for i in range(6)
+    ]
+    plain = str(base / "a.warc.wet")
+    gz = str(base / "b.warc.wet.gz")
+    write_wet(plain, wet_rows[:3])
+    write_wet(gz, wet_rows[3:], per_record_gzip=True)
+
+    pages = read_wet(spark, str(base) + "/*")
+    got = {r["url"]: r for r in pages.collect()}
+    assert len(got) == 6
+    for url, ts0, text in wet_rows:
+        assert bytes(got[url]["html"]) == b""
+        assert got[url]["text"] == text
+    # catalog scheme dispatch
+    assert read_table(spark, "wet:" + str(base) + "/*").count() == 6
+
+    # mixed corpus: html rows extract, WET rows fall through
+    html_page = [
+        (
+            "https://html.example/x",
+            ts,
+            b"<html><head><title>T</title></head><body><p>alpha beta</p></body></html>",
+            "",
+            "",
+        )
+    ]
+    mixed = pages.unionByName(
+        spark.createDataFrame(
+            html_page,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
+    docs = {r["url"]: r for r in extract_documents(mixed).collect()}
+    assert len(docs) == 7
+    assert docs["https://wet0.example/page"]["content"] == "zebra quokka text number 0"
+    assert docs["https://wet0.example/page"]["title"] == ""
+    assert docs["https://wet0.example/page"]["links"] == []
+    assert "zebra" in docs["https://wet0.example/page"]["tokens_body"]
+    assert docs["https://html.example/x"]["title"] == "T"
+
+    # end-to-end: build + query a WET-only corpus
+    from nadry_spark.plans.query import QueryEngine
+    from nadry_spark.sources.segments import SegmentIndex, build_segments
+
+    out = str(base / "seg")
+    build_segments(spark, pages, out, n_shards=2, shards_per_job=2)
+    eng = QueryEngine(SegmentIndex(spark, out), scoring="bm25")
+    res = eng.search("quokka zebra")
+    assert res["totalResults"] == 6
+
+
+def test_wet_streaming_ingest(spark, tmp_path_factory):
+    """wet:<dir> streaming scheme: drop a WET archive in the watch
+    dir, one ingest cycle indexes its text rows."""
+    from nadry_spark.sources.warc import write_wet
+    from nadry_spark.streaming.ingest import stream_ingest
+
+    base = tmp_path_factory.mktemp("wetstream")
+    watch = base / "in"
+    watch.mkdir()
+    ts = dt.datetime(2024, 4, 1, tzinfo=dt.timezone.utc)
+    write_wet(
+        str(watch / "seg.warc.wet.gz"),
+        [(f"https://ws{i}.example/", ts, f"wombat stream doc {i}") for i in range(4)],
+        per_record_gzip=True,
+    )
+    out = str(base / "out")
+    q = stream_ingest(spark, "wet:" + str(watch), out, str(base / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = spark.read.parquet(out + "/delta_docs")
+    rows = {r["url"]: r for r in docs.collect()}
+    assert len(rows) == 4
+    assert all(u.startswith("https://ws") for u in rows)
