@@ -44,7 +44,7 @@ def bm25_idf(n_docs: int, df: int) -> float:
 
 def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
                 idf_map: dict[str, float], n_query_terms: int, conjunctive: bool,
-                exclude: frozenset = frozenset()):
+                exclude: frozenset = frozenset(), codec: str = "varint"):
     def score(key, pdf: pd.DataFrame):
         base = int(key[0]) * shard_size
         scores = np.zeros(shard_size, dtype=np.float64)
@@ -54,7 +54,9 @@ def _shard_taat(k: int, k1: float, b: float, avgdl: float, shard_size: int,
             for docs_bin, tfs_bin, dls_bin in zip(
                 tpdf["docs_bin"], tpdf["tfs_bin"], tpdf["dls_bin"]
             ):
-                doc_nos, tfs, dls = decode_posting_block(docs_bin, tfs_bin, dls_bin)
+                doc_nos, tfs, dls = decode_posting_block(
+                    docs_bin, tfs_bin, dls_bin, codec
+                )
                 idx = (doc_nos - np.uint64(base)).astype(np.int64)
                 scores[idx] += idf * bm25_tfnorm(tfs, dls, avgdl, k1, b)
                 seen_terms[idx] += 1
@@ -93,10 +95,12 @@ class _TermCursor:
     """Cursor over one term's blocks within a shard (lazy block decode)."""
 
     __slots__ = ("idf", "blocks", "bi", "pi", "doc_nos", "tfnorms", "max_score", "cur",
-                 "_k1b", "_decodes", "_bscale")
+                 "_k1b", "_decodes", "_bscale", "_codec")
 
     def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float,
-                 decodes: list | None = None, bound_scale: float = 1.0):
+                 decodes: list | None = None, bound_scale: float = 1.0,
+                 codec: str = "varint"):
+        self._codec = codec
         self.idf = idf
         # blocks sorted by min_doc_no: list of dicts w/ bins + max_tfnorm
         self.blocks = blocks
@@ -123,7 +127,7 @@ class _TermCursor:
         if self._decodes is not None:
             self._decodes[0] += 1
         doc_nos, tfs, dls = decode_posting_block(
-            blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"]
+            blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"], self._codec
         )
         self.doc_nos = doc_nos.astype(np.int64)
         self.tfnorms = bm25_tfnorm(tfs, dls, avgdl, k1, b)
@@ -174,7 +178,7 @@ class _TermCursor:
 def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
                idf_map: dict[str, float], n_query_terms: int, conjunctive: bool,
                stats_mode: bool = False, exclude: frozenset = frozenset(),
-               bound_inflation: float = 1.0):
+               bound_inflation: float = 1.0, codec: str = "varint"):
     def score(key, pdf: pd.DataFrame):
         decodes = [0]
         cursors: list[_TermCursor] = []
@@ -187,7 +191,7 @@ def _shard_bmw(k: int, k1: float, b: float, avgdl: float,
             )
             cursors.append(
                 _TermCursor(idf_map[term], blocks, k1, b, avgdl, decodes=decodes,
-                            bound_scale=bound_inflation)
+                            bound_scale=bound_inflation, codec=codec)
             )
         if conjunctive and len(cursors) < n_query_terms:
             if stats_mode:
@@ -317,6 +321,7 @@ def bm25_topk(
     args = dict(
         k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
         idf_map=idf_map, n_query_terms=len(terms), conjunctive=conjunctive,
+        codec=meta.get("codec", "varint"),
     )
     if mode == "taat":
         scorer = _shard_taat(shard_size=meta["shard_size"], **args)
@@ -394,7 +399,13 @@ def bm25_topk_multi(
     )
     parts = []
     for seg, excl in zip(msi.segments, msi.excluded):
-        seg_args = dict(args, exclude=frozenset(int(x) for x in excl))
+        # codec is a per-SEGMENT property (segments of one family may
+        # be built with different codecs across compactions)
+        seg_args = dict(
+            args,
+            exclude=frozenset(int(x) for x in excl),
+            codec=seg.meta.get("codec", "varint"),
+        )
         if mode == "taat":
             scorer = _shard_taat(shard_size=seg.meta["shard_size"], **seg_args)
         else:
@@ -446,7 +457,7 @@ def bmw_block_stats(
     scorer = _shard_bmw(
         k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
         idf_map=idf_map, n_query_terms=len(terms), conjunctive=conjunctive,
-        stats_mode=True,
+        stats_mode=True, codec=meta.get("codec", "varint"),
     )
     rows = (
         index.blocks.where(F.col("term").isin(terms))

@@ -173,7 +173,8 @@ def write_manifest_entry(out_dir: str, entry: dict) -> None:
 
 
 def _encode_partition_frame(
-    pdf: pd.DataFrame, avgdl: float, k1: float, b: float, block_size: int
+    pdf: pd.DataFrame, avgdl: float, k1: float, b: float, block_size: int,
+    codec: str = "varint",
 ) -> pd.DataFrame:
     """Vectorized block encoding of a (shard, term, doc_no)-sorted frame.
 
@@ -181,8 +182,16 @@ def _encode_partition_frame(
     block starts, ONE varint encode for the whole frame, per-block byte
     slices from the value offsets, per-block maxima via reduceat — no
     per-posting Python, ~O(n_blocks) cheap slice ops only.
+
+    codec='pfor' swaps the per-block buffers for PForDelta bit packing
+    (codecs.pfor_encode): ~2-4x smaller blocks at ~2x encode cost (the
+    per-block width search) — the gaps/boundary machinery is shared
+    and only the final byte packing differs.
     """
-    from nadry_spark.operators.codecs import varint_encode_with_offsets
+    from nadry_spark.operators.codecs import (
+        pfor_encode,
+        varint_encode_with_offsets,
+    )
 
     n = len(pdf)
     if n == 0:
@@ -213,16 +222,30 @@ def _encode_partition_frame(
     idx = np.nonzero(cont)[0]
     gaps[idx] = (doc[idx] - doc[idx - 1]).astype(np.uint64)
 
-    gap_buf, gap_off = varint_encode_with_offsets(gaps)
-    tf_buf, tf_off = varint_encode_with_offsets(tf.astype(np.uint64))
-    dl_buf, dl_off = varint_encode_with_offsets(dl.astype(np.uint64))
     tfn = bm25_tfnorm(tf, dl, avgdl, k1, b)
     max_tfn = np.maximum.reduceat(tfn, block_start)
 
-    def slices(buf, off):
-        starts = np.where(block_start > 0, off[block_start - 1], 0)
-        ends = off[block_end - 1]
-        return [buf[s:e] for s, e in zip(starts, ends)]
+    if codec == "pfor":
+        tfu = tf.astype(np.uint64)
+        dlu = dl.astype(np.uint64)
+        docs_bufs, tf_bufs, dl_bufs = [], [], []
+        for s0, e0 in zip(block_start, block_end):
+            docs_bufs.append(pfor_encode(gaps[s0:e0]))
+            tf_bufs.append(pfor_encode(tfu[s0:e0]))
+            dl_bufs.append(pfor_encode(dlu[s0:e0]))
+    else:
+        gap_buf, gap_off = varint_encode_with_offsets(gaps)
+        tf_buf, tf_off = varint_encode_with_offsets(tf.astype(np.uint64))
+        dl_buf, dl_off = varint_encode_with_offsets(dl.astype(np.uint64))
+
+        def slices(buf, off):
+            starts = np.where(block_start > 0, off[block_start - 1], 0)
+            ends = off[block_end - 1]
+            return [buf[s:e] for s, e in zip(starts, ends)]
+
+        docs_bufs = slices(gap_buf, gap_off)
+        tf_bufs = slices(tf_buf, tf_off)
+        dl_bufs = slices(dl_buf, dl_off)
 
     return pd.DataFrame(
         {
@@ -231,9 +254,9 @@ def _encode_partition_frame(
             "min_doc_no": doc[block_start],
             "max_doc_no": doc[block_end - 1],
             "n_docs": (block_end - block_start).astype(np.int32),
-            "docs_bin": slices(gap_buf, gap_off),
-            "tfs_bin": slices(tf_buf, tf_off),
-            "dls_bin": slices(dl_buf, dl_off),
+            "docs_bin": docs_bufs,
+            "tfs_bin": tf_bufs,
+            "dls_bin": dl_bufs,
             "max_tfnorm": max_tfn,
         }
     )
@@ -366,7 +389,7 @@ def _encode_positions_stream(batches):
         yield pd.DataFrame(out)
 
 
-def _blocks_fn_factory(avgdl: float, k1: float, b: float, block_size: int):
+def _blocks_fn_factory(avgdl: float, k1: float, b: float, block_size: int, codec: str = "varint"):
     def blocks_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         postings = _shard_postings_pdf(pdf)
         if not len(postings):
@@ -383,12 +406,12 @@ def _blocks_fn_factory(avgdl: float, k1: float, b: float, block_size: int):
                 "dl": postings["dl"],
             }
         )
-        return _encode_partition_frame(frame, avgdl, k1, b, block_size)
+        return _encode_partition_frame(frame, avgdl, k1, b, block_size, codec)
 
     return blocks_fn
 
 
-def _encode_blocks_stream(avgdl: float, k1: float, b: float, block_size: int):
+def _encode_blocks_stream(avgdl: float, k1: float, b: float, block_size: int, codec: str = "varint"):
     """mapInPandas encoder over (shard, term, doc_no)-sorted partitions.
 
     Carries the trailing (shard, term) run across Arrow batch boundaries
@@ -416,9 +439,9 @@ def _encode_blocks_stream(avgdl: float, k1: float, b: float, block_size: int):
             head = pdf.iloc[: len(pdf) - run_len]
             carry = pdf.iloc[len(pdf) - run_len :]
             if len(head):
-                yield _encode_partition_frame(head, avgdl, k1, b, block_size)
+                yield _encode_partition_frame(head, avgdl, k1, b, block_size, codec)
         if carry is not None and len(carry):
-            yield _encode_partition_frame(carry, avgdl, k1, b, block_size)
+            yield _encode_partition_frame(carry, avgdl, k1, b, block_size, codec)
 
     return encode
 
@@ -478,6 +501,7 @@ def build_segments(
     resume: bool = True,
     with_positions: bool = True,
     timings: dict | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Full resumable index build: pages -> segments at out_dir.
 
@@ -565,6 +589,7 @@ def build_segments(
             "block_size": block_size,
             "k1": k1,
             "b": b,
+            "codec": codec,
         }
         with open(meta_path, "w") as f:
             json.dump(meta, f)
@@ -585,7 +610,8 @@ def build_segments(
     # merge is unnecessary because shards partition the doc space.
     pending = [s for s in range(n_shards) if manifest.get(s, {}).get("status") != "done"]
     blocks_fn = _blocks_fn_factory(
-        meta["avgdl"], meta["k1"], meta["b"], meta["block_size"]
+        meta["avgdl"], meta["k1"], meta["b"], meta["block_size"],
+        meta.get("codec", "varint"),
     )
 
     for g in range(0, len(pending), shards_per_job):
@@ -627,7 +653,8 @@ def build_segments(
             )
             blocks_df = pos_cols.mapInPandas(
                 _encode_blocks_stream(
-                    meta["avgdl"], meta["k1"], meta["b"], meta["block_size"]
+                    meta["avgdl"], meta["k1"], meta["b"], meta["block_size"],
+                    meta.get("codec", "varint"),
                 ),
                 BLOCKS_SCHEMA,
             )
@@ -891,8 +918,9 @@ class SegmentIndex:
         from nadry_spark.operators.codecs import explode_tf_batches
 
         blocks = self.blocks.where(F.col("term").isin(sorted(set(terms))))
+        codec = self.meta.get("codec", "varint")
         return blocks.mapInPandas(
-            lambda it: explode_tf_batches(it, with_term=True),
+            lambda it: explode_tf_batches(it, with_term=True, codec=codec),
             "term string, doc_no long, tf int",
         )
 

@@ -87,3 +87,54 @@ def test_bm25_tfnorm_monotone_in_tf():
     s = bm25_tfnorm(tfs, dls, avgdl=100.0, k1=1.2, b=0.75)
     assert np.all(np.diff(s) > 0)
     assert np.all(s <= 1.2 + 1.0)  # bounded by k1+1
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**52), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip(values):
+    from nadry_spark.operators.codecs import pfor_decode, pfor_encode
+
+    arr = np.array(values, dtype=np.uint64)
+    assert pfor_decode(pfor_encode(arr)).tolist() == values
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**48), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_delta_pfor_roundtrip(ids):
+    from nadry_spark.operators.codecs import delta_pfor_decode, delta_pfor_encode
+
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert delta_pfor_decode(delta_pfor_encode(arr)).tolist() == sorted(ids)
+
+
+def test_pfor_block_roundtrip_and_size():
+    from nadry_spark.operators.codecs import (
+        delta_encode,
+        delta_pfor_encode,
+        pfor_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    doc_nos = (np.cumsum(rng.integers(1, 4, 128)) + 5_000_000).astype(np.uint64)
+    tfs = rng.integers(1, 9, 128).astype(np.uint64)
+    dls = rng.integers(40, 400, 128).astype(np.uint64)
+    for codec in ("varint", "pfor"):
+        blk = encode_posting_block(doc_nos, tfs, dls, codec=codec)
+        d, t, l = decode_posting_block(
+            blk["docs_bin"], blk["tfs_bin"], blk["dls_bin"], codec=codec
+        )
+        assert (d == doc_nos).all() and (t == tfs).all() and (l == dls).all()
+    # the point of PFor: dense gap blocks pack well below varint's
+    # 1-byte-per-value floor
+    assert len(delta_pfor_encode(doc_nos)) < len(delta_encode(doc_nos)) * 0.6
+    # outlier-heavy data still round-trips via the exception patch list
+    spiky = np.where(
+        rng.random(128) < 0.06,
+        rng.integers(0, 2**45, 128),
+        rng.integers(0, 4, 128),
+    ).astype(np.uint64)
+    from nadry_spark.operators.codecs import pfor_decode
+
+    assert (pfor_decode(pfor_encode(spiky)) == spiky).all()
+    # spiky data should still beat varint (exceptions are rare)
+    assert len(pfor_encode(spiky)) < len(varint_encode(spiky))

@@ -181,3 +181,78 @@ def test_resume_rebuilds_only_missing_shards(spark, tiny_pages_path, seg):
     assert [(r["doc_no"], r["score"]) for r in after] == [
         (r["doc_no"], r["score"]) for r in before
     ]
+
+
+def test_pfor_segment_rank_identical_and_smaller(spark, tiny_pages_path, tmp_path_factory):
+    """A segment built with codec='pfor' must answer every query mode
+    identically to the varint build (TAAT, BMW, conjunctive, exact-
+    mode candidate probe) while its postings directory is smaller."""
+    from nadry_spark.operators.bm25 import bm25_topk, bmw_block_stats
+    from nadry_spark.sources.segments import SegmentIndex, build_segments
+
+    pages = spark.read.parquet(tiny_pages_path)
+    base = tmp_path_factory.mktemp("pfor")
+    v_dir, p_dir = str(base / "varint"), str(base / "pfor")
+    build_segments(spark, pages, v_dir, n_shards=3, shards_per_job=3)
+    build_segments(spark, pages, p_dir, n_shards=3, shards_per_job=3, codec="pfor")
+    vi, pi = SegmentIndex(spark, v_dir), SegmentIndex(spark, p_dir)
+    assert pi.meta["codec"] == "pfor"
+
+    def rows(idx, q, **kw):
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(idx, q, k=10, **kw).collect()
+        ]
+
+    for q in ("news report", "table batch value sort", "update"):
+        for mode in ("taat", "bmw"):
+            assert rows(vi, q, mode=mode) == rows(pi, q, mode=mode), (q, mode)
+        assert rows(vi, q, mode="taat", conjunctive=True) == rows(
+            pi, q, mode="taat", conjunctive=True
+        )
+    # exact-mode candidate decode path (decoded_tf) agrees too
+    terms = ["news", "report"]
+    v_tf = sorted(tuple(r) for r in vi.decoded_tf(terms).collect())
+    p_tf = sorted(tuple(r) for r in pi.decoded_tf(terms).collect())
+    assert v_tf == p_tf
+    # BMW runs (and skips) over pfor blocks
+    assert bmw_block_stats(pi, "news report")["n_blocks"] > 0
+
+    def dir_bytes(d):
+        total = 0
+        for root, _, files in os.walk(os.path.join(d, "postings")):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    v_bytes, p_bytes = dir_bytes(v_dir), dir_bytes(p_dir)
+    # the tiny corpus has only few-doc blocks, where pfor's per-buffer
+    # fallback tag costs ~1 byte — require no meaningful regression
+    # here; the real win needs FULL blocks, asserted below
+    assert p_bytes <= v_bytes * 1.05, (p_bytes, v_bytes)
+
+    # dense full blocks (the 100TB regime): raw buffer bytes from the
+    # same frame encoder must come out far smaller under pfor
+    import numpy as np
+    import pandas as pd
+
+    from nadry_spark.sources.segments import _encode_partition_frame
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    frame = pd.DataFrame(
+        {
+            "shard": np.zeros(n, dtype=np.int32),
+            "term": np.array(["hot"] * n, dtype=object),
+            "doc_no": np.cumsum(rng.integers(1, 3, n)),
+            "tf": rng.integers(1, 8, n),
+            "dl": rng.integers(50, 400, n),
+        }
+    )
+
+    def raw_bytes(codec):
+        enc = _encode_partition_frame(frame, 120.0, 1.2, 0.75, 128, codec)
+        return sum(
+            len(r) for c in ("docs_bin", "tfs_bin", "dls_bin") for r in enc[c]
+        )
+
+    assert raw_bytes("pfor") < raw_bytes("varint") * 0.6
