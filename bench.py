@@ -353,6 +353,10 @@ def main() -> None:
                     "sf": SF_DIR.rstrip("/").split("sf")[-1],
                     "cpus": CPUS,
                     "bench_pages": N_PAGES,
+                    # machine-health stamp: comparisons against this
+                    # baseline are only code-vs-code at comparable
+                    # effective_cores (see BENCH/R04_NOTES.md)
+                    "effective_cores": extras.get("effective_cores"),
                     "queries": timings,
                 },
                 f, indent=1,
