@@ -755,6 +755,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MEDIA_PARQUET = "/tmp/nadry_media_oracle.parquet"
+MP4_PARQUET = "/tmp/nadry_mp4_oracle.parquet"
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,6 +849,81 @@ def _media_probe_sql() -> str:
                (CASE WHEN kind = 'image' OR meta.codec = 'mp4'
                      THEN meta.height ELSE 0 END)::BIGINT AS height
         FROM read_parquet('{MEDIA_PARQUET}')
+    """
+
+
+def q_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from MP4 sample tables: walk each asset's stbl
+    boxes (stsd codec, stts timing, stsc sample->chunk runs, stsz
+    sizes, stco/co64 chunk offsets, stss sync samples), expand to
+    per-sample (offset, size, pts, is_sync), pick 4 evenly-spaced SYNC
+    samples per track and slice their raw bytes out of mdat — the
+    k-keyframes-per-asset primitive of a video training pipeline, no
+    codec decode. The fixture's sample payloads are ASCII-generative
+    (mp4_sample_rule), so the DuckDB oracle reconstructs every frame
+    arithmetically and sha256-compares: one wrong stsc run, chunk
+    offset, size cumsum, stts delta, or stss pick anywhere in the walk
+    mismatches the hash. stco (even media_id) and co64 (odd) both
+    covered; chunks interleave video/audio in mdat; moov-at-end."""
+    from nadry_spark.operators.multimodal import (
+        mp4_frames_df,
+        write_synthetic_mp4_parquet,
+    )
+
+    write_synthetic_mp4_parquet(MP4_PARQUET, n=12)
+    media = spark.read.parquet(MP4_PARQUET)
+    return mp4_frames_df(media, k=4)
+
+
+def _mp4_frames_sql() -> str:
+    """Mirrors mp4_sample_rule + the even-spaced sync selection purely
+    arithmetically from the fixture writer's ground-truth sample
+    counts — independent of the Spark-side box parser."""
+    from nadry_spark.operators.multimodal import write_synthetic_mp4_parquet
+
+    write_synthetic_mp4_parquet(MP4_PARQUET, n=12)
+    return f"""
+        WITH tracks AS (
+            SELECT media_id, 1::BIGINT AS track_id, 'avc1' AS codec,
+                   meta.n_samples_v::BIGINT AS n_samples
+            FROM read_parquet('{MP4_PARQUET}')
+            UNION ALL
+            SELECT media_id, 2::BIGINT, 'mp4a', meta.n_samples_a::BIGINT
+            FROM read_parquet('{MP4_PARQUET}')
+        ), samples AS (
+            SELECT media_id, track_id, codec,
+                   unnest(generate_series(1, n_samples))::BIGINT AS s
+            FROM tracks
+        ), sync AS (
+            -- video keyframes every 4th sample; audio all-sync (no stss)
+            SELECT *,
+                   row_number() OVER (PARTITION BY media_id, track_id
+                                      ORDER BY s) - 1 AS rn,
+                   count(*) OVER (PARTITION BY media_id, track_id) AS n_sync
+            FROM samples
+            WHERE track_id = 2 OR (s - 1) % 4 = 0
+        ), sel AS (
+            SELECT DISTINCT media_id, track_id, codec, s
+            FROM sync CROSS JOIN (
+                SELECT unnest(generate_series(0, 3)) AS i
+            ) g
+            WHERE n_sync <= 4 OR rn = (g.i * (n_sync - 1)) // 3
+        ), shaped AS (
+            SELECT media_id, track_id, codec, s AS sample_no,
+                   (CASE WHEN track_id = 1
+                         THEN least(s - 1, 5) * 100 + greatest(s - 6, 0) * 50
+                         ELSE (s - 1) * 32 END)::BIGINT AS pts_ms,
+                   (CASE WHEN track_id = 1
+                         THEN 24 + ((s * 7 + media_id) % 40)
+                         ELSE 16 + ((s * 5 + media_id * 2) % 24) END)::BIGINT
+                       AS n_bytes,
+                   'm' || media_id || 't' || track_id || 's' || s || '|' AS base
+            FROM sel
+        )
+        SELECT media_id, track_id, codec, sample_no, pts_ms, n_bytes,
+               sha256(substr(repeat(base, (n_bytes // length(base))::INT + 1),
+                             1, n_bytes::INT)) AS frame_sha
+        FROM shaped
     """
 
 
@@ -1424,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "media_probe": q_media_probe,
+        "mp4_frames": q_mp4_frames,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "value_quantiles": q_value_quantiles,
@@ -1981,6 +2058,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_dups": _ngram_jaccard_sql(),
         "media_features": _media_sql(),
         "media_probe": _media_probe_sql(),
+        "mp4_frames": _mp4_frames_sql(),
         "repetition": r"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

@@ -1925,3 +1925,455 @@ def write_synthetic_media_parquet(path: str, n: int = 64, seed: int = 7) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables (stbl walk) + frame sampling
+# ---------------------------------------------------------------------------
+#
+# The metadata probe above answers "what is this file"; the sample-table
+# walk answers "where are its frames".  parse_mp4_samples expands the
+# ISO 14496-12 stbl boxes (stsd codec, stts timing, stsc sample->chunk
+# runs, stsz sizes, stco/co64 chunk offsets, stss sync samples) into
+# per-sample (offset, size, pts, is_sync) arrays — everything needed to
+# slice raw frame payloads out of mdat WITHOUT any codec work, which is
+# exactly the "frame-sample" primitive a 100 TB video pipeline runs
+# before handing k keyframes per asset to a (GPU) decoder.  The codec
+# payload decode itself stays env-stubbed behind real_decode.
+
+
+def _mp4_walk(d: bytes, lo: int, hi: int):
+    """Yield (type, body_lo, body_hi) for ISO-BMFF boxes in [lo, hi).
+
+    Same size conventions as parse_mp4_meta: size==1 -> 64-bit
+    largesize follows, size==0 -> box extends to the enclosing scope.
+    """
+    pos = lo
+    while pos + 8 <= hi:
+        size = int.from_bytes(d[pos : pos + 4], "big")
+        btype = d[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > hi:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(d[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = hi - pos
+        if size < body - pos or pos + size > hi:
+            raise ValueError("corrupt MP4 box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _be32(d: bytes, off: int, n: int) -> np.ndarray:
+    if off + 4 * n > len(d):
+        raise ValueError("truncated MP4 table box")
+    return np.frombuffer(d, ">u4", count=n, offset=off).astype(np.int64)
+
+
+def parse_mp4_samples(payload: bytes, max_samples: int = 4_000_000) -> list:
+    """Expand every track's sample table into per-sample arrays.
+
+    Returns one dict per trak:
+    ``{"track_id", "handler", "codec", "timescale", "n_samples",
+    "offset", "size", "pts", "pts_ms", "is_sync"}`` where the last six
+    are numpy int64/bool arrays indexed by sample (sample_no = index+1).
+    Offsets are absolute file offsets derived by expanding stsc runs
+    over the stco/co64 chunk list and cumulatively summing stsz sizes
+    within each chunk; pts comes from cumulative stts deltas; is_sync
+    from stss (absent => every sample is sync, per the spec).
+
+    Structural corruption (table lengths that don't tile the sample
+    count, offsets past EOF are caught at slice time, sample counts
+    above ``max_samples``) raises ValueError — bomb-safe like the
+    image decoders.
+    """
+    d = payload
+    moov = None
+    for t, a, b in _mp4_walk(d, 0, len(d)):
+        if t == b"moov":
+            moov = (a, b)
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    tracks = []
+    for t, a, b in _mp4_walk(d, *moov):
+        if t != b"trak":
+            continue
+        track_id = 0
+        handler = ""
+        timescale = 0
+        stbl = None
+        for tt, ta, tb in _mp4_walk(d, a, b):
+            if tt == b"tkhd":
+                off = ta + 4 + (16 if d[ta] == 1 else 8)
+                track_id = int.from_bytes(d[off : off + 4], "big")
+            elif tt == b"mdia":
+                for mt, ma, mb in _mp4_walk(d, ta, tb):
+                    if mt == b"mdhd":
+                        off = ma + 4 + (16 if d[ma] == 1 else 8)
+                        timescale = int.from_bytes(d[off : off + 4], "big")
+                    elif mt == b"hdlr":
+                        handler = d[ma + 8 : ma + 12].decode("latin-1")
+                    elif mt == b"minf":
+                        for nt, na, nb in _mp4_walk(d, ma, mb):
+                            if nt == b"stbl":
+                                stbl = (na, nb)
+        if stbl is None:
+            continue
+        codec = ""
+        stts = stsc = sizes = offsets = sync = None
+        fixed_size = 0
+        n = -1
+        for st, sa, sb in _mp4_walk(d, *stbl):
+            if st == b"stsd":
+                cnt = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                if cnt >= 1 and sa + 16 <= sb:
+                    codec = d[sa + 12 : sa + 16].decode("latin-1")
+            elif st == b"stts":
+                cnt = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                flat = _be32(d, sa + 8, 2 * cnt)
+                stts = (flat[0::2], flat[1::2])  # (counts, deltas)
+            elif st == b"stsc":
+                cnt = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                flat = _be32(d, sa + 8, 3 * cnt)
+                stsc = (flat[0::3], flat[1::3])  # (first_chunk, spc)
+            elif st == b"stsz":
+                fixed_size = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                n = int.from_bytes(d[sa + 8 : sa + 12], "big")
+                if n > max_samples:
+                    raise ValueError("MP4 sample count above cap")
+                if fixed_size == 0:
+                    sizes = _be32(d, sa + 12, n)
+            elif st == b"stco":
+                cnt = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                offsets = _be32(d, sa + 8, cnt)
+            elif st == b"co64":
+                cnt = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                if sa + 8 + 8 * cnt > sb:
+                    raise ValueError("truncated co64 box")
+                offsets = np.frombuffer(
+                    d, ">u8", count=cnt, offset=sa + 8
+                ).astype(np.int64)
+            elif st == b"stss":
+                cnt = int.from_bytes(d[sa + 4 : sa + 8], "big")
+                sync = _be32(d, sa + 8, cnt)
+        if n < 0 or stts is None or stsc is None or offsets is None:
+            raise ValueError("MP4 stbl missing stsz/stts/stsc/stco")
+        if timescale <= 0:
+            raise ValueError("MP4 mdhd timescale 0")
+        if sizes is None:
+            sizes = np.full(n, fixed_size, np.int64)
+        counts, deltas = stts
+        if int(counts.sum()) != n:
+            raise ValueError("MP4 stts does not tile the sample count")
+        deltas_per_sample = np.repeat(deltas, counts)
+        pts = np.concatenate(([0], np.cumsum(deltas_per_sample)[:-1]))
+        # expand stsc runs over the chunk list
+        first_chunk, spc_runs = stsc
+        n_chunks = len(offsets)
+        if len(first_chunk) == 0 or first_chunk[0] != 1 or np.any(
+            np.diff(first_chunk) <= 0
+        ):
+            raise ValueError("corrupt MP4 stsc run list")
+        run_idx = (
+            np.searchsorted(first_chunk, np.arange(1, n_chunks + 1), "right") - 1
+        )
+        spc = spc_runs[run_idx]
+        if int(spc.sum()) != n:
+            raise ValueError("MP4 stsc/stsz sample count mismatch")
+        chunk_of_sample = np.repeat(np.arange(n_chunks), spc)
+        size_cum = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        chunk_first = np.concatenate(([0], np.cumsum(spc)[:-1]))
+        off = (
+            offsets[chunk_of_sample]
+            + size_cum
+            - np.repeat(size_cum[chunk_first], spc)
+        )
+        if sync is None:
+            is_sync = np.ones(n, bool)
+        else:
+            if len(sync) and (sync.min() < 1 or sync.max() > n):
+                raise ValueError("MP4 stss sample number out of range")
+            is_sync = np.zeros(n, bool)
+            is_sync[sync - 1] = True
+        tracks.append(
+            {
+                "track_id": track_id,
+                "handler": handler,
+                "codec": codec,
+                "timescale": timescale,
+                "n_samples": n,
+                "offset": off,
+                "size": sizes,
+                "pts": pts,
+                "pts_ms": pts * 1000 // timescale,
+                "is_sync": is_sync,
+            }
+        )
+    return tracks
+
+
+def sample_mp4_frames(payload: bytes, k: int = 4, handler: str | None = None) -> list:
+    """Pick k evenly-spaced SYNC samples per track and slice their raw
+    payload bytes out of mdat (no codec decode — the k-keyframes-per-
+    asset primitive).
+
+    Selection is deterministic and SQL-mirrorable: with n_sync sync
+    samples (0-based rank rn), keep all of them when n_sync <= k, else
+    rn = (i * (n_sync - 1)) // (k - 1) for i in 0..k-1 (k == 1 keeps
+    the first).  ``handler`` filters tracks ("vide"/"soun"); None
+    keeps every track.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out = []
+    for tr in parse_mp4_samples(payload):
+        if handler is not None and tr["handler"] != handler:
+            continue
+        sync_idx = np.flatnonzero(tr["is_sync"])
+        n_sync = len(sync_idx)
+        if n_sync == 0:
+            continue
+        if n_sync <= k:
+            pick = sync_idx
+        elif k == 1:
+            pick = sync_idx[:1]
+        else:
+            pick = sync_idx[(np.arange(k) * (n_sync - 1)) // (k - 1)]
+        for i in pick:
+            off, sz = int(tr["offset"][i]), int(tr["size"][i])
+            if off < 0 or off + sz > len(payload):
+                raise ValueError("MP4 sample extends past payload")
+            out.append(
+                {
+                    "track_id": tr["track_id"],
+                    "codec": tr["codec"],
+                    "sample_no": int(i) + 1,
+                    "pts_ms": int(tr["pts_ms"][i]),
+                    "data": payload[off : off + sz],
+                }
+            )
+    return out
+
+
+def _chunk_partition(n: int, head: int, head_count: int, rest: int) -> list:
+    """Chunk sizes [head]*head_count then [rest]..., last = remainder."""
+    out, left = [], n
+    for _ in range(head_count):
+        if left <= 0:
+            break
+        c = min(head, left)
+        out.append(c)
+        left -= c
+    while left > 0:
+        c = min(rest, left)
+        out.append(c)
+        left -= c
+    return out
+
+
+def mp4_sample_rule(media_id: int, track_id: int, s: int) -> tuple:
+    """The generative rule for fixture sample content: (size, pts_ms,
+    bytes).  Pure ASCII and arithmetic so a DuckDB oracle can
+    reconstruct every frame independently (repeat/substr + sha256 over
+    the varchar == sha256 over the raw bytes)."""
+    if track_id == 1:  # video, timescale 1000, deltas 5x100 then 50
+        size = 24 + ((s * 7 + media_id) % 40)
+        pts_ms = min(s - 1, 5) * 100 + max(s - 6, 0) * 50
+    else:  # audio, timescale 8000, constant delta 256 -> 32 ms
+        size = 16 + ((s * 5 + media_id * 2) % 24)
+        pts_ms = (s - 1) * 32
+    base = f"m{media_id}t{track_id}s{s}|".encode()
+    content = (base * (size // len(base) + 1))[:size]
+    return size, pts_ms, content
+
+
+def mp4_fixture_track_counts(media_id: int) -> tuple:
+    """(n_video_samples, n_audio_samples) for the fixture rule."""
+    return 8 + (media_id % 5) * 3, 12 + (media_id % 3) * 5
+
+
+def encode_mp4_media(media_id: int) -> bytes:
+    """Deterministic two-track MP4 with REAL sample tables: a video
+    trak (avc1 stub entries, stss sync every 4th sample, two-run stts)
+    and an audio trak (mp4a, constant stts, no stss => all sync),
+    chunks interleaved video/audio in mdat, moov written AFTER mdat
+    (streaming-unfriendly but common layout), chunk offsets in stco
+    for even media_id and co64 for odd.  Sample bytes follow
+    mp4_sample_rule so tests and the DuckDB oracle can reconstruct
+    them without parsing."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    def full(btype: bytes, body: bytes) -> bytes:
+        return box(btype, bytes(4) + body)  # version 0, flags 0
+
+    n_v, n_a = mp4_fixture_track_counts(media_id)
+    specs = [
+        dict(tid=1, handler=b"vide", codec=b"avc1", timescale=1000,
+             n=n_v, chunks=_chunk_partition(n_v, 3, 2, 2),
+             stts=[(min(5, n_v), 100)] + ([(n_v - 5, 50)] if n_v > 5 else []),
+             sync=[s for s in range(1, n_v + 1) if (s - 1) % 4 == 0]),
+        dict(tid=2, handler=b"soun", codec=b"mp4a", timescale=8000,
+             n=n_a, chunks=_chunk_partition(n_a, 4, 1, 3),
+             stts=[(n_a, 256)], sync=None),
+    ]
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    # lay out mdat: interleave per-chunk byte strings across tracks
+    for sp in specs:
+        sizes = [mp4_sample_rule(media_id, sp["tid"], s)[0] for s in range(1, sp["n"] + 1)]
+        blobs = [mp4_sample_rule(media_id, sp["tid"], s)[2] for s in range(1, sp["n"] + 1)]
+        chunk_blobs, i = [], 0
+        for c in sp["chunks"]:
+            chunk_blobs.append(b"".join(blobs[i : i + c]))
+            i += c
+        sp["sizes"], sp["chunk_blobs"] = sizes, chunk_blobs
+        sp["chunk_offsets"] = []
+    mdat_body = b""
+    base_off = len(ftyp) + 8  # mdat header is always the 8-byte form
+    for ci in range(max(len(sp["chunk_blobs"]) for sp in specs)):
+        for sp in specs:
+            if ci < len(sp["chunk_blobs"]):
+                sp["chunk_offsets"].append(base_off + len(mdat_body))
+                mdat_body += sp["chunk_blobs"][ci]
+    mdat = box(b"mdat", mdat_body)
+
+    dur_ms = sum(c * d for c, d in specs[0]["stts"])  # video, ts=1000
+    mvhd = full(
+        b"mvhd",
+        bytes(8) + (1000).to_bytes(4, "big") + int(dur_ms).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + bytes(10) + _MP4_UNITY_MATRIX + bytes(24)
+        + (len(specs) + 1).to_bytes(4, "big"),
+    )
+    traks = b""
+    for sp in specs:
+        w, h = (64, 48) if sp["handler"] == b"vide" else (0, 0)
+        tkhd = box(
+            b"tkhd",
+            bytes([0, 0, 0, 7]) + bytes(8) + sp["tid"].to_bytes(4, "big")
+            + bytes(4) + int(dur_ms).to_bytes(4, "big") + bytes(8)
+            + bytes(4) + bytes(4) + _MP4_UNITY_MATRIX
+            + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+        )
+        mdhd = full(
+            b"mdhd",
+            bytes(8) + sp["timescale"].to_bytes(4, "big")
+            + (dur_ms * sp["timescale"] // 1000).to_bytes(4, "big")
+            + (0x55C4).to_bytes(2, "big") + bytes(2),
+        )
+        hdlr = full(b"hdlr", bytes(4) + sp["handler"] + bytes(12) + b"\x00")
+        stsd = full(
+            b"stsd",
+            (1).to_bytes(4, "big")
+            + box(sp["codec"], bytes(6) + (1).to_bytes(2, "big")),
+        )
+        stts = full(
+            b"stts",
+            len(sp["stts"]).to_bytes(4, "big")
+            + b"".join(c.to_bytes(4, "big") + d.to_bytes(4, "big")
+                       for c, d in sp["stts"]),
+        )
+        # compress the actual chunk partition into stsc runs
+        runs = []
+        for ci, c in enumerate(sp["chunks"], start=1):
+            if not runs or runs[-1][1] != c:
+                runs.append((ci, c))
+        stsc = full(
+            b"stsc",
+            len(runs).to_bytes(4, "big")
+            + b"".join(fc.to_bytes(4, "big") + c.to_bytes(4, "big")
+                       + (1).to_bytes(4, "big") for fc, c in runs),
+        )
+        stsz = full(
+            b"stsz",
+            bytes(4) + sp["n"].to_bytes(4, "big")
+            + b"".join(sz.to_bytes(4, "big") for sz in sp["sizes"]),
+        )
+        if media_id % 2 == 0:
+            stco = full(
+                b"stco",
+                len(sp["chunk_offsets"]).to_bytes(4, "big")
+                + b"".join(o.to_bytes(4, "big") for o in sp["chunk_offsets"]),
+            )
+        else:
+            stco = full(
+                b"co64",
+                len(sp["chunk_offsets"]).to_bytes(4, "big")
+                + b"".join(o.to_bytes(8, "big") for o in sp["chunk_offsets"]),
+            )
+        stss_box = b""
+        if sp["sync"] is not None:
+            stss_box = full(
+                b"stss",
+                len(sp["sync"]).to_bytes(4, "big")
+                + b"".join(s.to_bytes(4, "big") for s in sp["sync"]),
+            )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss_box)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + mdat + moov
+
+
+def write_synthetic_mp4_parquet(path: str, n: int = 12) -> str:
+    """Spark-free (pyarrow) writer for the MP4 fixture table so the
+    DuckDB oracle and the Spark query read IDENTICAL bytes regardless
+    of driver execution order.  meta carries the generator's ground-
+    truth sample counts (the per-sample size/pts/content rules live in
+    mp4_sample_rule and are mirrored arithmetically in the oracle
+    SQL).  Atomic replace, deterministic values."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    metas = [mp4_fixture_track_counts(i) for i in range(n)]
+    meta_type = pa.struct([("n_samples_v", pa.int32()), ("n_samples_a", pa.int32())])
+    table = pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array([encode_mp4_media(i) for i in range(n)], pa.binary()),
+            "meta": pa.array(
+                [{"n_samples_v": v, "n_samples_a": a} for v, a in metas], meta_type
+            ),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+MP4_FRAMES_DDL = (
+    "media_id long, track_id long, codec string, sample_no long, "
+    "pts_ms long, n_bytes long, frame_sha string"
+)
+
+
+def mp4_frames_df(media: DataFrame, k: int = 4) -> DataFrame:
+    """mapInPandas frame-sampling stage: (media_id, payload) rows ->
+    MP4_FRAMES_DDL rows, k evenly-spaced sync samples per track.  The
+    sha256 is over the raw sliced sample bytes, so one wrong stsc run,
+    chunk offset, or size cumsum anywhere in the walk mismatches the
+    oracle.  O(moov + k frames) bytes touched per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("media_id", "track_id", "codec",
+                                   "sample_no", "pts_ms", "n_bytes", "frame_sha")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fr in sample_mp4_frames(bytes(payload), k):
+                    out["media_id"].append(int(mid))
+                    out["track_id"].append(fr["track_id"])
+                    out["codec"].append(fr["codec"])
+                    out["sample_no"].append(fr["sample_no"])
+                    out["pts_ms"].append(fr["pts_ms"])
+                    out["n_bytes"].append(len(fr["data"]))
+                    out["frame_sha"].append(hashlib.sha256(fr["data"]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, MP4_FRAMES_DDL)
