@@ -1459,6 +1459,138 @@ def q_blended_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blended.select(F.row_number().over(w).cast("long").alias("rank"), "doc_id")
 
 
+def _positions_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos): tokenizer-lite positions AFTER filtering
+    (the filtered-token position space term_positions established)."""
+    raw = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("raw_pos", "term"),
+        )
+        .where(
+            (F.length("term") >= 2)
+            & (F.length("term") <= 50)
+            & ~F.col("term").isin([w for w in sorted(STOP_WORDS)])
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("raw_pos")
+    return raw.select(
+        "doc_id", "term", (F.row_number().over(w) - 1).cast("long").alias("pos")
+    )
+
+
+_POS_LITE_SQL = f"""
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term,
+               generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS raw_pos
+        FROM documents
+    )
+    WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+"""
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered span-near (operators/spans.minimal_cover_windows):
+    per doc the smallest window containing ALL of QUERY_TERMS, via the
+    suffix-min window formulation (one sort per doc partition, n
+    codegen window columns, no n-way self-join)."""
+    from nadry_spark.operators.spans import minimal_cover_windows
+
+    pos = _positions_lite(spark, sf_dir)
+    return minimal_cover_windows(pos, QUERY_TERMS, id_cols=("doc_id",))
+
+
+def q_span_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered span (operators/spans.ordered_span_windows): minimal
+    window where join < hash < filter in that token order, via the
+    greedy earliest-next chain (n-1 equi-joins + min aggs)."""
+    from nadry_spark.operators.spans import ordered_span_windows
+
+    pos = _positions_lite(spark, sf_dir)
+    return ordered_span_windows(pos, QUERY_TERMS, id_cols=("doc_id",))
+
+
+BOOL_QUERY = "(join AND hash AND NOT merge) OR (filter AND scan)"
+
+
+def q_bool_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (operators/boolquery): parse the AND/OR/NOT
+    tree and evaluate it as set algebra over tokenizer-lite posting
+    sets (semi/anti joins + union), mirrored by
+    INTERSECT/EXCEPT/UNION in the oracle."""
+    from nadry_spark.operators.boolquery import eval_bool_tree, parse_bool_query
+
+    tree = parse_bool_query(BOOL_QUERY)
+    term_docs = _terms_lite(spark, sf_dir)
+    universe = _docs(spark, sf_dir).select("doc_id")
+    return eval_bool_tree(tree, term_docs, universe)
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (wildcard s*) term query: per-doc occurrence and
+    distinct-term counts of tokens starting with 's', top 20 by hits
+    (the term-dictionary-expansion primitive behind wildcard search)."""
+    hits = _terms_lite(spark, sf_dir).where(F.col("term").startswith("s"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+PACK_BUDGET, PACK_SHARDS = 256, 8
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_next_fit): documents
+    folded next-fit into 256-token training bins within 8 hash shards;
+    deterministic (shard = doc_id % shards, doc_id order), mirrored by
+    a per-shard recursive CTE in the oracle."""
+    from nadry_spark.operators.packing import pack_next_fit
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens")
+    )
+    return pack_next_fit(
+        docs, budget=PACK_BUDGET, shards=PACK_SHARDS, tokens_col="n_tokens"
+    )
+
+
+DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus balancing: keep at most DOMAIN_CAP docs per
+    source, preferring longer documents (n_chars desc, doc_id
+    tie-break) — the per-domain share cap of a web-corpus mix."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= DOMAIN_CAP)
+    )
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-trigram LM score (operators/lm): add-k
+    smoothed mean trigram log-prob per document — the
+    perplexity-filtering quality gate (CCNet-style), built from the
+    corpus itself with broadcastable count tables."""
+    from nadry_spark.operators.lm import char_trigram_lm_scores
+
+    return char_trigram_lm_scores(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_term_tf": q_doc_term_tf,
@@ -1518,6 +1650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
+        "span_near": q_span_near,
+        "span_ordered": q_span_ordered,
+        "bool_query": q_bool_query,
+        "prefix_search": q_prefix_search,
+        "pack_bins": q_pack_bins,
+        "domain_cap": q_domain_cap,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -2565,5 +2704,143 @@ def oracle_sql() -> dict[str, str]:
             FROM iv JOIN events e
               ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
             GROUP BY iv.window_id
+        """,
+        # suffix-min window formulation: for each query-term occurrence
+        # at pos p, the earliest at-or-after position of each term is a
+        # frame min; the cover starting at p ends at their greatest.
+        # min over starts = exact smallest-range (the optimum always
+        # starts at an occurrence). Mirrors spans.minimal_cover_windows.
+        "span_near": f"""
+            WITH pos AS ({_POS_LITE_SQL}),
+            q AS (SELECT doc_id, term, pos FROM pos
+                  WHERE term IN ({QUERY_TERMS_SQL})),
+            nx AS (
+                SELECT doc_id, pos,
+                       min(CASE WHEN term = 'join' THEN pos END) OVER w AS n0,
+                       min(CASE WHEN term = 'hash' THEN pos END) OVER w AS n1,
+                       min(CASE WHEN term = 'filter' THEN pos END) OVER w AS n2
+                FROM q
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT doc_id,
+                   min(greatest(n0, n1, n2) - pos + 1)::BIGINT AS min_window
+            FROM nx
+            WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+            GROUP BY doc_id
+        """,
+        # greedy earliest-next chain (optimal per start): start at each
+        # 'join', extend to the first 'hash' after it, then the first
+        # 'filter' after that. Mirrors spans.ordered_span_windows.
+        "span_ordered": f"""
+            WITH pos AS ({_POS_LITE_SQL}),
+            p1 AS (SELECT doc_id, pos AS start, pos AS e FROM pos
+                   WHERE term = 'join'),
+            p2 AS (SELECT a.doc_id, a.start, min(b.pos) AS e
+                   FROM p1 a JOIN pos b
+                     ON b.doc_id = a.doc_id AND b.term = 'hash' AND b.pos > a.e
+                   GROUP BY a.doc_id, a.start),
+            p3 AS (SELECT a.doc_id, a.start, min(b.pos) AS e
+                   FROM p2 a JOIN pos b
+                     ON b.doc_id = a.doc_id AND b.term = 'filter' AND b.pos > a.e
+                   GROUP BY a.doc_id, a.start)
+            SELECT doc_id, min(e - start + 1)::BIGINT AS min_window
+            FROM p3 GROUP BY doc_id
+        """,
+        # (join AND hash AND NOT merge) OR (filter AND scan) as set
+        # algebra — mirrors boolquery.eval_bool_tree's semi/anti/union.
+        "bool_query": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            t_join AS (SELECT DISTINCT doc_id FROM terms WHERE term = 'join'),
+            t_hash AS (SELECT DISTINCT doc_id FROM terms WHERE term = 'hash'),
+            t_merge AS (SELECT DISTINCT doc_id FROM terms WHERE term = 'merge'),
+            t_filter AS (SELECT DISTINCT doc_id FROM terms WHERE term = 'filter'),
+            t_scan AS (SELECT DISTINCT doc_id FROM terms WHERE term = 'scan')
+            SELECT doc_id FROM (
+                (SELECT doc_id FROM t_join
+                 INTERSECT SELECT doc_id FROM t_hash
+                 EXCEPT SELECT doc_id FROM t_merge)
+                UNION
+                (SELECT doc_id FROM t_filter
+                 INTERSECT SELECT doc_id FROM t_scan)
+            )
+        """,
+        "prefix_search": f"""
+            WITH terms AS ({_TERMS_LITE_SQL})
+            SELECT doc_id, count(*)::BIGINT AS n_hits,
+                   count(DISTINCT term)::BIGINT AS n_terms
+            FROM terms WHERE term LIKE 's%'
+            GROUP BY doc_id
+            ORDER BY n_hits DESC, doc_id ASC
+            LIMIT 20
+        """,
+        # per-shard next-fit state machine as a recursive CTE: row k+1
+        # joins row k's (bin, fill); all shards advance one row per
+        # recursion level. Mirrors packing.pack_next_fit exactly
+        # (first doc keeps bin 0 even when oversized).
+        "pack_bins": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                       len(string_split_regex(text, '\\s+'))::BIGINT AS nt
+                FROM documents
+            ), ordered AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY shard ORDER BY doc_id) AS rn
+                FROM toks
+            ), packed AS (
+                SELECT shard, rn, doc_id, nt, 0::BIGINT AS bin, nt AS fill
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.shard, o.rn, o.doc_id, o.nt,
+                       CASE WHEN p.fill + o.nt <= {PACK_BUDGET}
+                            THEN p.bin ELSE p.bin + 1 END,
+                       CASE WHEN p.fill + o.nt <= {PACK_BUDGET}
+                            THEN p.fill + o.nt ELSE o.nt END
+                FROM packed p JOIN ordered o
+                  ON o.shard = p.shard AND o.rn = p.rn + 1
+            )
+            SELECT shard::BIGINT AS shard, bin AS bin_id, doc_id, nt AS n_tokens
+            FROM packed
+        """,
+        "domain_cap": f"""
+            SELECT source, doc_id, n_chars, rk FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rk
+                FROM documents
+            ) WHERE rk <= {DOMAIN_CAP}
+        """,
+        # add-k char-trigram LM, trained on the corpus itself; c2 is
+        # the bigram-as-context total (sum of c3 over the prefix) and V
+        # the corpus charset size. Mirrors lm.char_trigram_lm_scores.
+        "lm_quality": """
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i
+                FROM documents
+            ), tri AS (
+                SELECT doc_id, substr(text, i::INT, 3) AS tri FROM idx
+            ), c3 AS (
+                SELECT tri, count(*)::BIGINT AS c3 FROM tri GROUP BY tri
+            ), c2 AS (
+                SELECT substr(tri, 1, 2) AS ctx, sum(c3)::BIGINT AS c2
+                FROM c3 GROUP BY substr(tri, 1, 2)
+            ), cidx AS (
+                SELECT text, unnest(generate_series(1, length(text))) AS i
+                FROM documents
+            ), v AS (
+                SELECT count(DISTINCT substr(text, i::INT, 1))::DOUBLE AS v
+                FROM cidx
+            ), lp AS (
+                SELECT t.doc_id,
+                       ln((c.c3::DOUBLE + 0.5::DOUBLE)
+                          / (b.c2::DOUBLE + 0.5::DOUBLE * v.v)) AS lp
+                FROM tri t
+                JOIN c3 c USING (tri)
+                JOIN c2 b ON b.ctx = substr(t.tri, 1, 2)
+                CROSS JOIN v
+            )
+            SELECT doc_id, round(avg(lp), 9) AS lm_score
+            FROM lp GROUP BY doc_id
         """,
     }
