@@ -246,3 +246,52 @@ def test_df_corrections_colliding_doc_nos(spark, halves):
     msi._df_corr = {}
     got = msi.df_corrections([term])
     assert got[term] == 2, got
+
+
+def test_span_and_bool_parity_multisegment(spark, seg, halves):
+    """Round-4 serving surfaces over a MultiSegmentIndex: span-near and
+    boolean-tree search return the same ranked results as the single
+    full-corpus segment (disjoint doc spaces, per-segment union)."""
+    from nadry_spark.operators.boolquery import bool_search
+    from nadry_spark.operators.spans import span_near_search
+    from nadry_spark.sources.segments import MultiSegmentIndex
+
+    idx_single, _, _ = seg
+    msi = MultiSegmentIndex(spark, halves)
+
+    for q, slop, ordered in [
+        ("news report", 20, False),
+        ("news report update", 30, False),
+        ("news report", 20, True),
+    ]:
+        want = [
+            (r["doc_id"], r["min_window"])
+            for r in span_near_search(
+                idx_single, q, slop=slop, ordered=ordered, k=500
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], r["min_window"])
+            for r in span_near_search(
+                msi, q, slop=slop, ordered=ordered, k=500
+            ).collect()
+        ]
+        assert want, ("vacuous span parity case", q, slop, ordered)
+        assert got == want, (q, slop, ordered)
+
+    for bq in [
+        "news AND report",
+        "news OR batch",
+        "news AND NOT report",
+        "(news OR batch) AND update",
+    ]:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bool_search(idx_single, bq, k=500).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bool_search(msi, bq, k=500).collect()
+        ]
+        assert want, ("vacuous bool parity case", bq)
+        assert got == want, bq
