@@ -30,6 +30,10 @@ def main() -> None:
                     help="bm25 scoring only; exact mode is disjunctive like the reference")
     ap.add_argument("--did-you-mean", action="store_true",
                     help="attach a didYouMean fuzzy suggestion to zero-result envelopes")
+    ap.add_argument("--field", choices=["title", "description", "body"],
+                    default=None,
+                    help="restrict scoring occurrences to one field "
+                         "(BM25 over the stored per-field counts)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -47,7 +51,18 @@ def main() -> None:
     else:
         idx = SegmentIndex(spark, args.segments).warm()
 
-    if args.scoring == "bm25" and args.mode == "and":
+    if args.field:
+        from nadry_spark.operators.fieldsearch import field_search
+
+        rows = field_search(
+            idx, args.query, args.field, k=(args.page + 1) * args.page_size
+        ).collect()
+        data = [r.asDict() for r in rows[args.page * args.page_size :]]
+        print(json.dumps(
+            {"success": True, "data": data, "field": args.field},
+            default=str, indent=2,
+        ))
+    elif args.scoring == "bm25" and args.mode == "and":
         if hasattr(idx, "segments"):
             from nadry_spark.operators.bm25 import bm25_topk_multi as _topk
         else:

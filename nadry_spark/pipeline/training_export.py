@@ -1,0 +1,248 @@
+"""End-to-end training-shard export: the composed corpus pipeline a
+100 TB pretraining run needs, built entirely from the engine's own
+operators and resumable per stage.
+
+    documents (doc_id, text[, lang, source])
+      -> filter      language-ID + heuristic quality + token bounds
+      -> dedup_exact keep min-id per identical text
+      -> dedup_near  MinHash-LSH pairs -> connected components ->
+                     keep the min-id member per duplicate cluster
+      -> domain_cap  at most N docs per source, longest first
+      -> pack        next-fit sequence packing into token-budget bins,
+                     final shards written ONCE with the text attached
+
+Scale design: every intermediate stage persists only its SURVIVOR ID
+LIST (a few bytes per doc) plus a manifest entry with row counts and
+timings — the full text column crosses the shuffle exactly once, in
+the final pack/write. A killed run resumes at the first unfinished
+stage by reading the previous stage's id list; nothing upstream is
+recomputed (per-stage lineage + metrics, the north-rule checkpoint
+contract, same manifest discipline as sources/segments.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+STAGES = ("filter", "dedup_exact", "dedup_near", "domain_cap", "pack")
+
+
+@dataclass
+class ExportConfig:
+    lang: str | None = "en"  # None disables the language gate
+    min_quality: float = 0.45
+    min_tokens: int = 1
+    max_tokens: int | None = None
+    jaccard_threshold: float = 0.8
+    shingle_n: int = 3
+    n_hashes: int = 16
+    bands: int = 4
+    cc_iterations: int = 8
+    domain_cap: int = 0  # 0 disables the per-source cap
+    budget: int = 2048
+    shards: int = 16
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        d = dict(self.__dict__)
+        d.pop("extra", None)
+        return d
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "export_manifest.json")
+
+
+def _load_manifest(out_dir: str) -> dict:
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def _ids_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, f"ids_{stage}")
+
+
+def _write_ids(df: DataFrame, path: str) -> int:
+    df.select(F.col("doc_id").cast("long")).write.mode("overwrite").parquet(path)
+    # count from the written files so the recorded metric is the
+    # durable artifact, not a recomputation of the lineage
+    return df.sparkSession.read.parquet(path).count()
+
+
+def _stage_filter(docs: DataFrame, cfg: ExportConfig) -> DataFrame:
+    from nadry_spark.operators.textstats import lang_id, quality_score
+
+    base = docs.select("doc_id", "text")
+    keep = base.select("doc_id")
+    if cfg.lang is not None:
+        lang = lang_id(base, "doc_id", "text").where(F.col("lang_pred") == cfg.lang)
+        keep = keep.join(lang.select("doc_id"), "doc_id", "left_semi")
+    q = quality_score(base, "doc_id", "text").where(F.col("quality") >= cfg.min_quality)
+    keep = keep.join(q.select("doc_id"), "doc_id", "left_semi")
+    ntok = base.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    ).where(F.col("n_tokens") >= cfg.min_tokens)
+    if cfg.max_tokens is not None:
+        ntok = ntok.where(F.col("n_tokens") <= cfg.max_tokens)
+    return keep.join(ntok.select("doc_id"), "doc_id", "left_semi")
+
+
+def _stage_dedup_exact(live: DataFrame, cfg: ExportConfig) -> DataFrame:
+    from nadry_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(live.select("doc_id", "text"), "doc_id", "text").select("doc_id")
+
+
+def _stage_dedup_near(live: DataFrame, cfg: ExportConfig, stats: dict) -> DataFrame:
+    from nadry_spark.operators.components import connected_components
+    from nadry_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        live.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        shingle_n=cfg.shingle_n,
+        n_hashes=cfg.n_hashes,
+        bands=cfg.bands,
+        threshold=cfg.jaccard_threshold,
+        stats=stats,
+    )
+    labels = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        iterations=cfg.cc_iterations,
+    )
+    # min-label propagation converges to component = min doc_id in the
+    # cluster; keep exactly that member, drop the rest.  Docs in no
+    # pair never enter `labels` and are kept by the anti join.
+    drop = labels.where(F.col("v") != F.col("component")).select(
+        F.col("v").alias("doc_id")
+    )
+    stats["near_dup_dropped"] = drop.count()
+    return live.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+def _stage_domain_cap(live: DataFrame, cfg: ExportConfig) -> DataFrame:
+    if cfg.domain_cap <= 0 or "source" not in live.columns:
+        return live.select("doc_id")
+    ranked = live.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc(F.length("text")), F.asc("doc_id")))
+        .alias("_rk"),
+    )
+    return ranked.where(F.col("_rk") <= cfg.domain_cap).select("doc_id")
+
+
+def _stage_pack(live: DataFrame, cfg: ExportConfig, out_dir: str, stats: dict) -> int:
+    from nadry_spark.operators.packing import bin_stats, pack_next_fit
+
+    with_tokens = live.select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_next_fit(
+        with_tokens, budget=cfg.budget, shards=cfg.shards, tokens_col="n_tokens"
+    )
+    final = packed.join(with_tokens.select("doc_id", "text"), "doc_id").select(
+        "shard", "bin_id", "doc_id", "n_tokens", "text"
+    )
+    shards_dir = os.path.join(out_dir, "shards")
+    final.write.mode("overwrite").partitionBy("shard").parquet(shards_dir)
+    written = live.sparkSession.read.parquet(shards_dir)
+    bs = bin_stats(
+        written.select("shard", "bin_id", "doc_id", "n_tokens"),
+        cfg.budget,
+    ).agg(
+        F.count("*").alias("n_bins"),
+        F.round(F.avg("utilization"), 4).alias("avg_fill"),
+        F.max("total_tokens").alias("max_bin_tokens"),
+    ).collect()[0]
+    stats["n_bins"] = int(bs["n_bins"])
+    stats["avg_fill"] = float(bs["avg_fill"])
+    stats["max_bin_tokens"] = int(bs["max_bin_tokens"])
+    return written.count()
+
+
+def export_training_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: ExportConfig | None = None,
+    *,
+    resume: bool = True,
+) -> dict:
+    """Run the five-stage export; returns the manifest (stage ->
+    {status, rows, elapsed_sec, ...}).  ``resume=True`` skips stages
+    whose id list (or final shard dir) is already recorded done."""
+    cfg = cfg or ExportConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = _load_manifest(out_dir) if resume else {}
+    manifest["config"] = cfg.to_json()
+
+    def docs_for(ids: DataFrame | None) -> DataFrame:
+        return docs if ids is None else docs.join(ids, "doc_id", "left_semi")
+
+    prev_ids: DataFrame | None = None
+    for stage in STAGES:
+        entry = manifest.get(stage) or {}
+        path = _ids_path(out_dir, stage)
+        if (
+            resume
+            and entry.get("status") == "done"
+            and os.path.isdir(path if stage != "pack" else os.path.join(out_dir, "shards"))
+        ):
+            entry["resumed"] = True
+            if stage != "pack":
+                prev_ids = spark.read.parquet(path)
+            continue
+        t0 = time.time()
+        stats: dict = {}
+        if stage == "filter":
+            ids = _stage_filter(docs, cfg)
+        elif stage == "dedup_exact":
+            ids = _stage_dedup_exact(docs_for(prev_ids), cfg)
+        elif stage == "dedup_near":
+            ids = _stage_dedup_near(docs_for(prev_ids), cfg, stats)
+        elif stage == "domain_cap":
+            ids = _stage_domain_cap(docs_for(prev_ids), cfg)
+        else:  # pack
+            rows = _stage_pack(docs_for(prev_ids), cfg, out_dir, stats)
+            manifest[stage] = {
+                "status": "done",
+                "rows": rows,
+                "elapsed_sec": round(time.time() - t0, 2),
+                **stats,
+            }
+            _save_manifest(out_dir, manifest)
+            continue
+        rows = _write_ids(ids, path)
+        manifest[stage] = {
+            "status": "done",
+            "rows": rows,
+            "elapsed_sec": round(time.time() - t0, 2),
+            **stats,
+        }
+        _save_manifest(out_dir, manifest)
+        prev_ids = spark.read.parquet(path)
+    return manifest
