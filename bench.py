@@ -172,6 +172,15 @@ def main() -> None:
     timings["index_build"] = round(t, 3)
     extras["index_docs_per_sec"] = round(meta["n_docs"] / t, 1)
 
+    def _du(sub: str) -> int:
+        total = 0
+        for root, _, files in os.walk(os.path.join(seg_dir, sub)):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    extras["index_postings_bytes_per_doc"] = round(_du("postings") / meta["n_docs"], 1)
+    extras["index_positions_bytes_per_doc"] = round(_du("positions") / meta["n_docs"], 1)
+
     idx = SegmentIndex(spark, seg_dir).warm()
     queries = ["news report update", "table batch value sort", "news 2024"]
     bm25_topk(idx, queries[0], k=10, mode="taat").collect()  # path warmup
@@ -180,6 +189,46 @@ def main() -> None:
         for q in queries:
             bm25_topk(idx, q, k=10, mode=mode).collect()
         timings[f"bm25_{mode}_p50"] = round((time.time() - t0) / len(queries), 3)
+
+    # field-restricted BM25 (positions-store per-field counts, no
+    # decode): same queries, title field
+    from nadry_spark.operators.fieldsearch import field_search
+
+    field_search(idx, queries[0], "title", k=10).collect()  # warm
+    t0 = time.time()
+    for q in queries:
+        field_search(idx, q, "title", k=10).collect()
+    timings["field_title_p50"] = round((time.time() - t0) / len(queries), 3)
+
+    # end-to-end training-shard export over the SF documents table
+    # doubled (so every stage has real work): filter -> exact dedup ->
+    # LSH near-dedup+CC -> cap -> pack, text written once
+    from nadry_spark.pipeline.training_export import (
+        ExportConfig,
+        export_training_shards,
+    )
+
+    from pyspark.sql import functions as Fx
+
+    docs_sf = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    doubled = docs_sf.unionByName(
+        docs_sf.withColumn("doc_id", Fx.col("doc_id") + 10_000_000)
+    )
+    export_dir = os.path.join(CACHE_ROOT, "export_bench")
+    shutil.rmtree(export_dir, ignore_errors=True)
+    n_in = doubled.count()
+    t, manifest = _timed(
+        lambda: export_training_shards(
+            spark,
+            doubled,
+            export_dir,
+            ExportConfig(jaccard_threshold=0.5, domain_cap=0, budget=2048, shards=16),
+            resume=False,
+        )
+    )
+    timings["export_pipeline"] = round(t, 3)
+    extras["export_docs_per_sec"] = round(n_in / t, 1)
+    extras["export_kept_rows"] = manifest["pack"]["rows"]
 
     # WAND-favorable case: the 3 highest-DF index terms, k=10 — long
     # posting lists with selective score spread is where block-max
