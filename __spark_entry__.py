@@ -1591,6 +1591,20 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_trigram_lm_scores(_docs(spark, sf_dir))
 
 
+BPE_STEPS = 4
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table learning (operators/bpe): reduce
+    the corpus to its vocabulary in one pass, then learn BPE_STEPS
+    merges — per step one vocab-sized pair-count job and a 1-row
+    argmax collect (BPE is sequential in the merge count; nothing
+    corpus-sized reaches the driver)."""
+    from nadry_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=BPE_STEPS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_term_tf": q_doc_term_tf,
@@ -1657,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2103,6 +2118,84 @@ def _quality_sql(source: str = "documents") -> str:
                      + 0.2 * least(stopword_ratio * 5, 1.0), 9) AS quality
         FROM f
     """
+
+
+def _bpe_sql(k: int) -> str:
+    """Unrolled k-step BPE merge learning (mirrors operators/bpe).
+
+    Sequential-iteration oracle in the _pagerank_sql/_dup_clusters_sql
+    style: each step i is (pair counts p{i} -> 1-row argmax b{i} ->
+    greedy merge L{i}) chained off the long-form vocab L{i-1}
+    (word, position i, symbol s).  L*/b* are referenced more than once
+    -> AS MATERIALIZED (default inlining doubles the plan per step).
+    The merge uses the same gaps-and-islands greedy selection as the
+    Spark side (see operators/bpe docstring): candidate positions ->
+    islands of consecutive candidates (only possible when lft = rgt)
+    -> keep every other from each island start -> consume the
+    position after each kept one -> re-index.  A string replace()
+    would NOT be equivalent ("aaaa" must become "aa aa", but replace
+    consumes the shared delimiter and yields "aa a a")."""
+    parts = [
+        """words AS MATERIALIZED (
+            SELECT word, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )""",
+        r"""l0 AS MATERIALIZED (
+            SELECT word, cnt,
+                   generate_subscripts(string_split(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' '), 1) AS i,
+                   unnest(string_split(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' ')) AS s
+            FROM words
+        )""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"l{i - 1}"
+        parts.append(f"""p{i} AS (
+            SELECT lft, rgt, sum(cnt)::BIGINT AS pair_count FROM (
+                SELECT cnt, s AS lft,
+                       lead(s) OVER (PARTITION BY word ORDER BY i) AS rgt
+                FROM {prev}
+            ) WHERE rgt IS NOT NULL GROUP BY lft, rgt
+        )""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+            SELECT {i}::INTEGER AS step, lft, rgt, pair_count FROM p{i}
+            ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
+        )""")
+        if i < k:
+            parts.append(f"""sel{i} AS (
+                SELECT word, i,
+                       (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0 AS sel
+                FROM (
+                    SELECT word, i,
+                           i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+                    FROM (
+                        SELECT word, i, s,
+                               lead(s) OVER (PARTITION BY word ORDER BY i) AS nx
+                        FROM {prev}
+                    )
+                    WHERE s = (SELECT lft FROM b{i})
+                      AND nx = (SELECT rgt FROM b{i})
+                )
+            )""")
+            parts.append(f"""l{i} AS MATERIALIZED (
+                SELECT word, cnt,
+                       row_number() OVER (PARTITION BY word ORDER BY i) AS i,
+                       s
+                FROM (
+                    SELECT l.word, l.cnt, l.i,
+                           CASE WHEN coalesce(m.sel, false)
+                                THEN (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i})
+                                ELSE l.s END AS s,
+                           coalesce(m.sel, false) AS sel,
+                           coalesce(lag(m.sel) OVER (PARTITION BY l.word ORDER BY l.i), false) AS consumed
+                    FROM {prev} l LEFT JOIN sel{i} m USING (word, i)
+                )
+                WHERE sel OR NOT consumed
+            )""")
+    union = "\nUNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2813,6 +2906,7 @@ def oracle_sql() -> dict[str, str]:
         # add-k char-trigram LM, trained on the corpus itself; c2 is
         # the bigram-as-context total (sum of c3 over the prefix) and V
         # the corpus charset size. Mirrors lm.char_trigram_lm_scores.
+        "bpe_merges": _bpe_sql(BPE_STEPS),
         "lm_quality": """
             WITH idx AS (
                 SELECT doc_id, text,

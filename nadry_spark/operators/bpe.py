@@ -1,0 +1,185 @@
+"""Distributed BPE (byte-pair-encoding) merge-table learning.
+
+Subword tokenizers are the other half of the training-data last mile
+(alongside packing, `pack_bins`): before a corpus can be packed into
+fixed-length training sequences it has to be tokenized, and the BPE
+merge table itself is *learned from the corpus* (Sennrich, Haddow &
+Birch, ACL 2016, "Neural Machine Translation of Rare Words with
+Subword Units").  This module learns that merge table with Spark doing
+all the corpus-sized work:
+
+  1. one distributed pass reduces the corpus to its VOCABULARY
+     (distinct word -> count) — the classic BPE trick: all further
+     work is vocab-sized (bounded by distinct words, ~10M at web
+     scale), never corpus-sized;
+  2. the vocabulary is kept in LONG form, one row per
+     (word, position, symbol) — the repo's standard n-gram shape
+     (posexplode + lead(), no sequence()/transform() lambda traps);
+  3. each merge step counts adjacent symbol pairs weighted by word
+     count, takes the argmax with a deterministic tie-break
+     (count desc, pair asc), and applies the merge.
+
+The merge application is the subtle part.  The published algorithm
+merges greedily LEFT-TO-RIGHT, NON-OVERLAPPING within each word
+("aaaa" + merge (a,a) -> "aa aa", not "aa a a" or "a aa a").  A naive
+spaced-string replace() gets this wrong: the trailing delimiter of one
+replaced occurrence is the leading delimiter of the next candidate, so
+replace(" a a ", " aa ") on " a a a a " yields "aa a a".  Instead the
+greedy selection is expressed with windows (gaps-and-islands):
+candidate positions i where (s[i], s[i+1]) = (lft, rgt) can only be
+CONSECUTIVE when lft = rgt (s[i+1] would have to equal both), so
+maximal runs of consecutive candidates are islands (island id =
+i - row_number() among candidates), and greedy left-to-right selection
+keeps every OTHER candidate from each island's start
+((i - min(i) over island) % 2 = 0).  Selected positions become the
+merged symbol, positions directly after a selected one are consumed,
+and row_number() re-indexes.  Pure window functions + codegen — no
+per-row Python anywhere — and identically expressible in DuckDB for
+the oracle.
+
+The argmax is ONE row collected per step — BPE is inherently
+sequential in the number of merges (each step's counts depend on the
+previous merge), so k merges cost k vocab-sized Spark jobs plus k
+1-row collects.  That is the shape real distributed BPE trainers use;
+nothing corpus-sized ever reaches the driver.
+
+Determinism / oracle notes: tokenization is lowercase a-z runs
+(RE2-safe class, ASCII); overlapping pairs are COUNTED ("a a a" has
+(a,a) twice) while the merge is non-overlapping — exactly the
+published algorithm; ties broken by (pair_count desc, lft, rgt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> vocabulary: one row per distinct lowercase a-z word
+    with its corpus frequency.  The only corpus-sized job in BPE
+    training; map-side combinable."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _long_form(words: DataFrame) -> DataFrame:
+    """(word, cnt) -> (word, cnt, i, s): one row per character
+    position.  The spaced regexp split is the char-split idiom shared
+    with the DuckDB oracle ('(.)' -> '$1 ')."""
+    return words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace("word", "(.)", "$1 ")), " ")
+        ).alias("i", "s"),
+    )
+
+
+def _pair_counts(long_df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency
+    (overlapping positions all counted, per the published algorithm)."""
+    w = Window.partitionBy("word").orderBy("i")
+    return (
+        long_df.select(
+            "cnt",
+            F.col("s").alias("lft"),
+            F.lead("s").over(w).alias("rgt"),
+        )
+        .where(F.col("rgt").isNotNull())
+        .groupBy("lft", "rgt")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _apply_merge(long_df: DataFrame, lft: str, rgt: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping merge of (lft, rgt) in
+    every word, via the gaps-and-islands selection (module docstring)."""
+    w = Window.partitionBy("word").orderBy("i")
+    cand = (
+        long_df.withColumn("nx", F.lead("s").over(w))
+        .where((F.col("s") == lft) & (F.col("nx") == rgt))
+        .select("word", "i")
+    )
+    isl = cand.withColumn("isl", F.col("i") - F.row_number().over(w))
+    w_isl = Window.partitionBy("word", "isl")
+    sel = isl.select(
+        "word",
+        "i",
+        (((F.col("i") - F.min("i").over(w_isl)) % 2) == 0).alias("sel"),
+    )
+    j = long_df.join(sel, ["word", "i"], "left").withColumn(
+        "consumed", F.lag("sel").over(w)
+    )
+    kept = j.where(
+        F.coalesce("sel", F.lit(False)) | ~F.coalesce("consumed", F.lit(False))
+    )
+    return kept.select(
+        "word",
+        "cnt",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.when(F.col("sel"), F.lit(lft + rgt)).otherwise(F.col("s")).alias("s"),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first `n_merges` BPE merges over the corpus.
+
+    Returns the merge table: (step int starting at 1, lft string,
+    rgt string, pair_count long), ordered by step.  Stops early
+    (fewer rows) if the vocabulary runs out of adjacent pairs.
+    """
+    spark = docs.sparkSession
+    # localCheckpoint per step: caps the k-step window/join lineage so
+    # step k never replays all earlier merges; vocab-sized, cheap
+    long_df = _long_form(word_counts(docs, text_col)).localCheckpoint()
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(long_df)
+            .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lft, rgt, c = best[0]["lft"], best[0]["rgt"], int(best[0]["pair_count"])
+        out.append((step, lft, rgt, c))
+        long_df = _apply_merge(long_df, lft, rgt).localCheckpoint()
+    return spark.createDataFrame(
+        out, "step int, lft string, rgt string, pair_count long"
+    )
+
+
+def bpe_segment(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Apply a learned merge table to a vocabulary: the input frame
+    plus `tokens` (space-joined subword segmentation).  Merges MUST be
+    applied in learned order — later merges build on the symbols
+    earlier ones created."""
+    long_df = _long_form(
+        words.select(F.col(word_col).alias("word"), F.lit(1).alias("cnt"))
+    )
+    for lft, rgt in merges:
+        long_df = _apply_merge(long_df, lft, rgt)
+    seg = long_df.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("tokens")
+    )
+    return words.join(seg, words[word_col] == seg["word"], "left").select(
+        *[words[c] for c in words.columns], seg["tokens"]
+    )
