@@ -195,6 +195,77 @@ def q_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(F.row_number().over(w).alias("rank"), "doc_id")
 
 
+LMD_MU = 2000.0  # Dirichlet smoothing pseudo-count (Lucene's default)
+
+
+def q_lmd_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model ranking with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01; Lucene's LMDirichletSimilarity family):
+    score(d) = sum over query terms of
+    ln((tf + mu*P(t|C)) / (dl + mu)) with P(t|C) = cf_t/|C|.
+    Candidates are docs matching >=1 query term; ABSENT query terms
+    still contribute (tf=0) via a candidate x query-term grid, per the
+    published model. Scale shape: collection stats (cf per query term,
+    |C|) are tiny broadcast frames; the grid is |candidates| x |q|.
+    Output (rank, doc_id) — scores quantized at 1e-9 like tfidf_rank."""
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    cand_tf = tf.where(F.col("term").isin(QUERY_TERMS))
+    cf = cand_tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    ctot = tf.agg(F.sum("tf").cast("double").alias("c_total"))
+    cand = cand_tf.select("doc_id").distinct()
+    grid = (
+        cand.join(tw, "doc_id")
+        .crossJoin(F.broadcast(cf))
+        .join(cand_tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "total_words",
+            "cf",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+        )
+    )
+    scored = (
+        grid.crossJoin(F.broadcast(ctot))
+        .withColumn(
+            "contrib",
+            F.log(
+                (
+                    F.col("tf").cast("double")
+                    + F.lit(LMD_MU) * (F.col("cf").cast("double") / F.col("c_total"))
+                )
+                / (F.col("total_words").cast("double") + F.lit(LMD_MU))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("loglik"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("loglik"), 9)), F.asc("doc_id"))
+    return scored.select(F.row_number().over(w).alias("rank"), "doc_id")
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result faceting (the Lucene-facets primitive): for the
+    fixed query's candidate set, count docs and total chars per
+    (source, lang) bucket — candidate ids semi-join the attribute
+    table, then a plain distributed agg."""
+    cand = (
+        q_doc_term_tf(spark, sf_dir)
+        .where(F.col("term").isin(QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(cand, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / textstats)
 # ---------------------------------------------------------------------------
@@ -1613,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "additive_topk": q_additive_topk,
         "term_positions": q_term_positions,
         "tfidf_rank": q_tfidf_rank,
+        "lmd_rank": q_lmd_rank,
+        "facet_counts": q_facet_counts,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_keep": q_exact_keep,
         "minhash_pairs": q_minhash_pairs,
@@ -2268,6 +2341,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_number() OVER (ORDER BY round(relevance, 9) DESC, doc_id ASC)::INT AS rank, doc_id
             FROM scored
+        """,
+        "lmd_rank": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM terms GROUP BY doc_id, term
+            ),
+            tw AS (
+                SELECT doc_id, count(*)::BIGINT AS total_words
+                FROM terms GROUP BY doc_id
+            ),
+            ctot AS (SELECT count(*)::DOUBLE AS c_total FROM terms),
+            cf AS (
+                SELECT term, count(*)::BIGINT AS cf FROM terms
+                WHERE term IN ({QUERY_TERMS_SQL}) GROUP BY term
+            ),
+            cand AS (
+                SELECT DISTINCT doc_id FROM tf WHERE term IN ({QUERY_TERMS_SQL})
+            ),
+            grid AS (
+                SELECT c.doc_id, w.total_words, f.term, f.cf,
+                       coalesce(t.tf, 0) AS tf
+                FROM cand c
+                JOIN tw w USING (doc_id)
+                CROSS JOIN cf f
+                LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = f.term
+            ),
+            scored AS (
+                SELECT doc_id,
+                       sum(ln((tf::DOUBLE + 2000.0::DOUBLE * (cf::DOUBLE / n.c_total))
+                              / (total_words::DOUBLE + 2000.0::DOUBLE))) AS loglik
+                FROM grid CROSS JOIN ctot n
+                GROUP BY doc_id
+            )
+            SELECT row_number() OVER (ORDER BY round(loglik, 9) DESC, doc_id ASC)::INT AS rank,
+                   doc_id
+            FROM scored
+        """,
+        "facet_counts": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            cand AS (
+                SELECT DISTINCT doc_id FROM terms
+                WHERE term IN ({QUERY_TERMS_SQL})
+            )
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars_total
+            FROM documents JOIN cand USING (doc_id)
+            GROUP BY source, lang
         """,
         "exact_dup_groups": """
             WITH doubled AS (
