@@ -89,6 +89,40 @@ def test_bpe_early_stop_and_empty(spark):
     assert got == [(1, "a", "b", 2)]
 
 
+def _ref_apply(syms, lft, rgt):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_application_exhaustive(spark):
+    """EVERY {a,b}-string of length 1..10 (2046 words — the complete
+    run-structure domain for the islands logic) through a merge chain
+    that exercises equal-symbol runs, cross-symbol pairs, and merged
+    symbols as inputs; one Spark job, word-by-word vs the reference."""
+    from itertools import product
+
+    from nadry_spark.operators.bpe import bpe_segment
+
+    words = [
+        "".join(p) for n in range(1, 11) for p in product("ab", repeat=n)
+    ]
+    merges = [("a", "a"), ("b", "b"), ("aa", "b"), ("a", "bb")]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["tokens"].split(" ") for r in bpe_segment(wdf, merges).collect()}
+    for w in words:
+        syms = list(w)
+        for lft, rgt in merges:
+            syms = _ref_apply(syms, lft, rgt)
+        assert got[w] == syms, (w, got[w], syms)
+
+
 def test_bpe_segment_applies_in_order(spark, texts):
     """Later merges build on earlier ones: segmentation from the
     learned table must equal the reference's final symbol lists."""
