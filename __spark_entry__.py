@@ -765,6 +765,20 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(pairs, "pair", k=256)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch over the same (doc, term)
+    pairs as kmv_distinct — register layout pinned to md5 and the
+    register sum computed in exact integer arithmetic, so unlike
+    engine built-ins the estimate itself is bit-deterministic and
+    oracle-checked (see operators/sketches)."""
+    from nadry_spark.operators.sketches import hll_distinct_estimate
+
+    pairs = _terms_lite(spark, sf_dir).select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "term").alias("pair")
+    )
+    return hll_distinct_estimate(pairs, "pair")
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline over the doubled corpus:
     exact-dedup survivor (min-id per identical text) AND quality >= 0.45
@@ -1709,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "winnow_pairs": q_winnow_pairs,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
         "clean_corpus": q_clean_corpus,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
@@ -2193,6 +2208,51 @@ def _quality_sql(source: str = "documents") -> str:
     """
 
 
+def _hll_sql() -> str:
+    """HLL mirror (operators/sketches.hll_distinct_estimate): md5
+    buckets/ranks, register sum in exact BIGINT shifts (S <= 2^61), a
+    single literal/S division for the raw estimate, linear-counting
+    branch decided on the bit-identical raw value."""
+    from nadry_spark.operators.sketches import HLL_NUMERATOR
+
+    pow53 = 1 << 53
+    return f"""
+        WITH terms AS ({_TERMS_LITE_SQL}),
+        pairs AS (SELECT doc_id::VARCHAR || '|' || term AS pair FROM terms),
+        br AS (
+            SELECT ('0x' || substring(md5(pair), 1, 2))::BIGINT AS bucket,
+                   ('0x' || substring(md5(pair), 3, 13))::BIGINT AS w
+            FROM pairs
+        ),
+        regs AS (
+            SELECT bucket,
+                   max(CASE WHEN w = 0 THEN 53
+                            ELSE 53 - length(bin(w)) END) AS m_j
+            FROM br GROUP BY bucket
+        ),
+        agg AS (
+            SELECT sum(1::BIGINT << (53 - m_j))::BIGINT AS s_present,
+                   count(*)::BIGINT AS n_present
+            FROM regs
+        ),
+        tot AS (
+            SELECT (256 - n_present)::BIGINT AS n_zero,
+                   (s_present + (256 - n_present) * {pow53})::BIGINT AS s_total
+            FROM agg
+        )
+        SELECT 256 AS m, n_zero, s_total,
+               round(CASE WHEN {HLL_NUMERATOR!r}::DOUBLE / s_total::DOUBLE
+                               <= 640.0::DOUBLE
+                           AND n_zero > 0
+                          THEN 256.0::DOUBLE
+                               * ln(256.0::DOUBLE / n_zero::DOUBLE)
+                          ELSE {HLL_NUMERATOR!r}::DOUBLE / s_total::DOUBLE
+                     END, 6) AS est_distinct,
+               (SELECT count(DISTINCT pair) FROM pairs)::BIGINT AS exact_distinct
+        FROM tot
+    """
+
+
 def _bpe_sql(k: int) -> str:
     """Unrolled k-step BPE merge learning (mirrors operators/bpe).
 
@@ -2492,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT pair) FROM pairs)::BIGINT AS exact_distinct
             FROM kth
         """,
+        "hll_distinct": _hll_sql(),
         "clean_corpus": f"""
             WITH doubled AS (
                 SELECT doc_id, text FROM documents

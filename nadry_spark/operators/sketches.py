@@ -130,3 +130,77 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cms_count"))
     )
+
+
+# ---- HyperLogLog ----------------------------------------------------------
+
+# HLL (Flajolet et al., AofA'07) is usually NOT cross-engine
+# deterministic because each engine's built-in picks its own hash and
+# register layout.  This implementation pins both: md5, b=8 bucket
+# bits (m=256 registers) from the first 2 hex chars, and the rank
+# source w from the next 13 hex chars (52 bits — exactly parseable
+# into a BIGINT in Spark and DuckDB alike).  The register sum
+# Z = sum(2^-M_j) is the one place IEEE addition order could diverge
+# between engines, so it is computed in EXACT integer arithmetic:
+# S = sum(2^(53-M_j)) <= 256*2^53 = 2^61 fits a BIGINT, and
+# Z = S / 2^53 is a single identically-rounded division.  The only
+# transcendental (ln in the small-range correction) is rounded away
+# at 6 digits, and the correction BRANCH is decided on the
+# bit-identical raw estimate.
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B  # 256
+_HLL_WBITS = 52  # 13 hex chars; rho(w) in [1, 53]
+_HLL_POW = float(1 << (_HLL_WBITS + 1))  # 2^53
+# alpha_m * m^2 * 2^53 folded into ONE Python double embedded as a
+# literal in both engines, so the estimate is literal/S — one division
+HLL_NUMERATOR = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * _HLL_POW
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, m_j): max leading-zero rank per register. Duplicates
+    are harmless (max is idempotent) — no distinct pass needed, which
+    is the property that makes HLL mergeable and streaming-friendly."""
+    h = F.md5(F.col(col))
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame (m, n_zero, s_total, est_distinct,
+    exact_distinct). est is the standard HLL estimate with the
+    small-range (linear counting) correction; exact_distinct rides
+    along for error inspection."""
+    regs = hll_registers(df, col)
+    agg = regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS + 1} - m_j)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    exact = df.select(col).distinct().count()
+    m = _HLL_M
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(int(_HLL_POW)).cast("long")
+    ).cast("long")
+    n_zero = (F.lit(m) - F.col("n_present")).cast("long")
+    est_raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        n_zero.alias("n_zero"),
+        s_total.alias("s_total"),
+        F.round(est, 6).alias("est_distinct"),
+        F.lit(exact).cast("long").alias("exact_distinct"),
+    )

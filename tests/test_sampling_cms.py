@@ -81,3 +81,51 @@ def test_cms_never_underestimates_and_bounds(spark):
         assert est[t] >= n  # CMS never under-estimates
     # heavy hitters stay sharply estimated (collision noise ~ N/W)
     assert est["t1"] - true["t1"] <= 3 * len(stream) // W
+
+
+def test_hll_estimate_accuracy_and_duplicates(spark):
+    """HLL estimate within the published error band (~1.04/sqrt(m) =
+    6.5% at m=256; allow 4 sigma), and duplicate rows leave the sketch
+    unchanged (register max is idempotent)."""
+    from nadry_spark.operators.sketches import hll_distinct_estimate
+
+    vals = [(f"value-{i}",) for i in range(5000)]
+    df = spark.createDataFrame(vals, "v string")
+    row = hll_distinct_estimate(df, "v").collect()[0]
+    assert row["exact_distinct"] == 5000
+    assert abs(row["est_distinct"] - 5000) / 5000 < 4 * 1.04 / 16
+    dup = df.unionAll(df).unionAll(df)
+    row2 = hll_distinct_estimate(dup, "v").collect()[0]
+    assert row2["s_total"] == row["s_total"]
+    assert row2["est_distinct"] == row["est_distinct"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    """With n << m most registers stay empty: the small-range branch
+    must fire and return m*ln(m/V) — near-exact at tiny n."""
+    from nadry_spark.operators.sketches import hll_distinct_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(20)], "v string")
+    row = hll_distinct_estimate(df, "v").collect()[0]
+    assert row["n_zero"] > 0
+    assert abs(row["est_distinct"] - 20) <= 2  # linear counting regime
+
+
+def test_hll_registers_merge(spark):
+    """Mergeability: max-combining two halves' registers equals the
+    registers of the union — the property that lets per-partition /
+    per-segment sketches fold without rescanning."""
+    from pyspark.sql import functions as F
+
+    from nadry_spark.operators.sketches import hll_registers
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "v string")
+    merged = (
+        hll_registers(a, "v")
+        .unionByName(hll_registers(b, "v"))
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    direct = hll_registers(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
