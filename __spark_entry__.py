@@ -1476,6 +1476,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUSTRANK_ITERS = 3
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (VLDB'04) over the same synthetic link graph as
+    q_pagerank: seed-restricted teleport, textbook OUT-degree divisor
+    (a first-class operator of this engine, vs the reference-quirk
+    pagerank). Seeds = urls whose md5 starts with '0' (~1/16 of
+    pages, deterministic in both engines)."""
+    from nadry_spark.operators.pagerank import trustrank
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.array(
+            ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+            ((F.col("doc_id") * 13 + 3) % 500).cast("string"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("links"),
+    )
+    seeds = docs.select("url").where(F.substring(F.md5("url"), 1, 1) == "0")
+    ranks = trustrank(docs, seeds, iters=TRUSTRANK_ITERS)
+    return ranks.select(
+        F.col("url").cast("long").alias("doc_id"), "trust_score"
+    )
+
+
 PHRASE = ["table", "hash"]  # frequent adjacent pair in the testdata corpus
 
 
@@ -1750,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "suggestions": q_suggestions,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -2023,6 +2050,65 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
         r0 AS (SELECT dst, 1.0::DOUBLE / (SELECT n FROM consts) AS rank FROM vertices),
         {joined}
         SELECT dst::BIGINT AS doc_id, round(rank, 9) AS popularity_score FROM {prev}
+    """
+
+
+def _trustrank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration TrustRank mirror (operators/pagerank
+    .trustrank): teleport restricted to md5-'0' seeds, OUT-degree
+    divisor, dangling mass dropped.  (1.0 - 0.85) is computed, not
+    written as 0.15, so both engines perform the same IEEE
+    subtraction; all float literals ::DOUBLE per the DuckDB
+    DECIMAL-folding rule."""
+    steps = []
+    prev = "t0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+            SELECT b.url,
+                   (1.0::DOUBLE - 0.85::DOUBLE) * b.s
+                   + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS rank
+            FROM base b LEFT JOIN (
+                SELECT l.dst AS url, sum(t.rank / l.outdeg) AS c
+                FROM {prev} t JOIN live l ON l.src = t.url
+                GROUP BY l.dst
+            ) c USING (url)
+        )"""
+        )
+        prev = f"t{i}"
+    joined = ",\n        ".join(steps)
+    return f"""
+        WITH graph AS (
+            SELECT doc_id::VARCHAR AS url,
+                   [((doc_id * 7 + 1) % 500)::VARCHAR,
+                    ((doc_id * 13 + 3) % 500)::VARCHAR,
+                    (doc_id % 97)::VARCHAR] AS links
+            FROM documents
+        ),
+        edges AS (
+            SELECT DISTINCT url AS src, l AS dst
+            FROM (SELECT url, unnest(links) AS l FROM graph)
+            WHERE l IN (SELECT url FROM graph)
+        ),
+        nodes AS (SELECT DISTINCT url FROM graph),
+        outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        live AS MATERIALIZED (
+            SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)
+        ),
+        nseeds AS (
+            SELECT count(*)::DOUBLE AS n FROM nodes
+            WHERE substring(md5(url), 1, 1) = '0'
+        ),
+        base AS MATERIALIZED (
+            SELECT url,
+                   CASE WHEN substring(md5(url), 1, 1) = '0'
+                        THEN 1.0::DOUBLE / (SELECT n FROM nseeds)
+                        ELSE 0.0::DOUBLE END AS s
+            FROM nodes
+        ),
+        t0 AS (SELECT url, s AS rank FROM base),
+        {joined}
+        SELECT url::BIGINT AS doc_id, round(rank, 9) AS trust_score FROM {prev}
     """
 
 
@@ -2574,6 +2660,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_groups": _simhash_groups_sql(),
         "cosine_dups": _cosine_dups_sql(),
         "pagerank": _pagerank_sql(),
+        "trustrank": _trustrank_sql(TRUSTRANK_ITERS),
         "ivf_ann": _ivf_sql(),
         "ivf_iter1": _ivf_iter1_sql(),
         "exact_keep": """

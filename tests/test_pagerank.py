@@ -85,3 +85,45 @@ def test_apply_pagerank_fills_zero(spark):
     assert out["c"] == 0.0  # c has no inlinks -> keeps 0.0
     assert out["a"] == pytest.approx(want["a"])
     assert out["b"] == pytest.approx(want["b"])
+
+
+def test_trustrank_matches_python_reference(spark):
+    """trustrank (textbook out-degree divisor, seed teleport, dangling
+    dropped) vs a direct python power iteration on a small graph that
+    has a dangling node (d), an unreachable non-seed (e), and a seed."""
+    from nadry_spark.operators.pagerank import trustrank
+
+    links = {
+        "a": ["b", "c"],
+        "b": ["c"],
+        "c": ["a"],
+        "d": [],        # dangling: receives from nobody here, emits nothing
+        "e": ["a"],     # e links in, but nothing links to e
+    }
+    docs = spark.createDataFrame(
+        [(u, ls) for u, ls in links.items()], "url string, links array<string>"
+    )
+    seeds = ["a", "e"]
+    got = {
+        r["url"]: r["trust_score"]
+        for r in trustrank(
+            docs, spark.createDataFrame([(s,) for s in seeds], "url string"), iters=3
+        ).collect()
+    }
+
+    d = 0.85
+    s = {u: (1.0 / len(seeds) if u in seeds else 0.0) for u in links}
+    t = dict(s)
+    for _ in range(3):
+        c = {u: 0.0 for u in links}
+        for u, ls in links.items():
+            # build_edges dedups and keeps known urls only
+            out = sorted(set(x for x in ls if x in links))
+            for v in out:
+                c[v] += t[u] / len(out)
+        t = {u: (1.0 - d) * s[u] + d * c[u] for u in links}
+    for u in links:
+        assert abs(got[u] - t[u]) < 1e-9, (u, got[u], t[u])
+    assert got["e"] == round((1.0 - d) * 0.5, 9)  # unreachable seed: teleport only
+    total = sum(got.values())
+    assert total <= 1.0 + 1e-9  # mass only leaks (dangling), never appears
