@@ -1212,11 +1212,9 @@ def q_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranking formula over the documents table (tokenizer-lite):
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
-    tfnorm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)), k1=1.2 b=0.75.
-    Output (rank, doc_id) on the 1e-9 grid."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): the BM25 formula frame shared by q_bm25_rank
+    and q_collapse_topk."""
     tf = q_doc_term_tf(spark, sf_dir)
     tw = q_total_words(spark, sf_dir)
     corpus = tw.agg(
@@ -1242,8 +1240,43 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("idf") * F.col("tfnorm")).alias("score"))
     )
+    return scored
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking formula over the documents table (tokenizer-lite):
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tfnorm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)), k1=1.2 b=0.75.
+    Output (rank, doc_id) on the 1e-9 grid."""
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
     return scored.select(F.row_number().over(w).cast("long").alias("rank"), "doc_id")
+
+
+COLLAPSE_K = 10
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result diversification by site collapse (the search-results-page
+    dedup primitive): keep each domain's best BM25 candidate (window
+    row_number per source, score-desc doc_id-asc), then global top-K.
+    Output (rank, doc_id, source)."""
+    scored = _bm25_scored(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w_dom = Window.partitionBy("source").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    best = j.withColumn("rk", F.row_number().over(w_dom)).where(F.col("rk") == 1)
+    w_all = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return (
+        best.select(
+            F.row_number().over(w_all).cast("long").alias("rank"),
+            "doc_id",
+            "source",
+        )
+        .where(F.col("rank") <= COLLAPSE_K)
+    )
 
 
 def q_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "interval_counts": q_interval_counts,
         "bm25_rank": q_bm25_rank,
+        "collapse_topk": q_collapse_topk,
         "bm25_conj": q_bm25_conj,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -2872,6 +2906,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id
             FROM scored
+        """,
+        "collapse_topk": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            df_t AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+                WHERE term IN ({QUERY_TERMS_SQL}) GROUP BY term
+            ),
+            scored AS (
+                SELECT c.doc_id,
+                       sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ) AS score
+                FROM tf c
+                JOIN tw w USING (doc_id)
+                JOIN df_t d USING (term)
+                CROSS JOIN corpus n
+                WHERE c.term IN ({QUERY_TERMS_SQL})
+                GROUP BY c.doc_id
+            ),
+            best AS (
+                SELECT doc_id, source, score FROM (
+                    SELECT s.doc_id, d.source, s.score,
+                           row_number() OVER (
+                               PARTITION BY d.source
+                               ORDER BY round(s.score, 9) DESC, s.doc_id ASC
+                           ) AS rk
+                    FROM scored s JOIN documents d USING (doc_id)
+                ) WHERE rk = 1
+            )
+            SELECT rank, doc_id, source FROM (
+                SELECT row_number() OVER (
+                           ORDER BY round(score, 9) DESC, doc_id ASC
+                       ) AS rank, doc_id, source
+                FROM best
+            ) WHERE rank <= 10
         """,
         "bm25_conj": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
