@@ -1255,6 +1255,61 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COLLAPSE_K = 10
 
+# synonym groups for q_synonym_rank (all member terms exist in the
+# synthetic corpus vocabulary); group key = the canonical query term
+SYN_GROUPS = {
+    "join": ["join", "merge"],
+    "sort": ["sort", "order"],
+    "filter": ["filter"],
+}
+
+
+def q_synonym_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion with Lucene SynonymQuery
+    semantics: each synonym group scores as ONE pseudo-term with
+    tf = sum of member tfs per doc and df = MAX of member dfs (the
+    Lucene blending convention), then the standard BM25 formula.
+    The term->group map is a broadcast literal frame — at scale the
+    synonym table is always dictionary-sized. Output (rank, doc_id)."""
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    corpus = tw.agg(
+        F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
+    )
+    mapping = spark.createDataFrame(
+        [(t, g) for g, ts in SYN_GROUPS.items() for t in ts],
+        "term string, grp string",
+    )
+    mapped = tf.join(F.broadcast(mapping), "term")
+    gtf = mapped.groupBy("doc_id", "grp").agg(F.sum("tf").alias("tf"))
+    df_g = (
+        mapped.groupBy("grp", "term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .groupBy("grp")
+        .agg(F.max("df").alias("df"))
+    )
+    scored = (
+        gtf.join(tw, "doc_id")
+        .join(F.broadcast(df_g), "grp")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "tfnorm",
+            F.col("tf") * (1.2 + 1.0)
+            / (
+                F.col("tf")
+                + 1.2 * (1.0 - 0.75 + 0.75 * F.col("total_words") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tfnorm")).alias("score"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+    return scored.select(F.row_number().over(w).cast("long").alias("rank"), "doc_id")
+
 
 def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result diversification by site collapse (the search-results-page
@@ -1802,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_counts": q_interval_counts,
         "bm25_rank": q_bm25_rank,
         "collapse_topk": q_collapse_topk,
+        "synonym_rank": q_synonym_rank,
         "bm25_conj": q_bm25_conj,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -2085,6 +2141,11 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
         {joined}
         SELECT dst::BIGINT AS doc_id, round(rank, 9) AS popularity_score FROM {prev}
     """
+
+
+_SYN_VALUES_SQL = ", ".join(
+    f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
+)
 
 
 def _trustrank_sql(iters: int) -> str:
@@ -2903,6 +2964,36 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN corpus n
                 WHERE c.term IN ({QUERY_TERMS_SQL})
                 GROUP BY c.doc_id
+            )
+            SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id
+            FROM scored
+        """,
+        "synonym_rank": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            mapping(term, grp) AS (VALUES {_SYN_VALUES_SQL}),
+            mapped AS (SELECT t.doc_id, t.tf, m.grp, t.term FROM tf t JOIN mapping m USING (term)),
+            gtf AS (
+                SELECT doc_id, grp, sum(tf)::BIGINT AS tf FROM mapped GROUP BY doc_id, grp
+            ),
+            df_g AS (
+                SELECT grp, max(df)::BIGINT AS df FROM (
+                    SELECT grp, term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM mapped GROUP BY grp, term
+                ) GROUP BY grp
+            ),
+            scored AS (
+                SELECT g.doc_id,
+                       sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (g.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (g.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ) AS score
+                FROM gtf g
+                JOIN tw w USING (doc_id)
+                JOIN df_g d USING (grp)
+                CROSS JOIN corpus n
+                GROUP BY g.doc_id
             )
             SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rank, doc_id
             FROM scored
