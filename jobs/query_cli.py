@@ -34,6 +34,9 @@ def main() -> None:
                     default=None,
                     help="restrict scoring occurrences to one field "
                          "(BM25 over the stored per-field counts)")
+    ap.add_argument("--snapshot", type=int, default=None, metavar="ID",
+                    help="time travel: serve from a pinned snapshot of the "
+                         "incremental family instead of the current state")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -44,7 +47,11 @@ def main() -> None:
     spark = get_spark("nadry_query", master=args.master)
     # a dir holding serving_state.json is an incremental multi-segment
     # family (streaming.finalize_incremental); otherwise one segment dir
-    if os.path.exists(os.path.join(args.segments, "serving_state.json")):
+    if args.snapshot is not None:
+        from nadry_spark.streaming.snapshots import open_snapshot
+
+        idx = open_snapshot(spark, args.segments, args.snapshot).warm()
+    elif os.path.exists(os.path.join(args.segments, "serving_state.json")):
         from nadry_spark.streaming.ingest import open_serving_index
 
         idx = open_serving_index(spark, args.segments).warm()

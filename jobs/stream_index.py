@@ -51,6 +51,12 @@ def main() -> None:
                     help="merge policy: forced-merge automatically when the "
                     "serving family exceeds N segments after this cycle's "
                     "finalize (the Lucene tiered-merge trigger, simplified)")
+    ap.add_argument("--snapshot", nargs="?", const="", default=None, metavar="NOTE",
+                    help="after the finalize, pin the new serving state as an "
+                    "immutable snapshot (time-travel commit point); optional note")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="after the finalize, delete segment dirs referenced by "
+                    "neither the serving state nor any snapshot")
     ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -84,6 +90,15 @@ def main() -> None:
             # threshold the rebuild amortizes over every future query
             state = compact_serving(spark, out, args.serve, **kwargs)
             state["auto_compacted"] = True
+    if args.snapshot is not None:
+        from nadry_spark.streaming.snapshots import create_snapshot
+
+        snap = create_snapshot(args.serve, note=args.snapshot or None)
+        state["snapshot_id"] = snap["id"]
+    if args.vacuum:
+        from nadry_spark.streaming.snapshots import vacuum_segments
+
+        state["vacuumed"] = vacuum_segments(args.serve)
     print(json.dumps(state))
     spark.stop()
 

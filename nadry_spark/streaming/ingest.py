@@ -364,7 +364,8 @@ def compact_serving(
     tombstone bookkeeping outweighs the rebuild cost. Reads through
     compact_deltas, so with an up-to-date L1 tier the input is
     O(L1)+O(new), and the state swap is atomic: a crash leaves the old
-    family serving. Old segment dirs are GC'd after the swap."""
+    family serving. Old segment dirs are GC'd after the swap unless a
+    snapshot (:mod:`nadry_spark.streaming.snapshots`) still pins them."""
     import json as _json
     import shutil
 
@@ -418,8 +419,13 @@ def compact_serving(
     with open(tmp, "w") as f:
         _json.dump(new_state, f)
     os.replace(tmp, state_path)
+    # snapshot-aware GC: a pinned snapshot may still reference the old
+    # segments — keep those; only unreferenced dirs are removed
+    from nadry_spark.streaming.snapshots import live_segment_names
+
+    live = live_segment_names(segments_root)
     for name in old_segments:
-        if name != seg_name:
+        if name != seg_name and name not in live:
             shutil.rmtree(os.path.join(segments_root, name), ignore_errors=True)
     return new_state
 
