@@ -79,7 +79,32 @@ def test_snapshot_time_travel_and_gc(spark, tiny_pages_path, tmp_path_factory):
 
     # vacuum keeps everything while snapshots are live...
     assert vacuum_segments(root) == []
-    # ...and reclaims exactly the unpinned dirs once they're dropped
+
+    # --- CDC: snapshot_diff over the same lifecycle ---
+    from nadry_spark.streaming.snapshots import snapshot_diff
+
+    urls = [r["url"] for r in table.to_pylist()]
+    first_half, second_half = set(urls[: n // 2]), set(urls[n // 2 :])
+
+    # snap1 -> snap2: second half added, re-crawled doc 0 updated
+    d12 = {(r["url"], r["change"])
+           for r in snapshot_diff(spark, root, 1, 2).collect()}
+    assert d12 == ({(u, "added") for u in second_half}
+                   | {(urls[0], "updated")})
+    # reverse diff flips added <-> removed, keeps updated
+    d21 = {(r["url"], r["change"])
+           for r in snapshot_diff(spark, root, 2, 1).collect()}
+    assert d21 == ({(u, "removed") for u in second_half}
+                   | {(urls[0], "updated")})
+    # snap2 -> current (post-compaction): every doc changed SEGMENT but
+    # no CONTENT changed — the hash check must report an empty diff
+    assert snapshot_diff(spark, root, 2, None).count() == 0
+    # snap1 -> current crosses the compaction AND real changes
+    d1c = {(r["url"], r["change"])
+           for r in snapshot_diff(spark, root, 1, None).collect()}
+    assert d1c == d12
+
+    # ...and vacuum reclaims exactly the unpinned dirs once dropped
     drop_snapshot(root, 1)
     drop_snapshot(root, 2)
     removed = vacuum_segments(root)
