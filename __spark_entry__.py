@@ -1804,6 +1804,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir), n_merges=BPE_STEPS)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE table to the corpus: per-doc word and
+    post-merge subword counts (operators/bpe.bpe_encode_stats). The
+    learn and encode share one chain of merge applications; the merged
+    vocabulary collapses to (word, n_sub) before touching doc rows."""
+    from nadry_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(_docs(spark, sf_dir), n_merges=BPE_STEPS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_term_tf": q_doc_term_tf,
@@ -1877,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "lm_quality": q_lm_quality,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2434,7 +2445,7 @@ def _hll_sql() -> str:
     """
 
 
-def _bpe_sql(k: int) -> str:
+def _bpe_sql(k: int, apply_last: bool = False) -> str:
     """Unrolled k-step BPE merge learning (mirrors operators/bpe).
 
     Sequential-iteration oracle in the _pagerank_sql/_dup_clusters_sql
@@ -2477,7 +2488,7 @@ def _bpe_sql(k: int) -> str:
             SELECT {i}::INTEGER AS step, lft, rgt, pair_count FROM p{i}
             ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
         )""")
-        if i < k:
+        if i < k or apply_last:
             parts.append(f"""sel{i} AS (
                 SELECT word, i,
                        (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0 AS sel
@@ -2510,6 +2521,31 @@ def _bpe_sql(k: int) -> str:
             )""")
     union = "\nUNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _bpe_encode_sql(k: int) -> str:
+    """Per-doc encode stats off the FINAL merged long form l{k}: the
+    learned vocabulary collapses to (word, n_sub) and joins the corpus
+    word stream — mirrors operators/bpe.bpe_encode_stats."""
+    learn = _bpe_sql(k, apply_last=True)
+    # strip the learning query's trailing b1..bk union; keep the CTEs
+    ctes = learn[: learn.index("\nSELECT * FROM b1")]
+    return f"""{ctes},
+        vocab AS (
+            SELECT word, count(*)::BIGINT AS n_sub FROM l{k} GROUP BY word
+        ),
+        docw AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+                FROM documents
+            ) WHERE word <> ''
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+               sum(n_sub)::BIGINT AS n_subwords
+        FROM docw JOIN vocab USING (word)
+        GROUP BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3339,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         # the bigram-as-context total (sum of c3 over the prefix) and V
         # the corpus charset size. Mirrors lm.char_trigram_lm_scores.
         "bpe_merges": _bpe_sql(BPE_STEPS),
+        "bpe_encode": _bpe_encode_sql(BPE_STEPS),
         "lm_quality": """
             WITH idx AS (
                 SELECT doc_id, text,

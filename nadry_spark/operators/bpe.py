@@ -159,6 +159,57 @@ def bpe_merges(
     )
 
 
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a BPE merge table and return per-doc
+    compression stats: (doc_id, n_words, n_subwords).  n_subwords /
+    n_words is the tokens-per-word ratio a training pipeline budgets
+    sequence lengths with (`pack_bins` consumes token counts).
+
+    Pass `merges` to encode with a pre-learned table; with None the
+    table is learned here (same argmax/tie-break as :func:`bpe_merges`)
+    and the final vocabulary long form is REUSED for the encode, so
+    learn+encode costs one chain of k merge applications, not two.
+
+    Everything stays vocab-sized until the final join: the merged long
+    form collapses to (word, n_sub) and joins the corpus word stream —
+    no per-doc re-segmentation of repeated words."""
+    long_df = _long_form(word_counts(docs, text_col)).localCheckpoint()
+    if merges is None:
+        for _ in range(n_merges):
+            best = (
+                _pair_counts(long_df)
+                .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            long_df = _apply_merge(
+                long_df, best[0]["lft"], best[0]["rgt"]
+            ).localCheckpoint()
+    else:
+        for lft, rgt in merges:
+            long_df = _apply_merge(long_df, lft, rgt).localCheckpoint()
+    n_sub = long_df.groupBy("word").agg(F.count("*").alias("n_sub"))
+    docw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        docw.join(n_sub, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+
+
 def bpe_segment(
     words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
 ) -> DataFrame:

@@ -123,6 +123,33 @@ def test_bpe_merge_application_exhaustive(spark):
         assert got[w] == syms, (w, got[w], syms)
 
 
+def test_bpe_encode_stats(spark, texts):
+    """Per-doc (n_words, n_subwords) vs the reference's final symbol
+    lists, and learn-inside (merges=None) == encode-with-given-table."""
+    from nadry_spark.operators.bpe import bpe_encode_stats, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, want_words = _ref_bpe(texts, 4)
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in re.split("[^a-z]+", t.lower()) if w]
+        want[i] = (len(ws), sum(len(want_words[w]) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode_stats(docs, n_merges=4).collect()
+    }
+    assert got == want
+    # pre-learned table path must agree with the learn-inside path
+    table = [(m[1], m[2]) for m in merges]
+    got2 = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode_stats(docs, merges=table).collect()
+    }
+    assert got2 == want
+
+
 def test_bpe_segment_applies_in_order(spark, texts):
     """Later merges build on earlier ones: segmentation from the
     learned table must equal the reference's final symbol lists."""
