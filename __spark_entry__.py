@@ -162,6 +162,20 @@ def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLT_SOURCE_DOC = 7
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis (operators/mlt): the source doc's top
+    tf*idf terms become a broadcast disjunctive query; corpus side is
+    one join against the 10-term build."""
+    from nadry_spark.operators.mlt import more_like_this
+
+    return more_like_this(
+        _terms_lite(spark, sf_dir), MLT_SOURCE_DOC, max_query_terms=10, k=10
+    )
+
+
 def q_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8-A12 reference ranking (relevance-only; popularity absent in
     testdata): candidate-set N and DF, idf=log10(N/(1+df)),
@@ -1822,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "additive_topk": q_additive_topk,
         "term_positions": q_term_positions,
         "tfidf_rank": q_tfidf_rank,
+        "more_like_this": q_more_like_this,
         "lmd_rank": q_lmd_rank,
         "facet_counts": q_facet_counts,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2588,6 +2603,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, pos
             FROM filtered
             WHERE term IN ({QUERY_TERMS_SQL})
+        """,
+        "more_like_this": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM ({_TERMS_LITE_SQL}) GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+            interesting AS (
+                SELECT term,
+                       ln((SELECT n_docs FROM n) / (df + 1)::DOUBLE) + 1::DOUBLE AS idf,
+                       round(tf * (ln((SELECT n_docs FROM n) / (df + 1)::DOUBLE) + 1::DOUBLE), 9) AS term_score
+                FROM tf JOIN df USING (term)
+                WHERE doc_id = {MLT_SOURCE_DOC}
+                ORDER BY term_score DESC, term ASC LIMIT 10
+            )
+            SELECT doc_id, round(sum(tf * idf), 9) AS mlt_score
+            FROM tf JOIN interesting USING (term)
+            WHERE doc_id <> {MLT_SOURCE_DOC}
+            GROUP BY doc_id
+            ORDER BY mlt_score DESC, doc_id ASC
+            LIMIT 10
         """,
         "tfidf_rank": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
