@@ -162,6 +162,17 @@ def q_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/collocations): textually adjacent
+    tokenizer-lite bigrams scored ln(p(a,b)/(p(a)p(b))), min-count
+    floored, top-20 with (w1, w2) tie-break."""
+    from nadry_spark.operators.collocations import pmi_bigrams
+
+    return pmi_bigrams(
+        _docs(spark, sf_dir), stopwords=sorted(STOP_WORDS), min_count=5, k=20
+    )
+
+
 MLT_SOURCE_DOC = 7
 
 
@@ -1837,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_positions": q_term_positions,
         "tfidf_rank": q_tfidf_rank,
         "more_like_this": q_more_like_this,
+        "collocations": q_collocations,
         "lmd_rank": q_lmd_rank,
         "facet_counts": q_facet_counts,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2603,6 +2615,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, pos
             FROM filtered
             WHERE term IN ({QUERY_TERMS_SQL})
+        """,
+        "collocations": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents
+            ),
+            pairs AS (
+                SELECT w AS w1, nx AS w2 FROM (
+                    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+                    FROM raw
+                )
+                WHERE nx IS NOT NULL
+                  AND length(w) BETWEEN 2 AND 50 AND w NOT IN ({_STOP_SQL})
+                  AND length(nx) BETWEEN 2 AND 50 AND nx NOT IN ({_STOP_SQL})
+            ),
+            uni AS (
+                SELECT w, count(*)::BIGINT AS c_w FROM raw
+                WHERE length(w) BETWEEN 2 AND 50 AND w NOT IN ({_STOP_SQL})
+                GROUP BY w
+            ),
+            tot AS (SELECT sum(c_w)::DOUBLE AS t_uni FROM uni),
+            big AS (
+                SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs
+                GROUP BY w1, w2 HAVING count(*) >= 5
+            ),
+            tb AS (SELECT count(*)::DOUBLE AS t_big FROM pairs)
+            SELECT w1, w2, n_pair,
+                   round(ln((n_pair::DOUBLE / (SELECT t_big FROM tb))
+                            / ((a.c_w::DOUBLE / (SELECT t_uni FROM tot))
+                               * (b.c_w::DOUBLE / (SELECT t_uni FROM tot)))), 9) AS pmi
+            FROM big
+            JOIN uni a ON big.w1 = a.w
+            JOIN uni b ON big.w2 = b.w
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 20
         """,
         "more_like_this": f"""
             WITH tf AS (
