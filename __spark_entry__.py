@@ -1592,6 +1592,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUSTRANK_ITERS = 3
 
 
+HITS_ITERS = 3
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/hits) over the same
+    synthetic link graph as q_pagerank/q_trustrank: fixed 3-iteration
+    mutual recursion, L1-normalized per step, unrolled-CTE oracle."""
+    from nadry_spark.operators.hits import hits
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.array(
+            ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+            ((F.col("doc_id") * 13 + 3) % 500).cast("string"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("links"),
+    )
+    return hits(docs, iters=HITS_ITERS).select(
+        F.col("url").cast("long").alias("doc_id"), "authority", "hub"
+    )
+
+
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (VLDB'04) over the same synthetic link graph as
     q_pagerank: seed-restricted teleport, textbook OUT-degree divisor
@@ -1904,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggestions": q_suggestions,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
+        "hits": q_hits,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -2184,6 +2207,65 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 _SYN_VALUES_SQL = ", ".join(
     f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
 )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled fixed-iteration HITS mirror (operators/hits.hits):
+    raw aggregate then L1 normalization per half-step, mirroring the
+    Spark side's per-row divide-before-sum op order; a*/h* referenced
+    twice -> AS MATERIALIZED."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""a{i}r AS MATERIALIZED (
+            SELECT e.dst AS url, sum(h.hub) AS auth
+            FROM {prev_h} h JOIN edges e ON e.src = h.url
+            GROUP BY e.dst
+        )"""
+        )
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT url, auth / (SELECT sum(auth) FROM a{i}r) AS auth FROM a{i}r
+        )"""
+        )
+        steps.append(
+            f"""h{i}r AS MATERIALIZED (
+            SELECT e.src AS url, sum(a.auth) AS hub
+            FROM a{i} a JOIN edges e ON e.dst = a.url
+            GROUP BY e.src
+        )"""
+        )
+        steps.append(
+            f"""h{i} AS MATERIALIZED (
+            SELECT url, hub / (SELECT sum(hub) FROM h{i}r) AS hub FROM h{i}r
+        )"""
+        )
+        prev_h = f"h{i}"
+    joined = ",\n        ".join(steps)
+    return f"""
+        WITH graph AS (
+            SELECT doc_id::VARCHAR AS url,
+                   [((doc_id * 7 + 1) % 500)::VARCHAR,
+                    ((doc_id * 13 + 3) % 500)::VARCHAR,
+                    (doc_id % 97)::VARCHAR] AS links
+            FROM documents
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT url AS src, l AS dst
+            FROM (SELECT url, unnest(links) AS l FROM graph)
+            WHERE l IN (SELECT url FROM graph)
+        ),
+        nodes AS (SELECT DISTINCT url FROM graph),
+        h0 AS (SELECT url, 1.0::DOUBLE AS hub FROM nodes),
+        {joined}
+        SELECT n.url::BIGINT AS doc_id,
+               round(coalesce(a.auth, 0.0::DOUBLE), 9) AS authority,
+               round(coalesce(h.hub, 0.0::DOUBLE), 9) AS hub
+        FROM nodes n
+        LEFT JOIN a{iters} a USING (url)
+        LEFT JOIN {prev_h} h USING (url)
+    """
 
 
 def _trustrank_sql(iters: int) -> str:
@@ -2878,6 +2960,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dups": _cosine_dups_sql(),
         "pagerank": _pagerank_sql(),
         "trustrank": _trustrank_sql(TRUSTRANK_ITERS),
+        "hits": _hits_sql(HITS_ITERS),
         "ivf_ann": _ivf_sql(),
         "ivf_iter1": _ivf_iter1_sql(),
         "exact_keep": """

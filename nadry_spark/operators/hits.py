@@ -1,0 +1,75 @@
+"""HITS hubs & authorities (Kleinberg, JACM'99, "Authoritative
+sources in a hyperlinked environment") — the classic counterpart to
+PageRank: a page is a good AUTHORITY if good hubs link to it, a good
+HUB if it links to good authorities.  Completes this engine's graph
+family (reference-quirk ``pagerank``, textbook ``trustrank``): HITS
+separates "lists of good links" pages from "content worth linking to"
+pages, which a corpus pipeline uses to pick seed/landing pages.
+
+Fixed-iteration mutual recursion over the same edge table as
+PageRank:
+
+    a_i(v) = Σ_{u→v} h_{i-1}(u)      then L1-normalize a_i
+    h_i(u) = Σ_{u→v} a_i(v)          then L1-normalize h_i
+
+L1 normalization (scores sum to 1) instead of Kleinberg's L2 — the
+updates are linear, so any per-iteration scalar normalization yields
+the same DIRECTION for a fixed iteration count; L1 avoids sqrt and
+keeps the DuckDB oracle's double arithmetic op-for-op identical.
+Normalization sums ride as 1-row broadcast cross-joins, never a
+driver collect.
+
+Scale: per iteration two edge joins + two aggregations (node-sized
+shuffles keyed by url); lineage capped with localCheckpoint per
+iteration.  Scores land on the 1e-9 grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nadry_spark.operators.pagerank import build_edges
+
+
+def hits(documents: DataFrame, iters: int = 3) -> DataFrame:
+    """(url, authority, hub) for every page after `iters` rounds.
+    Pages nobody links to have authority 0; pages with no outlinks
+    have hub 0 (both still listed)."""
+    edges = build_edges(documents).localCheckpoint()
+    nodes = documents.select("url").distinct().localCheckpoint()
+    h = nodes.select("url", F.lit(1.0).alias("hub"))
+    a = None
+    for _ in range(iters):
+        # checkpoint the RAW aggregate once, then normalize as a cheap
+        # projection over it — the sum and every downstream use read
+        # the checkpoint instead of re-running the edge join
+        a_raw = (
+            h.join(edges, h["url"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("url"), "auth")
+            .localCheckpoint()
+        )
+        a = a_raw.crossJoin(
+            F.broadcast(a_raw.agg(F.sum("auth").alias("s")))
+        ).select("url", (F.col("auth") / F.col("s")).alias("auth"))
+        h_raw = (
+            a.join(edges, a["url"] == edges["dst"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("url"), "hub")
+            .localCheckpoint()
+        )
+        h = h_raw.crossJoin(
+            F.broadcast(h_raw.agg(F.sum("hub").alias("s")))
+        ).select("url", (F.col("hub") / F.col("s")).alias("hub"))
+    return (
+        nodes.join(a, "url", "left")
+        .join(h, "url", "left")
+        .select(
+            "url",
+            F.round(F.coalesce("auth", F.lit(0.0)), 9).alias("authority"),
+            F.round(F.coalesce("hub", F.lit(0.0)), 9).alias("hub"),
+        )
+    )
