@@ -173,6 +173,20 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEXTRANK_ITERS = 3
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/textrank): damped PageRank over
+    the undirected adjacent-token co-occurrence graph, fixed 3
+    iterations, unrolled-CTE oracle."""
+    from nadry_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(
+        _docs(spark, sf_dir), stopwords=sorted(STOP_WORDS), iters=TEXTRANK_ITERS
+    )
+
+
 MLT_SOURCE_DOC = 7
 
 
@@ -1927,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "hits": q_hits,
+        "textrank": q_textrank,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -2207,6 +2222,67 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 _SYN_VALUES_SQL = ", ".join(
     f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
 )
+
+
+def _textrank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration TextRank mirror (operators/textrank
+    .textrank_keywords): base computed as (1.0 - 0.85) in doubles (not
+    a folded 0.15 literal) and per-edge divide-before-multiply, both
+    mirroring the Spark side's IEEE op order; edges/wdeg/r* referenced
+    repeatedly -> AS MATERIALIZED."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT w.u AS term,
+                   (1.0::DOUBLE - 0.85::DOUBLE)
+                   + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+            FROM wdeg w
+            LEFT JOIN (
+                SELECT e.v, sum((r.rank / wd.wdeg) * e.w_uv::DOUBLE) AS s
+                FROM edges e
+                JOIN {prev} r ON r.term = e.u
+                JOIN wdeg wd ON wd.u = e.u
+                GROUP BY e.v
+            ) c ON c.v = w.u
+        )"""
+        )
+        prev = f"r{i}"
+    joined = ",\n        ".join(steps)
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT w AS w1, nx AS w2 FROM (
+                SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+                FROM raw
+            )
+            WHERE nx IS NOT NULL AND w <> nx
+              AND length(w) BETWEEN 2 AND 50 AND w NOT IN ({_STOP_SQL})
+              AND length(nx) BETWEEN 2 AND 50 AND nx NOT IN ({_STOP_SQL})
+        ),
+        directed AS (
+            SELECT w1, w2, count(*)::BIGINT AS c FROM pairs GROUP BY w1, w2
+        ),
+        edges AS MATERIALIZED (
+            SELECT u, v, sum(c)::BIGINT AS w_uv FROM (
+                SELECT w1 AS u, w2 AS v, c FROM directed
+                UNION ALL
+                SELECT w2 AS u, w1 AS v, c FROM directed
+            ) GROUP BY u, v
+        ),
+        wdeg AS MATERIALIZED (
+            SELECT u, sum(w_uv)::BIGINT AS wdeg FROM edges GROUP BY u
+        ),
+        r0 AS (SELECT u AS term, 1.0::DOUBLE AS rank FROM wdeg),
+        {joined}
+        SELECT term, round(rank, 9) AS score FROM {prev}
+    """
 
 
 def _hits_sql(iters: int) -> str:
@@ -2961,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "trustrank": _trustrank_sql(TRUSTRANK_ITERS),
         "hits": _hits_sql(HITS_ITERS),
+        "textrank": _textrank_sql(TEXTRANK_ITERS),
         "ivf_ann": _ivf_sql(),
         "ivf_iter1": _ivf_iter1_sql(),
         "exact_keep": """
