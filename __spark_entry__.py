@@ -173,6 +173,24 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes (operators/classify): train on
+    deterministic synthetic labels c{doc_id % 3} over tokenizer-lite
+    tf, score every doc, return the rounded-score/label-asc argmax."""
+    from nadry_spark.operators.classify import nb_classify
+
+    tf = (
+        _terms_lite(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")).alias("label"),
+    )
+    return nb_classify(tf, labels)
+
+
 TEXTRANK_ITERS = 3
 
 
@@ -1942,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "hits": q_hits,
         "textrank": q_textrank,
+        "nb_classify": q_nb_classify,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3038,6 +3057,49 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _trustrank_sql(TRUSTRANK_ITERS),
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
+        "nb_classify": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM ({_TERMS_LITE_SQL}) GROUP BY doc_id, term
+            ),
+            lab AS (
+                SELECT doc_id, 'c' || (doc_id % 3)::VARCHAR AS label
+                FROM documents
+            ),
+            counts AS (
+                SELECT l.label, t.term, sum(t.tf)::BIGINT AS c
+                FROM tf t JOIN lab l USING (doc_id) GROUP BY l.label, t.term
+            ),
+            totals AS (SELECT label, sum(c)::BIGINT AS tot FROM counts GROUP BY label),
+            vn AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tf),
+            nn AS (SELECT count(*)::BIGINT AS n FROM lab),
+            priors AS (
+                SELECT label,
+                       ln(count(*)::DOUBLE / (SELECT n FROM nn)::DOUBLE) AS logprior
+                FROM lab GROUP BY label
+            ),
+            expanded AS (
+                SELECT t.doc_id, ld.label,
+                       t.tf::DOUBLE * ln(
+                           (coalesce(c.c, 0) + 1.0::DOUBLE)
+                           / (tt.tot + 1.0::DOUBLE * (SELECT v FROM vn))
+                       ) AS x
+                FROM tf t
+                CROSS JOIN (SELECT DISTINCT label FROM lab) ld
+                LEFT JOIN counts c ON c.label = ld.label AND c.term = t.term
+                JOIN totals tt ON tt.label = ld.label
+            ),
+            scored AS (
+                SELECT doc_id, label, round(p.logprior + sum(x), 9) AS score
+                FROM expanded JOIN priors p USING (label)
+                GROUP BY doc_id, label, p.logprior
+            )
+            SELECT doc_id, label, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, label ASC
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        """,
         "ivf_ann": _ivf_sql(),
         "ivf_iter1": _ivf_iter1_sql(),
         "exact_keep": """
