@@ -1624,6 +1624,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUSTRANK_ITERS = 3
 
 
+LPA_ITERS = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities (operators/components
+    .label_propagation) over the same synthetic link graph as
+    q_pagerank: fixed 3 synchronous rounds, neighbour-count argmax
+    with min-label tie-break, unrolled-CTE oracle."""
+    from nadry_spark.operators.components import label_propagation
+    from nadry_spark.operators.pagerank import build_edges
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.array(
+            ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+            ((F.col("doc_id") * 13 + 3) % 500).cast("string"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("links"),
+    )
+    edges = build_edges(docs)
+    return label_propagation(edges, iterations=LPA_ITERS).select(
+        F.col("v").cast("long").alias("doc_id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 HITS_ITERS = 3
 
 
@@ -1961,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "textrank": q_textrank,
         "nb_classify": q_nb_classify,
+        "lpa_communities": q_lpa_communities,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -2241,6 +2268,56 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 _SYN_VALUES_SQL = ", ".join(
     f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
 )
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled fixed-round LPA mirror (operators/components
+    .label_propagation): symmetrized self-loop-free edges, per-round
+    neighbour-label count argmax with MIN-VARCHAR tie-break (labels
+    stay strings until the final cast, matching the Spark side's
+    string ordering); und/l* referenced per round -> AS MATERIALIZED."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT v, community FROM (
+                SELECT u.a AS v, l.community, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY u.a
+                           ORDER BY count(*) DESC, l.community ASC
+                       ) AS rn
+                FROM und u JOIN {prev} l ON l.v = u.b
+                GROUP BY u.a, l.community
+            ) WHERE rn = 1
+        )"""
+        )
+        prev = f"l{i}"
+    joined = ",\n        ".join(steps)
+    return f"""
+        WITH graph AS (
+            SELECT doc_id::VARCHAR AS url,
+                   [((doc_id * 7 + 1) % 500)::VARCHAR,
+                    ((doc_id * 13 + 3) % 500)::VARCHAR,
+                    (doc_id % 97)::VARCHAR] AS links
+            FROM documents
+        ),
+        edges AS (
+            SELECT DISTINCT url AS src, l AS dst
+            FROM (SELECT url, unnest(links) AS l FROM graph)
+            WHERE l IN (SELECT url FROM graph)
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM edges
+                UNION ALL
+                SELECT dst AS a, src AS b FROM edges
+            ) WHERE a <> b
+        ),
+        l0 AS (SELECT DISTINCT a AS v, a AS community FROM und),
+        {joined}
+        SELECT v::BIGINT AS doc_id, community::BIGINT AS community FROM {prev}
+    """
 
 
 def _textrank_sql(iters: int) -> str:
@@ -3057,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _trustrank_sql(TRUSTRANK_ITERS),
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
+        "lpa_communities": _lpa_sql(LPA_ITERS),
         "nb_classify": f"""
             WITH tf AS (
                 SELECT doc_id, term, count(*)::BIGINT AS tf

@@ -76,3 +76,57 @@ def connected_components(
         else:
             labels = new_labels
     return labels
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al.,
+    Phys. Rev. E 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks") — (v, community) after a
+    FIXED number of rounds.
+
+    Where :func:`connected_components` answers "which docs are
+    transitively linked at all" (dedup clusters), LPA answers "which
+    densely-linked neighbourhood does each page sit in" (site/domain
+    communities for crawl partitioning, domain-cap grouping, topical
+    sampling strata).
+
+    Every vertex starts labeled with its own id; each round every
+    vertex adopts the most frequent label among its neighbours
+    (vertex-count weighted), ties broken by MIN label — with a fixed
+    round count this is bit-deterministic, so the DuckDB oracle can
+    unroll the rounds as chained CTEs. Vertices keep their previous
+    label on rounds where they have no labeled neighbour (isolated
+    vertices never occur here: vertices are edge endpoints after
+    symmetrization).
+
+    Scale: per round one join keyed by vertex + one (v, label) count
+    + one per-v argmax window — all shuffles on the vertex id, no
+    driver-side data. Lineage capped per round with localCheckpoint.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    labels = und.select(F.col("a").alias("v")).distinct().withColumn(
+        "community", F.col("v")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("community"))
+    for _ in range(iterations):
+        nbr = und.join(
+            labels.select(F.col("v").alias("b"), "community"), "b"
+        ).select(F.col("a").alias("v"), "community")
+        labels = (
+            nbr.groupBy("v", "community")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("v", "community")
+            .localCheckpoint()
+        )
+    return labels
