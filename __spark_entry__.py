@@ -1624,6 +1624,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUSTRANK_ITERS = 3
 
 
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (operators/anchors): synthetic
+    per-occurrence (src, dst, anchor) triples — the pagerank link
+    formula with the source doc's first-3-token prefix as anchor text
+    — inverted into the per-target (term, tf, distinct-src) table."""
+    from nadry_spark.operators.anchors import anchor_term_index
+
+    docs = _docs(spark, sf_dir)
+    links = docs.select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.explode(
+            F.array(
+                ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+                ((F.col("doc_id") * 13 + 3) % 500).cast("string"),
+                (F.col("doc_id") % 97).cast("string"),
+            )
+        ).alias("dst"),
+        F.array_join(F.slice(F.split(F.lower("text"), r"\s+"), 1, 3), " ").alias(
+            "anchor"
+        ),
+    )
+    return anchor_term_index(links, stopwords=sorted(STOP_WORDS)).select(
+        F.col("dst").cast("long").alias("doc_id"), "term", "tf", "n_srcs"
+    )
+
+
 LPA_ITERS = 3
 
 
@@ -1988,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "nb_classify": q_nb_classify,
         "lpa_communities": q_lpa_communities,
+        "anchor_terms": q_anchor_terms,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3135,6 +3162,30 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
+        "anchor_terms": f"""
+            WITH src AS (
+                SELECT doc_id::VARCHAR AS src,
+                       array_to_string(
+                           (string_split_regex(lower(text), '\\s+'))[1:3], ' '
+                       ) AS anchor,
+                       [((doc_id * 7 + 1) % 500)::VARCHAR,
+                        ((doc_id * 13 + 3) % 500)::VARCHAR,
+                        (doc_id % 97)::VARCHAR] AS dsts
+                FROM documents
+            ),
+            links AS (SELECT src, unnest(dsts) AS dst, anchor FROM src),
+            tok AS (
+                SELECT src, dst,
+                       unnest(string_split_regex(lower(anchor), '\\s+')) AS term
+                FROM links
+            )
+            SELECT dst::BIGINT AS doc_id, term,
+                   count(*)::BIGINT AS tf,
+                   count(DISTINCT src)::BIGINT AS n_srcs
+            FROM tok
+            WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+            GROUP BY dst, term
+        """,
         "nb_classify": f"""
             WITH tf AS (
                 SELECT doc_id, term, count(*)::BIGINT AS tf

@@ -251,6 +251,33 @@ def extract_links(root: Element, base_url: str) -> set[str]:
     return links
 
 
+def extract_anchor_links(html: str | None, base_url: str) -> list[tuple[str, str]]:
+    """(normalized_target, anchor_text) for every a[href] that survives
+    the http(s) filter — ADDITIVE to the reference surface (the
+    reference's extractLinks keeps only the deduplicated href set;
+    nadry/.../DocumentProcessor.java:165-178 discards the element
+    text). Anchor text is the inbound-link description signal a
+    web-scale indexer aggregates per TARGET page, so unlike
+    :func:`extract_links` this keeps one row per occurrence (the same
+    target linked twice with different text is two signals) and does
+    not dedup. Empty/oversized pages return [] (same skip rule as
+    process_document)."""
+    if html is None or not html.strip():
+        return []
+    if len(html.encode("utf-8")) > 100_000_000:
+        return []
+    root = parse_html(html)
+    out: list[tuple[str, str]] = []
+    for el in root.iter():
+        if el.tag == "a" and "href" in el.attrs:
+            normalized = normalize_url(el.attrs["href"], base_url)
+            if normalized and (
+                normalized.startswith("http://") or normalized.startswith("https://")
+            ):
+                out.append((normalized, el.text()))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Unwanted-node removal + main-content extraction
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nadry_spark.functions.htmlextract import process_document
+from nadry_spark.functions.htmlextract import extract_anchor_links, process_document
 from nadry_spark.functions.tokenizer import tokenize
 
 EXTRACT_SCHEMA = T.StructType(
@@ -56,3 +56,27 @@ def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
 def tokenize_udf(text: pd.Series) -> pd.Series:
     """Tokenizer.tokenize (F6-F12) for a batch of strings."""
     return text.map(lambda s: tokenize(s) if s is not None else [])
+
+
+ANCHOR_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("dst", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(ANCHOR_SCHEMA)
+def anchor_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """extract_anchor_links for a batch of pages: per-occurrence
+    (dst, anchor) rows feeding operators/anchors.anchor_term_index."""
+    out = []
+    for h, u in zip(html, url):
+        if isinstance(h, (bytes, bytearray)):
+            h = h.decode("utf-8", errors="replace")
+        out.append(
+            [{"dst": d, "anchor": a} for d, a in extract_anchor_links(h, u)]
+        )
+    return pd.Series(out)
