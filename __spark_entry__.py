@@ -1624,15 +1624,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUSTRANK_ITERS = 3
 
 
-def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inbound anchor-text aggregation (operators/anchors): synthetic
-    per-occurrence (src, dst, anchor) triples — the pagerank link
-    formula with the source doc's first-3-token prefix as anchor text
-    — inverted into the per-target (term, tf, distinct-src) table."""
-    from nadry_spark.operators.anchors import anchor_term_index
+BM25F_FIELDS = [("title", 2.5, 0.6), ("body", 1.0, 0.75), ("anchor", 1.5, 0.0)]
 
-    docs = _docs(spark, sf_dir)
-    links = docs.select(
+
+def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic per-occurrence anchor triples shared by
+    q_anchor_terms / q_bm25f_rank: pagerank link formula targets,
+    source doc's first-3-token prefix as anchor text."""
+    return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("src"),
         F.explode(
             F.array(
@@ -1645,6 +1644,73 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor"
         ),
     )
+
+
+def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F (operators/bm25f) over three fields: title = first-5-token
+    prefix, body = full tokenizer-lite text, anchor = inbound synthetic
+    anchor text (b=0: anchor fields are conventionally not
+    length-normalized). Output (rank, doc_id, score)."""
+    from nadry_spark.operators.bm25f import bm25f_score
+
+    docs = _docs(spark, sf_dir)
+
+    def _lite(df: DataFrame) -> DataFrame:
+        return df.where(
+            (F.length("term") >= 2)
+            & (F.length("term") <= 50)
+            & ~F.col("term").isin([w for w in sorted(STOP_WORDS)])
+        )
+
+    title_tok = _lite(
+        docs.select(
+            "doc_id",
+            F.explode(F.slice(F.split(F.lower("text"), r"\s+"), 1, 5)).alias("term"),
+        )
+    )
+    body_tok = _terms_lite(spark, sf_dir)
+    anchor_tok = _lite(
+        _anchor_links(spark, sf_dir).select(
+            F.col("dst").cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower("anchor"), r"\s+")).alias("term"),
+        )
+    )
+
+    base = docs.select("doc_id")
+    toks = {"title": title_tok, "body": body_tok, "anchor": anchor_tok}
+    field_tf = None
+    field_len = None
+    for name, tok in toks.items():
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).select(
+            "doc_id", F.lit(name).alias("field"), "term", "tf"
+        )
+        ln = (
+            base.join(tok.groupBy("doc_id").agg(F.count("*").alias("c")), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(name).alias("field"),
+                F.coalesce("c", F.lit(0)).cast("long").alias("len"),
+            )
+        )
+        field_tf = tf if field_tf is None else field_tf.unionByName(tf)
+        field_len = ln if field_len is None else field_len.unionByName(ln)
+
+    fields_df = spark.createDataFrame(BM25F_FIELDS, "field string, w double, b double")
+    scored = bm25f_score(field_tf, field_len, fields_df, QUERY_TERMS)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (operators/anchors): synthetic
+    per-occurrence (src, dst, anchor) triples — the pagerank link
+    formula with the source doc's first-3-token prefix as anchor text
+    — inverted into the per-target (term, tf, distinct-src) table."""
+    from nadry_spark.operators.anchors import anchor_term_index
+
+    links = _anchor_links(spark, sf_dir)
     return anchor_term_index(links, stopwords=sorted(STOP_WORDS)).select(
         F.col("dst").cast("long").alias("doc_id"), "term", "tf", "n_srcs"
     )
@@ -2015,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "lpa_communities": q_lpa_communities,
         "anchor_terms": q_anchor_terms,
+        "bm25f_rank": q_bm25f_rank,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3162,6 +3229,102 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
+        "bm25f_rank": f"""
+            WITH title_tok AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest((string_split_regex(lower(text), '\\s+'))[1:5]) AS term
+                    FROM documents
+                )
+                WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+            ),
+            body_tok AS ({_TERMS_LITE_SQL}),
+            alinks AS (
+                SELECT doc_id::VARCHAR AS src,
+                       array_to_string(
+                           (string_split_regex(lower(text), '\\s+'))[1:3], ' '
+                       ) AS anchor,
+                       unnest([((doc_id * 7 + 1) % 500)::VARCHAR,
+                               ((doc_id * 13 + 3) % 500)::VARCHAR,
+                               (doc_id % 97)::VARCHAR]) AS dst
+                FROM documents
+            ),
+            anchor_tok AS (
+                SELECT doc_id, term FROM (
+                    SELECT dst::BIGINT AS doc_id,
+                           unnest(string_split_regex(lower(anchor), '\\s+')) AS term
+                    FROM alinks
+                )
+                WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+            ),
+            ftf AS (
+                SELECT doc_id, 'title' AS field, term, count(*)::BIGINT AS tf
+                FROM title_tok GROUP BY doc_id, term
+                UNION ALL
+                SELECT doc_id, 'body', term, count(*)::BIGINT
+                FROM body_tok GROUP BY doc_id, term
+                UNION ALL
+                SELECT doc_id, 'anchor', term, count(*)::BIGINT
+                FROM anchor_tok GROUP BY doc_id, term
+            ),
+            fdim AS (
+                SELECT * FROM (VALUES
+                    ('title', 2.5::DOUBLE, 0.6::DOUBLE),
+                    ('body', 1.0::DOUBLE, 0.75::DOUBLE),
+                    ('anchor', 1.5::DOUBLE, 0.0::DOUBLE)
+                ) AS t(field, w, b)
+            ),
+            counts AS (
+                SELECT doc_id, 'title' AS field, count(*)::BIGINT AS c
+                FROM title_tok GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 'body', count(*)::BIGINT FROM body_tok GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 'anchor', count(*)::BIGINT
+                FROM anchor_tok GROUP BY doc_id
+            ),
+            flen AS MATERIALIZED (
+                SELECT d.doc_id, f.field, coalesce(c.c, 0)::BIGINT AS len
+                FROM documents d
+                CROSS JOIN (SELECT field FROM fdim) f
+                LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.field = f.field
+            ),
+            qtf AS MATERIALIZED (
+                SELECT * FROM ftf WHERE term IN ({QUERY_TERMS_SQL})
+            ),
+            nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM flen),
+            avglen AS (
+                SELECT field, sum(len)::DOUBLE / count(*)::DOUBLE AS avglen
+                FROM flen GROUP BY field
+            ),
+            idf AS (
+                SELECT term,
+                       ln(1.0::DOUBLE
+                          + ((SELECT n FROM nn) - count(DISTINCT doc_id) + 0.5::DOUBLE)
+                            / (count(DISTINCT doc_id) + 0.5::DOUBLE)) AS idf
+                FROM qtf GROUP BY term
+            ),
+            wtf AS (
+                SELECT t.doc_id, t.term,
+                       sum(f.w * (t.tf::DOUBLE
+                           / (1.0::DOUBLE - f.b
+                              + f.b * (l.len::DOUBLE / a.avglen)))) AS wtf
+                FROM qtf t
+                JOIN flen l ON l.doc_id = t.doc_id AND l.field = t.field
+                JOIN avglen a ON a.field = t.field
+                JOIN fdim f ON f.field = t.field
+                GROUP BY t.doc_id, t.term
+            ),
+            scored AS (
+                SELECT w.doc_id,
+                       round(sum(i.idf * (w.wtf / (1.2::DOUBLE + w.wtf))), 9) AS score
+                FROM wtf w JOIN idf i USING (term)
+                GROUP BY w.doc_id
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+        """,
         "anchor_terms": f"""
             WITH src AS (
                 SELECT doc_id::VARCHAR AS src,
