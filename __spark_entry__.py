@@ -1624,6 +1624,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUSTRANK_ITERS = 3
 
 
+def _lite(df: DataFrame) -> DataFrame:
+    """Tokenizer-lite filter on an exploded `term` column."""
+    return df.where(
+        (F.length("term") >= 2)
+        & (F.length("term") <= 50)
+        & ~F.col("term").isin([w for w in sorted(STOP_WORDS)])
+    )
+
+
 BM25F_FIELDS = [("title", 2.5, 0.6), ("body", 1.0, 0.75), ("anchor", 1.5, 0.0)]
 
 
@@ -1654,14 +1663,6 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nadry_spark.operators.bm25f import bm25f_score
 
     docs = _docs(spark, sf_dir)
-
-    def _lite(df: DataFrame) -> DataFrame:
-        return df.where(
-            (F.length("term") >= 2)
-            & (F.length("term") <= 50)
-            & ~F.col("term").isin([w for w in sorted(STOP_WORDS)])
-        )
-
     title_tok = _lite(
         docs.select(
             "doc_id",
@@ -1700,6 +1701,57 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature matrix (operators/ltr): per candidate doc the BM25
+    core (bit-identical to bm25_rank's convention) plus title-hit,
+    inbound-anchor-tf and in-degree signals, 0-defaulted."""
+    from nadry_spark.operators.ltr import ltr_features
+
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    links = _anchor_links(spark, sf_dir)
+
+    title_hits = (
+        _lite(
+            _docs(spark, sf_dir).select(
+                "doc_id",
+                F.explode(F.slice(F.split(F.lower("text"), r"\s+"), 1, 5)).alias(
+                    "term"
+                ),
+            )
+        )
+        .where(F.col("term").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("f_title_hits"))
+    )
+    anchor_tf = (
+        _lite(
+            links.select(
+                F.col("dst").cast("long").alias("doc_id"),
+                F.explode(F.split(F.lower("anchor"), r"\s+")).alias("term"),
+            )
+        )
+        .where(F.col("term").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("f_anchor_tf"))
+    )
+    indegree = (
+        links.select(F.col("dst").cast("long").alias("doc_id"), "src")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("src").alias("f_indegree"))
+    )
+    return ltr_features(
+        tf,
+        tw,
+        QUERY_TERMS,
+        extras={
+            "f_title_hits": title_hits,
+            "f_anchor_tf": anchor_tf,
+            "f_indegree": indegree,
+        },
     )
 
 
@@ -2082,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "anchor_terms": q_anchor_terms,
         "bm25f_rank": q_bm25f_rank,
+        "ltr_features": q_ltr_features,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3229,6 +3282,74 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
+        "ltr_features": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            df_t AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+                WHERE term IN ({QUERY_TERMS_SQL}) GROUP BY term
+            ),
+            scored AS (
+                SELECT c.doc_id,
+                       round(sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ), 9) AS f_bm25,
+                       sum(c.tf)::BIGINT AS f_tf_sum,
+                       count(*)::BIGINT AS f_matched_terms
+                FROM tf c
+                JOIN tw w USING (doc_id)
+                JOIN df_t d USING (term)
+                CROSS JOIN corpus n
+                WHERE c.term IN ({QUERY_TERMS_SQL})
+                GROUP BY c.doc_id
+            ),
+            title_hits AS (
+                SELECT doc_id, count(*)::BIGINT AS f_title_hits FROM (
+                    SELECT doc_id,
+                           unnest((string_split_regex(lower(text), '\\s+'))[1:5]) AS term
+                    FROM documents
+                )
+                WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+                  AND term IN ({QUERY_TERMS_SQL})
+                GROUP BY doc_id
+            ),
+            alinks AS (
+                SELECT doc_id::VARCHAR AS src,
+                       array_to_string(
+                           (string_split_regex(lower(text), '\\s+'))[1:3], ' '
+                       ) AS anchor,
+                       unnest([((doc_id * 7 + 1) % 500)::VARCHAR,
+                               ((doc_id * 13 + 3) % 500)::VARCHAR,
+                               (doc_id % 97)::VARCHAR]) AS dst
+                FROM documents
+            ),
+            anchor_tf AS (
+                SELECT doc_id, count(*)::BIGINT AS f_anchor_tf FROM (
+                    SELECT dst::BIGINT AS doc_id,
+                           unnest(string_split_regex(lower(anchor), '\\s+')) AS term
+                    FROM alinks
+                )
+                WHERE length(term) BETWEEN 2 AND 50 AND term NOT IN ({_STOP_SQL})
+                  AND term IN ({QUERY_TERMS_SQL})
+                GROUP BY doc_id
+            ),
+            indeg AS (
+                SELECT dst::BIGINT AS doc_id, count(DISTINCT src)::BIGINT AS f_indegree
+                FROM alinks GROUP BY dst
+            )
+            SELECT s.doc_id, s.f_bm25, s.f_tf_sum, s.f_matched_terms,
+                   w.total_words AS f_doclen,
+                   coalesce(t.f_title_hits, 0)::BIGINT AS f_title_hits,
+                   coalesce(a.f_anchor_tf, 0)::BIGINT AS f_anchor_tf,
+                   coalesce(i.f_indegree, 0)::BIGINT AS f_indegree
+            FROM scored s
+            JOIN tw w USING (doc_id)
+            LEFT JOIN title_hits t USING (doc_id)
+            LEFT JOIN anchor_tf a USING (doc_id)
+            LEFT JOIN indeg i USING (doc_id)
+        """,
         "bm25f_rank": f"""
             WITH title_tok AS (
                 SELECT doc_id, term FROM (
