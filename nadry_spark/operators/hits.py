@@ -32,20 +32,30 @@ from pyspark.sql import functions as F
 from nadry_spark.operators.pagerank import build_edges
 
 
-def hits(documents: DataFrame, iters: int = 3) -> DataFrame:
+def hits(
+    documents: DataFrame, iters: int = 3, broadcast_threshold: int = 1_000_000
+) -> DataFrame:
     """(url, authority, hub) for every page after `iters` rounds.
     Pages nobody links to have authority 0; pages with no outlinks
-    have hub 0 (both still listed)."""
+    have hub 0 (both still listed).
+
+    Like pagerank, the score vectors are node-sized: when the vertex
+    count fits ``broadcast_threshold`` they ride as broadcasts so the
+    edge table never shuffles (checkpointed frames lose stats, so
+    without the hint Catalyst falls back to SortMergeJoin); past the
+    threshold the joins degrade to the correct shuffle plan."""
     edges = build_edges(documents).localCheckpoint()
     nodes = documents.select("url").distinct().localCheckpoint()
+    bc = F.broadcast if nodes.count() <= broadcast_threshold else (lambda df: df)
     h = nodes.select("url", F.lit(1.0).alias("hub"))
     a = None
     for _ in range(iters):
         # checkpoint the RAW aggregate once, then normalize as a cheap
         # projection over it — the sum and every downstream use read
         # the checkpoint instead of re-running the edge join
+        hb = bc(h)
         a_raw = (
-            h.join(edges, h["url"] == edges["src"])
+            hb.join(edges, hb["url"] == edges["src"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .select(F.col("dst").alias("url"), "auth")
@@ -54,8 +64,9 @@ def hits(documents: DataFrame, iters: int = 3) -> DataFrame:
         a = a_raw.crossJoin(
             F.broadcast(a_raw.agg(F.sum("auth").alias("s")))
         ).select("url", (F.col("auth") / F.col("s")).alias("auth"))
+        ab = bc(a)
         h_raw = (
-            a.join(edges, a["url"] == edges["dst"])
+            ab.join(edges, ab["url"] == edges["dst"])
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
             .select(F.col("src").alias("url"), "hub")
@@ -65,8 +76,8 @@ def hits(documents: DataFrame, iters: int = 3) -> DataFrame:
             F.broadcast(h_raw.agg(F.sum("hub").alias("s")))
         ).select("url", (F.col("hub") / F.col("s")).alias("hub"))
     return (
-        nodes.join(a, "url", "left")
-        .join(h, "url", "left")
+        nodes.join(bc(a), "url", "left")
+        .join(bc(h), "url", "left")
         .select(
             "url",
             F.round(F.coalesce("auth", F.lit(0.0)), 9).alias("authority"),

@@ -152,6 +152,7 @@ def trustrank(
     seeds: DataFrame,
     damping: float = DAMPING,
     iters: int = 3,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB'04): trust
     propagation from a trusted seed set to demote web spam before a
@@ -184,13 +185,23 @@ def trustrank(
         "left",
     ).select("url", F.coalesce("s", F.lit(0.0)).alias("s"))
     base = base.localCheckpoint()
+    # trust vectors are node-sized: broadcast them like pagerank does
+    # so the edge table never shuffles while the graph fits; past the
+    # threshold the joins degrade to the correct shuffle plan
+    bc = (
+        F.broadcast
+        if nodes.count() <= broadcast_threshold
+        else (lambda df: df)
+    )
     t = base.select("url", F.col("s").alias("rank"))
     for _ in range(iters):
+        tb = bc(t)
         contrib = (
-            t.join(live, t["url"] == live["src"])
+            tb.join(live, tb["url"] == live["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
         )
+        contrib = bc(contrib)
         t = (
             base.join(contrib, base["url"] == contrib["dst"], "left")
             .select(
