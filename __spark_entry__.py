@@ -1704,6 +1704,25 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RM3_FB_DOCS = 10
+RM3_FB_TERMS = 10
+
+
+def q_rm3_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/prf): BM25 pass,
+    relevance model from the top-10 docs, top-10 expansion terms,
+    0.5-interpolated weighted re-rank. (rank, doc_id, score)."""
+    from nadry_spark.operators.prf import rm3_rerank
+
+    return rm3_rerank(
+        q_doc_term_tf(spark, sf_dir),
+        q_total_words(spark, sf_dir),
+        QUERY_TERMS,
+        fb_docs=RM3_FB_DOCS,
+        fb_terms=RM3_FB_TERMS,
+    )
+
+
 def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTR feature matrix (operators/ltr): per candidate doc the BM25
     core (bit-identical to bm25_rank's convention) plus title-hit,
@@ -2135,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "bm25f_rank": q_bm25f_rank,
         "ltr_features": q_ltr_features,
+        "rm3_rank": q_rm3_rank,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3282,6 +3302,83 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
+        "rm3_rank": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            df1 AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+                WHERE term IN ({QUERY_TERMS_SQL}) GROUP BY term
+            ),
+            p1 AS (
+                SELECT c.doc_id,
+                       round(sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ), 9) AS score
+                FROM tf c
+                JOIN tw w USING (doc_id)
+                JOIN df1 d USING (term)
+                CROSS JOIN corpus n
+                WHERE c.term IN ({QUERY_TERMS_SQL})
+                GROUP BY c.doc_id
+            ),
+            top AS MATERIALIZED (
+                SELECT doc_id, score FROM (
+                    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+                    FROM p1
+                ) WHERE rn <= {RM3_FB_DOCS}
+            ),
+            tot AS (SELECT sum(score) AS tot FROM top),
+            rm AS MATERIALIZED (
+                SELECT t.term,
+                       round(sum((tp.score / (SELECT tot FROM tot))
+                                 * (t.tf::DOUBLE / w.total_words::DOUBLE)), 9) AS p_rm
+                FROM top tp
+                JOIN tf t USING (doc_id)
+                JOIN tw w USING (doc_id)
+                GROUP BY t.term
+            ),
+            expt AS MATERIALIZED (
+                SELECT term, p_rm FROM (
+                    SELECT *, row_number() OVER (ORDER BY p_rm DESC, term ASC) AS rn
+                    FROM rm
+                ) WHERE rn <= {RM3_FB_TERMS}
+            ),
+            zz AS (SELECT sum(p_rm) AS z FROM expt),
+            expw AS (SELECT term, p_rm / (SELECT z FROM zz) AS p_norm FROM expt),
+            orig(term) AS (VALUES {", ".join(f"('{t}')" for t in QUERY_TERMS)}),
+            origw AS (
+                SELECT term, 1.0::DOUBLE / {float(len(set(QUERY_TERMS)))}::DOUBLE AS q_w
+                FROM orig
+            ),
+            weights AS MATERIALIZED (
+                SELECT coalesce(o.term, e.term) AS term,
+                       0.5::DOUBLE * coalesce(o.q_w, 0.0::DOUBLE)
+                       + (1.0::DOUBLE - 0.5::DOUBLE) * coalesce(e.p_norm, 0.0::DOUBLE) AS w
+                FROM origw o FULL OUTER JOIN expw e ON o.term = e.term
+            ),
+            df2 AS (
+                SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS df
+                FROM tf t JOIN weights USING (term) GROUP BY t.term
+            ),
+            p2 AS (
+                SELECT c.doc_id,
+                       round(sum( ww.w * (
+                            ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ) ), 9) AS score
+                FROM tf c
+                JOIN weights ww USING (term)
+                JOIN tw w USING (doc_id)
+                JOIN df2 d ON d.term = c.term
+                CROSS JOIN corpus n
+                GROUP BY c.doc_id
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM p2
+        """,
         "ltr_features": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
