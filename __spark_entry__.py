@@ -1704,6 +1704,37 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_CHUNK = 10
+LINE_MIN_DOCS = 2
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup (operators/linededup) over
+    the doubled corpus: docs are chunked into 10-token pseudo-lines
+    (the corpus has no newlines), and every line occurring in >= 2
+    distinct docs — i.e. everything mirrored between a doc and its
+    mutated twin — is dropped; kept (doc_id, line_no, line) rows."""
+    from nadry_spark.operators.linededup import dedup_lines
+
+    toks = _docs_with_dups(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    )
+    lines = toks.groupBy(
+        "doc_id", F.floor(F.col("pos") / LINE_CHUNK).cast("long").alias("line_no")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("line")
+    )
+    return dedup_lines(lines, min_docs=LINE_MIN_DOCS).select(
+        "doc_id", "line_no", "line"
+    )
+
+
 RM3_FB_DOCS = 10
 RM3_FB_TERMS = 10
 
@@ -2155,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_rank": q_bm25f_rank,
         "ltr_features": q_ltr_features,
         "rm3_rank": q_rm3_rank,
+        "line_dedup": q_line_dedup,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3302,6 +3334,27 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
+        "line_dedup": f"""
+            WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+            toks AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i,
+                       unnest(string_split_regex(text, '\\s+')) AS tok
+                FROM docs2
+            ),
+            lines AS MATERIALIZED (
+                SELECT doc_id, ((i - 1) // {LINE_CHUNK})::BIGINT AS line_no,
+                       string_agg(tok, ' ' ORDER BY i) AS line
+                FROM toks GROUP BY doc_id, (i - 1) // {LINE_CHUNK}
+            ),
+            hot AS (
+                SELECT md5(line) AS h FROM lines
+                GROUP BY md5(line)
+                HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+            )
+            SELECT doc_id, line_no, line FROM lines
+            WHERE md5(line) NOT IN (SELECT h FROM hot)
+        """,
         "rm3_rank": f"""
             WITH terms AS ({_TERMS_LITE_SQL}),
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
