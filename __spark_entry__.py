@@ -1704,6 +1704,38 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAM = 0.7
+
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/diversify): top-20 cosine
+    candidates for query vector vec_id=0, then 5 greedy picks at
+    lambda=0.7; (order, vec_id)."""
+    from nadry_spark.operators.diversify import mmr_select
+    from nadry_spark.operators.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    rel = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 9).alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= MMR_POOL)
+        .drop("_rn")
+    )
+    return mmr_select(cand, k=MMR_K, lam=MMR_LAM)
+
+
 LINE_CHUNK = 10
 LINE_MIN_DOCS = 2
 
@@ -2187,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "rm3_rank": q_rm3_rank,
         "line_dedup": q_line_dedup,
+        "mmr_topk": q_mmr_topk,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -2467,6 +2500,74 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 _SYN_VALUES_SQL = ", ".join(
     f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
 )
+
+
+def _mmr_sql(k: int = MMR_K) -> str:
+    """Unrolled greedy-MMR mirror (operators/diversify.mmr_select):
+    rel/sim quantized at 1e-9 before use, objective re-rounded, id-asc
+    tie-break, (1-lam) written as (1.0 - 0.7) so the IEEE double
+    matches Spark's F.lit(1.0) - F.lit(lam)."""
+    steps = [
+        f"""s1 AS MATERIALIZED (
+            SELECT 1::BIGINT AS ord, vec_id FROM cand
+            ORDER BY round(0.7::DOUBLE * rel9, 9) DESC, vec_id ASC LIMIT 1
+        )""",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"""s{i} AS MATERIALIZED (
+            SELECT {i}::BIGINT AS ord, c.vec_id FROM cand c
+            JOIN (
+                SELECT cid, max(sim9) AS ms FROM cpairs
+                WHERE oid IN (SELECT vec_id FROM sel{i - 1}) GROUP BY cid
+            ) m ON m.cid = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+            ORDER BY round(0.7::DOUBLE * c.rel9
+                           - (1.0::DOUBLE - 0.7::DOUBLE) * m.ms, 9) DESC,
+                     c.vec_id ASC
+            LIMIT 1
+        )"""
+        )
+        steps.append(
+            f"""sel{i} AS (SELECT vec_id FROM sel{i - 1}
+                           UNION ALL SELECT vec_id FROM s{i})"""
+        )
+    joined = ",\n        ".join(steps)
+    picks = "\nUNION ALL\n".join(f"SELECT ord, vec_id FROM s{i}" for i in range(1, k + 1))
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        el AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS ea, unnest(qv)::DOUBLE AS eb
+            FROM v CROSS JOIN q
+        ),
+        rel AS (
+            SELECT vec_id,
+                   round(sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))), 9) AS rel9
+            FROM el GROUP BY vec_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT vec_id, rel9 FROM (
+                SELECT *, row_number() OVER (ORDER BY rel9 DESC, vec_id ASC) AS rn
+                FROM rel
+            ) WHERE rn <= {MMR_POOL}
+        ),
+        pel AS (
+            SELECT c1.vec_id AS cid, c2.vec_id AS oid,
+                   unnest(v1.embedding)::DOUBLE AS ea, unnest(v2.embedding)::DOUBLE AS eb
+            FROM cand c1 JOIN v v1 ON v1.vec_id = c1.vec_id
+            CROSS JOIN cand c2 JOIN v v2 ON v2.vec_id = c2.vec_id
+            WHERE c1.vec_id <> c2.vec_id
+        ),
+        cpairs AS MATERIALIZED (
+            SELECT cid, oid,
+                   round(sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))), 9) AS sim9
+            FROM pel GROUP BY cid, oid
+        ),
+        {joined}
+        SELECT ord AS "order", vec_id FROM ({picks})
+    """
 
 
 def _lpa_sql(iters: int) -> str:
@@ -3334,6 +3435,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(HITS_ITERS),
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
+        "mmr_topk": _mmr_sql(),
         "line_dedup": f"""
             WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
             toks AS (
