@@ -1704,6 +1704,27 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMP = 2.0
+MIX_TARGET = 200
+MIX_SALT = "mix4"
+
+
+def q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (operators/sampling
+    .temperature_mix): synthetic domains d{doc_id % 7}, T=2.0, target
+    200 rows — head domains down-weighted, tail up-weighted, hash-
+    deterministic row fate; (doc_id, domain) of the kept rows."""
+    from nadry_spark.operators.sampling import temperature_mix
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias("domain"),
+    )
+    return temperature_mix(
+        base, "domain", "doc_id", temp=MIX_TEMP, target_rows=MIX_TARGET, salt=MIX_SALT
+    ).select("doc_id", "domain")
+
+
 MMR_POOL = 20
 MMR_K = 5
 MMR_LAM = 0.7
@@ -2220,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_rank": q_rm3_rank,
         "line_dedup": q_line_dedup,
         "mmr_topk": q_mmr_topk,
+        "temp_mix": q_temp_mix,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3436,6 +3458,31 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
+        "temp_mix": f"""
+            WITH base AS (
+                SELECT doc_id, 'd' || (doc_id % 7)::VARCHAR AS domain FROM documents
+            ),
+            counts AS (SELECT domain, count(*)::BIGINT AS n_d FROM base GROUP BY domain),
+            tot AS (SELECT sum(n_d)::BIGINT AS n FROM counts),
+            w AS (
+                SELECT domain, n_d,
+                       pow(n_d::DOUBLE / (SELECT n FROM tot)::DOUBLE,
+                           1.0::DOUBLE / {MIX_TEMP}::DOUBLE) AS w_d
+                FROM counts
+            ),
+            zz AS (SELECT sum(w_d) AS z FROM w),
+            rates AS (
+                SELECT domain,
+                       round(least(1.0::DOUBLE,
+                                   {float(MIX_TARGET)}::DOUBLE
+                                   * round(w_d / (SELECT z FROM zz), 9)
+                                   / n_d), 9) AS keep_rate
+                FROM w
+            )
+            SELECT b.doc_id, b.domain
+            FROM base b JOIN rates r USING (domain)
+            WHERE {_HASH_FRAC.format(expr=f"'{MIX_SALT}|' || b.doc_id::VARCHAR")} < r.keep_rate
+        """,
         "line_dedup": f"""
             WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
             toks AS (
