@@ -1704,6 +1704,21 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4
+PQ_KSUB = 16
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq): 64-dim embeddings ->
+    4 subspaces x 16-codeword codebooks (seed centroids, RNG-free),
+    ADC top-10 for query vectors vec_id < 5."""
+    from nadry_spark.operators.pq import pq_build, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = pq_build(emb, m=PQ_M, ksub=PQ_KSUB)
+    return pq_topk(codes, books, emb.where(F.col("vec_id") < 5), k=10)
+
+
 MIX_TEMP = 2.0
 MIX_TARGET = 200
 MIX_SALT = "mix4"
@@ -2242,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "mmr_topk": q_mmr_topk,
         "temp_mix": q_temp_mix,
+        "pq_ann": q_pq_ann,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -2522,6 +2538,71 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 _SYN_VALUES_SQL = ", ".join(
     f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
 )
+
+
+def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64) -> str:
+    """Mirrors pq_build(iters=0) + pq_topk ADC: per-subspace seed
+    codebooks (first ksub vectors by id, sliced), argmin codes and
+    per-query distance tables on the 1e-9 grid, total = round(sum of
+    m rounded lookups, 9), asc-distance/id-asc ranking."""
+    d_sub = dim // m
+    subs = []
+    parts = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        subs.append(
+            f"""cent{s} AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding[{lo}:{hi}] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub})
+        ),
+        dist{s} AS (
+            SELECT vec_id, cid, round(sum((a - b) * (a - b)), 9) AS d2
+            FROM (
+                SELECT v.vec_id, c.cid,
+                       unnest(v.embedding[{lo}:{hi}])::DOUBLE AS a,
+                       unnest(c.cvec)::DOUBLE AS b
+                FROM embeddings v CROSS JOIN cent{s} c
+            ) GROUP BY vec_id, cid
+        ),
+        code{s} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dist{s}
+            ) WHERE rn = 1
+        ),
+        dt{s} AS MATERIALIZED (
+            SELECT qid, cid, round(sum((a - b) * (a - b)), 9) AS d2
+            FROM (
+                SELECT q.vec_id AS qid, c.cid,
+                       unnest(q.embedding[{lo}:{hi}])::DOUBLE AS a,
+                       unnest(c.cvec)::DOUBLE AS b
+                FROM embeddings q CROSS JOIN cent{s} c
+                WHERE q.vec_id < 5
+            ) GROUP BY qid, cid
+        )"""
+        )
+        parts.append(
+            f"SELECT t.qid, c.vec_id AS nid, t.d2 FROM code{s} c JOIN dt{s} t USING (cid)"
+        )
+    joined = ",\n        ".join(subs)
+    unioned = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH {joined},
+        adc AS (
+            SELECT qid, nid, round(sum(d2), 9) AS dist
+            FROM ({unioned})
+            WHERE nid <> qid
+            GROUP BY qid, nid
+        ),
+        ranked AS (
+            SELECT qid AS query_id, nid AS neighbour_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+            FROM adc
+        )
+        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+    """
 
 
 def _mmr_sql(k: int = MMR_K) -> str:
@@ -3458,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_sql(TEXTRANK_ITERS),
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
+        "pq_ann": _pq_sql(),
         "temp_mix": f"""
             WITH base AS (
                 SELECT doc_id, 'd' || (doc_id % 7)::VARCHAR AS domain FROM documents

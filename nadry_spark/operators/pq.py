@@ -1,0 +1,134 @@
+"""Product quantization ANN (Jégou, Douze & Schmid, TPAMI'11,
+"Product quantization for nearest neighbor search") — the
+memory-bound scale path for embedding search: a D-dim vector is
+split into m contiguous subvectors, each quantized against its own
+small codebook, so the corpus is stored as m single-byte codes per
+vector (64x-256x smaller than float32) and queries score candidates
+from a precomputed distance table without touching the original
+vectors.  At 10^12 documents the raw embeddings don't fit anywhere
+hot — PQ codes do; IVF (operators/similarity) narrows WHERE to look,
+PQ shrinks WHAT is stored and compared.
+
+Asymmetric distance computation (ADC): for a query q, build the
+m x ksub table  dt[s][c] = ||q_s - codebook_s[c]||^2  (tiny: per
+query, m*ksub doubles), then every candidate's approximate distance
+is the sum of m table lookups — here a broadcast join of the table
+against the long-form (id, sub, code) frame and one (query, id)
+aggregation.  No corpus-sized vector math at query time.
+
+Codebooks reuse the deterministic Lloyd machinery of
+:func:`nadry_spark.operators.similarity.ivf_build` per subspace
+(seeded from the first ksub vectors by id, distances on the 1e-9
+grid, means on the 1e-6 grid) so training is RNG-free and the
+cross-engine oracle can rebuild codebooks exactly; per-subspace and
+total distances are quantized at 1e-9 with id-asc tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nadry_spark.operators.similarity import ivf_build
+
+
+def _sq_dist(vec_expr, cvec: list[float]):
+    """round(||vec - c||^2, 9) as a column expression."""
+    carr = F.array(*[F.lit(float(x)) for x in cvec])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec_expr, carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+
+
+def pq_build(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train m per-subspace codebooks and encode the corpus.
+
+    Returns (codes, codebooks): codes = (id, sub, code) long form —
+    the compressed representation a 100 TB deployment persists instead
+    of the vectors; codebooks = list of per-subspace [(cid, centroid)].
+    ``iters`` Lloyd rounds per subspace (0 = seed centroids, the
+    oracle-mirrored default; refinement is the same machinery
+    ivf_iter1 already verifies)."""
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_build: empty vector table")
+    d = first["d"]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+
+    codes = None
+    codebooks = []
+    for s in range(m):
+        sub = vectors.select(
+            id_col, F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subv")
+        )
+        assigned, cents = ivf_build(
+            sub, n_centroids=ksub, iters=iters, id_col=id_col, vec_col="subv"
+        )
+        codebooks.append(cents)
+        cd = assigned.select(
+            id_col, F.lit(s).alias("sub"), F.col("cid").alias("code")
+        )
+        codes = cd if codes is None else codes.unionByName(cd)
+    return codes.localCheckpoint(), codebooks
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbour_id) by ADC distance (asc, id-asc
+    ties), self excluded. `queries` carries original vectors; the
+    corpus side is codes only."""
+    d_sub = len(codebooks[0][0][1])
+    dtab = None
+    for s, cents in enumerate(codebooks):
+        qsub = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("qsub"),
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("code"), _sq_dist(F.col("qsub"), cvec).alias("d2")
+                )
+                for cid, cvec in cents
+            ]
+        )
+        t = qsub.select(
+            "query_id", F.lit(s).alias("sub"), F.explode(entries).alias("e")
+        ).select("query_id", "sub", F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
+        dtab = t if dtab is None else dtab.unionByName(t)
+
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d2"), 9).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                F.col(id_col).alias("neighbour_id"))
+    )
