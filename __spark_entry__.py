@@ -1704,6 +1704,21 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_K = 256
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-overlap audit (operators/sketches.corpus_overlap):
+    texts of docs <300 vs docs >=200 (100 shared) — exact
+    jaccard/containment plus KMV-sketch estimates, one row."""
+    from nadry_spark.operators.sketches import corpus_overlap
+
+    docs = _docs(spark, sf_dir)
+    a = docs.where(F.col("doc_id") < 300).select("text")
+    b = docs.where(F.col("doc_id") >= 200).select("text")
+    return corpus_overlap(a, b, "text", k=OVERLAP_K)
+
+
 PQ_M = 4
 PQ_KSUB = 16
 
@@ -2258,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "temp_mix": q_temp_mix,
         "pq_ann": q_pq_ann,
+        "corpus_overlap": q_corpus_overlap,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3540,6 +3556,48 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "corpus_overlap": f"""
+            WITH ka AS (SELECT DISTINCT text AS key FROM documents WHERE doc_id < 300),
+            kb AS (SELECT DISTINCT text AS key FROM documents WHERE doc_id >= 200),
+            memb AS (
+                SELECT coalesce(a.in_a, 0) AS in_a, coalesce(b.in_b, 0) AS in_b
+                FROM (SELECT key, 1 AS in_a FROM ka) a
+                FULL OUTER JOIN (SELECT key, 1 AS in_b FROM kb) b USING (key)
+            ),
+            cnts AS (
+                SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+                       sum(in_a * in_b)::BIGINT AS n_inter
+                FROM memb
+            ),
+            ha AS (SELECT max(h) AS t_a, count(*)::BIGINT AS m_a FROM (
+                SELECT h FROM (SELECT DISTINCT {_HASH_FRAC.format(expr="key")} AS h FROM ka)
+                ORDER BY h LIMIT {OVERLAP_K})),
+            hb AS (SELECT max(h) AS t_b, count(*)::BIGINT AS m_b FROM (
+                SELECT h FROM (SELECT DISTINCT {_HASH_FRAC.format(expr="key")} AS h FROM kb)
+                ORDER BY h LIMIT {OVERLAP_K})),
+            hu AS (SELECT max(h) AS t_u, count(*)::BIGINT AS m_u FROM (
+                SELECT h FROM (SELECT DISTINCT {_HASH_FRAC.format(expr="key")} AS h
+                               FROM (SELECT key FROM ka UNION SELECT key FROM kb))
+                ORDER BY h LIMIT {OVERLAP_K}))
+            SELECT n_a, n_b, n_inter,
+                   (n_a + n_b - n_inter) AS n_union,
+                   round(n_inter::DOUBLE / (n_a + n_b - n_inter)::DOUBLE, 9) AS jaccard,
+                   round(n_inter::DOUBLE / n_b::DOUBLE, 9) AS containment_b_in_a,
+                   round(CASE WHEN m_a < {OVERLAP_K} THEN m_a::DOUBLE
+                              ELSE {OVERLAP_K - 1} / t_a END, 6) AS est_a,
+                   round(CASE WHEN m_b < {OVERLAP_K} THEN m_b::DOUBLE
+                              ELSE {OVERLAP_K - 1} / t_b END, 6) AS est_b,
+                   round(CASE WHEN m_u < {OVERLAP_K} THEN m_u::DOUBLE
+                              ELSE {OVERLAP_K - 1} / t_u END, 6) AS est_union,
+                   round(greatest(0.0::DOUBLE,
+                       (CASE WHEN m_a < {OVERLAP_K} THEN m_a::DOUBLE
+                             ELSE {OVERLAP_K - 1} / t_a END)
+                       + (CASE WHEN m_b < {OVERLAP_K} THEN m_b::DOUBLE
+                               ELSE {OVERLAP_K - 1} / t_b END)
+                       - (CASE WHEN m_u < {OVERLAP_K} THEN m_u::DOUBLE
+                               ELSE {OVERLAP_K - 1} / t_u END)), 6) AS est_inter
+            FROM cnts CROSS JOIN ha CROSS JOIN hb CROSS JOIN hu
+        """,
         "temp_mix": f"""
             WITH base AS (
                 SELECT doc_id, 'd' || (doc_id % 7)::VARCHAR AS domain FROM documents
