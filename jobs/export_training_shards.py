@@ -37,6 +37,13 @@ def main() -> None:
                     help="near-dup Jaccard threshold")
     ap.add_argument("--domain-cap", type=int, default=0,
                     help="max docs per source (0 = uncapped)")
+    ap.add_argument("--line-min-docs", type=int, default=0,
+                    help="drop lines occurring in >= N distinct docs "
+                         "(CCNet boilerplate pass; 0 = off)")
+    ap.add_argument("--mix-temp", type=float, default=0.0,
+                    help="temperature for p^(1/T) domain mixing (0 = off)")
+    ap.add_argument("--mix-target", type=int, default=0,
+                    help="target row count for the mixed corpus")
     ap.add_argument("--budget", type=int, default=2048,
                     help="tokens per packed training bin")
     ap.add_argument("--shards", type=int, default=16)
@@ -61,6 +68,9 @@ def main() -> None:
         max_tokens=args.max_tokens,
         jaccard_threshold=args.jaccard,
         domain_cap=args.domain_cap,
+        line_min_docs=args.line_min_docs,
+        mix_temp=args.mix_temp,
+        mix_target=args.mix_target,
         budget=args.budget,
         shards=args.shards,
     )

@@ -31,7 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-STAGES = ("filter", "dedup_exact", "dedup_near", "domain_cap", "pack")
+STAGES = (
+    "filter",
+    "dedup_exact",
+    "dedup_near",
+    "domain_cap",
+    "line_dedup",
+    "mix",
+    "pack",
+)
 
 
 @dataclass
@@ -46,6 +54,11 @@ class ExportConfig:
     bands: int = 4
     cc_iterations: int = 8
     domain_cap: int = 0  # 0 disables the per-source cap
+    line_min_docs: int = 0  # 0 disables line-level boilerplate dedup
+    line_sep: str = "\n"
+    mix_temp: float = 0.0  # 0 disables temperature mixing
+    mix_target: int = 0
+    mix_salt: str = "mix"
     budget: int = 2048
     shards: int = 16
     extra: dict = field(default_factory=dict)
@@ -153,9 +166,75 @@ def _stage_domain_cap(live: DataFrame, cfg: ExportConfig) -> DataFrame:
     return ranked.where(F.col("_rk") <= cfg.domain_cap).select("doc_id")
 
 
+def _lines_kept_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "lines_kept")
+
+
+def _stage_line_dedup(
+    live: DataFrame, cfg: ExportConfig, out_dir: str, stats: dict
+) -> DataFrame:
+    """CCNet-style boilerplate pass: persist the kept (doc_id,
+    line_no) pairs (the one stage whose survivors are finer-grained
+    than a doc id — pack rebuilds the cleaned text from them) and
+    keep only docs with at least one surviving line."""
+    from nadry_spark.operators.linededup import dedup_lines, split_lines
+
+    if cfg.line_min_docs <= 0:
+        return live.select("doc_id")
+    lines = split_lines(live.select("doc_id", "text"), sep=cfg.line_sep)
+    kept = dedup_lines(lines, min_docs=cfg.line_min_docs)
+    kept.select("doc_id", "line_no").write.mode("overwrite").parquet(
+        _lines_kept_path(out_dir)
+    )
+    written = live.sparkSession.read.parquet(_lines_kept_path(out_dir))
+    stats["lines_kept"] = written.count()
+    stats["lines_total"] = lines.count()
+    return written.select("doc_id").distinct()
+
+
+def _stage_mix(live: DataFrame, cfg: ExportConfig, stats: dict) -> DataFrame:
+    from nadry_spark.operators.sampling import temperature_mix
+
+    if cfg.mix_temp <= 0 or cfg.mix_target <= 0 or "source" not in live.columns:
+        return live.select("doc_id")
+    kept = temperature_mix(
+        live.select("doc_id", "source"),
+        "source",
+        "doc_id",
+        temp=cfg.mix_temp,
+        target_rows=cfg.mix_target,
+        salt=cfg.mix_salt,
+    ).select("doc_id")
+    return kept
+
+
+def _rebuild_line_deduped_text(
+    live: DataFrame, cfg: ExportConfig, out_dir: str
+) -> DataFrame:
+    """(doc_id, text) with only the lines the line_dedup stage kept,
+    rejoined in original order."""
+    from nadry_spark.operators.linededup import split_lines
+
+    kept = live.sparkSession.read.parquet(_lines_kept_path(out_dir))
+    lines = split_lines(live.select("doc_id", "text"), sep=cfg.line_sep).join(
+        kept, ["doc_id", "line_no"], "left_semi"
+    )
+    return lines.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            cfg.line_sep,
+        ).alias("text")
+    )
+
+
 def _stage_pack(live: DataFrame, cfg: ExportConfig, out_dir: str, stats: dict) -> int:
     from nadry_spark.operators.packing import bin_stats, pack_next_fit
 
+    if cfg.line_min_docs > 0 and os.path.isdir(_lines_kept_path(out_dir)):
+        live = _rebuild_line_deduped_text(live, cfg, out_dir)
     with_tokens = live.select(
         "doc_id",
         "text",
@@ -226,6 +305,10 @@ def export_training_shards(
             ids = _stage_dedup_near(docs_for(prev_ids), cfg, stats)
         elif stage == "domain_cap":
             ids = _stage_domain_cap(docs_for(prev_ids), cfg)
+        elif stage == "line_dedup":
+            ids = _stage_line_dedup(docs_for(prev_ids), cfg, out_dir, stats)
+        elif stage == "mix":
+            ids = _stage_mix(docs_for(prev_ids), cfg, stats)
         else:  # pack
             rows = _stage_pack(docs_for(prev_ids), cfg, out_dir, stats)
             manifest[stage] = {

@@ -157,3 +157,54 @@ def test_partial_resume_recomputes_tail(spark, exported, corpus_path, tmp_path_f
         for r in spark.read.parquet(os.path.join(out_full, "shards")).collect()
     }
     assert got == want
+
+
+def test_line_dedup_and_mix_stages(spark, tmp_path_factory):
+    """Opt-in stages: boilerplate lines removed from packed text, mix
+    bounds the corpus deterministically, resume still works."""
+    rows = []
+    for i in range(40):
+        src = f"s{i % 4}"
+        rows.append(
+            (
+                i,
+                f"shared cookie banner\nunique article body {i} keeps going\n"
+                f"shared footer text",
+                "en",
+                src,
+            )
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    cfg = ExportConfig(
+        lang=None,
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        line_min_docs=2,
+        mix_temp=2.0,
+        mix_target=20,
+        budget=256,
+        shards=2,
+    )
+    out = str(tmp_path_factory.mktemp("export_lines_mix"))
+    manifest = export_training_shards(spark, docs, out, cfg)
+    assert manifest["line_dedup"]["status"] == "done"
+    assert manifest["line_dedup"]["lines_kept"] < manifest["line_dedup"]["lines_total"]
+    assert manifest["mix"]["status"] == "done"
+
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    texts = [r["text"] for r in shards.collect()]
+    assert texts and all("cookie banner" not in t and "footer" not in t for t in texts)
+    assert all(t.startswith("unique article body") for t in texts)
+    # token counts reflect the CLEANED text
+    for r in shards.collect():
+        assert r["n_tokens"] == len(r["text"].split())
+
+    # mix determinism + resume: a second run resumes every stage and
+    # keeps the identical doc set
+    again = export_training_shards(spark, docs, out, cfg)
+    for s in ("filter", "line_dedup", "mix", "pack"):
+        assert again[s].get("resumed") is True, s
+    ids1 = {r["doc_id"] for r in shards.collect()}
+    assert 0 < len(ids1) <= 40
