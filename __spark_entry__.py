@@ -1704,6 +1704,30 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COOCCUR_MIN_USERS = 3
+COOCCUR_K = 20
+
+
+def q_cooccur_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (operators/cooccur) from the events
+    log: item key parsed out of the props JSON (RE2-safe regexp, same
+    pattern both engines), click/view engagements only, distinct-user
+    lift with min-3-users floor, top-20. The oracle omits the
+    user_cap guard: no testdata user approaches 1000 distinct items
+    (the cap exists for production skew; its semantics are pytest-
+    covered in tests/test_cooccur.py)."""
+    from nadry_spark.operators.cooccur import item_cooccurrence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eng = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("item"),
+    )
+    return item_cooccurrence(
+        eng, item_col="item", min_users=COOCCUR_MIN_USERS, k=COOCCUR_K
+    )
+
+
 OVERLAP_K = 256
 
 
@@ -2274,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mix": q_temp_mix,
         "pq_ann": q_pq_ann,
         "corpus_overlap": q_corpus_overlap,
+        "cooccur_items": q_cooccur_items,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3556,6 +3581,31 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "cooccur_items": f"""
+            WITH ui AS (
+                SELECT DISTINCT user_id AS u,
+                       regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT AS i
+                FROM events
+                WHERE event_type IN ('click', 'view')
+            ),
+            pairs AS (
+                SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS n_users
+                FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+                GROUP BY a.i, b.i
+                HAVING count(*) >= {COOCCUR_MIN_USERS}
+            ),
+            uni AS (SELECT i, count(*)::BIGINT AS c FROM ui GROUP BY i),
+            nu AS (SELECT count(DISTINCT u)::BIGINT AS n FROM ui)
+            SELECT p.ia AS item_a, p.ib AS item_b, p.n_users,
+                   round((p.n_users::DOUBLE / (SELECT n FROM nu)::DOUBLE)
+                         / ((a.c::DOUBLE / (SELECT n FROM nu)::DOUBLE)
+                            * (b.c::DOUBLE / (SELECT n FROM nu)::DOUBLE)), 9) AS lift
+            FROM pairs p
+            JOIN uni a ON a.i = p.ia
+            JOIN uni b ON b.i = p.ib
+            ORDER BY lift DESC, item_a ASC, item_b ASC
+            LIMIT {COOCCUR_K}
+        """,
         "corpus_overlap": f"""
             WITH ka AS (SELECT DISTINCT text AS key FROM documents WHERE doc_id < 300),
             kb AS (SELECT DISTINCT text AS key FROM documents WHERE doc_id >= 200),
