@@ -1704,6 +1704,31 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+RETENTION_ACTIVE = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel): view -> click -> purchase
+    with strictly-after earliest-completion semantics."""
+    from nadry_spark.operators.funnel import funnel
+
+    return funnel(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), FUNNEL_STEPS
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-date cohort retention (operators/funnel): active =
+    view/click/purchase, per (cohort_date, day_offset)."""
+    from nadry_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        active_types=RETENTION_ACTIVE,
+    )
+
+
 COOCCUR_MIN_USERS = 3
 COOCCUR_K = 20
 
@@ -2299,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "corpus_overlap": q_corpus_overlap,
         "cooccur_items": q_cooccur_items,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
         "span_near": q_span_near,
@@ -3581,6 +3608,60 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "funnel": """
+            WITH s0 AS (
+                SELECT user_id AS u, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+                SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s0 ON s0.u = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s0.t
+                GROUP BY e.user_id
+            ),
+            s2 AS (
+                SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s1 ON s1.u = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            n0 AS (SELECT count(*)::BIGINT AS n FROM s0),
+            n1 AS (SELECT count(*)::BIGINT AS n FROM s1),
+            n2 AS (SELECT count(*)::BIGINT AS n FROM s2)
+            SELECT 0::BIGINT AS step, 'view' AS step_name,
+                   (SELECT n FROM n0) AS n_users,
+                   round((SELECT n FROM n0)::DOUBLE / (SELECT n FROM n0)::DOUBLE, 9) AS conv_rate
+            UNION ALL
+            SELECT 1::BIGINT, 'click', (SELECT n FROM n1),
+                   round((SELECT n FROM n1)::DOUBLE / (SELECT n FROM n0)::DOUBLE, 9)
+            UNION ALL
+            SELECT 2::BIGINT, 'purchase', (SELECT n FROM n2),
+                   round((SELECT n FROM n2)::DOUBLE / (SELECT n FROM n0)::DOUBLE, 9)
+        """,
+        "retention": """
+            WITH cohorts AS (
+                SELECT user_id AS u, min(ts::DATE) AS cd FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            sizes AS (SELECT cd, count(*)::BIGINT AS n_cohort FROM cohorts GROUP BY cd),
+            activity AS (
+                SELECT DISTINCT user_id AS u, ts::DATE AS ad FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            j AS (
+                SELECT DISTINCT c.u, c.cd, (a.ad - c.cd)::BIGINT AS day_offset
+                FROM cohorts c JOIN activity a ON a.u = c.u
+                WHERE a.ad >= c.cd
+            ),
+            agg AS (
+                SELECT cd, day_offset, count(DISTINCT u)::BIGINT AS n_active
+                FROM j GROUP BY cd, day_offset
+            )
+            SELECT strftime(cd, '%Y-%m-%d') AS cohort_date, day_offset,
+                   n_active,
+                   round(n_active::DOUBLE / s.n_cohort::DOUBLE, 9) AS retention
+            FROM agg JOIN sizes s USING (cd)
+        """,
         "cooccur_items": f"""
             WITH ui AS (
                 SELECT DISTINCT user_id AS u,
