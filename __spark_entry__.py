@@ -1704,6 +1704,36 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATHS_K = 20
+PATHS_MAX_LEN = 8
+ANOMALY_Z = 2.5
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys (operators/eventstats.top_session_paths):
+    30-min-gap sessions, first-8-event '>'-joined paths, top-20."""
+    from nadry_spark.operators.eventstats import top_session_paths
+
+    return top_session_paths(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        gap_seconds=1800,
+        k=PATHS_K,
+        max_len=PATHS_MAX_LEN,
+    )
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rate anomalies (operators/eventstats.rate_anomalies):
+    trailing-24h z-score from integer-exact window sums, |z| > 2.5."""
+    from nadry_spark.operators.eventstats import rate_anomalies
+
+    return rate_anomalies(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        window_hours=24,
+        threshold=ANOMALY_Z,
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 RETENTION_ACTIVE = ["view", "click", "purchase"]
 
@@ -2325,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "cooccur_items": q_cooccur_items,
         "funnel": q_funnel,
+        "session_paths": q_session_paths,
+        "rate_anomaly": q_rate_anomaly,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3608,6 +3640,63 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "session_paths": f"""
+            WITH g AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sess_no FROM g
+            ),
+            tr AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, sess_no ORDER BY ts, event_id
+                    ) AS rn FROM s
+                ) WHERE rn <= {PATHS_MAX_LEN}
+            ),
+            p AS (
+                SELECT user_id, sess_no,
+                       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+                FROM tr GROUP BY user_id, sess_no
+            )
+            SELECT path, count(*)::BIGINT AS n_sessions FROM p
+            GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT {PATHS_K}
+        """,
+        "rate_anomaly": f"""
+            WITH hourly AS (
+                SELECT event_type,
+                       epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT event_type, hour_epoch, n,
+                       sum(n) OVER w AS s, sum(n * n) OVER w AS sq,
+                       count(n) OVER w AS m
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ),
+            zs AS (
+                SELECT event_type, hour_epoch, n,
+                       round((n::DOUBLE - s::DOUBLE / m::DOUBLE)
+                             / sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE)
+                                    / (m::DOUBLE - 1.0::DOUBLE)), 9) AS z
+                FROM st
+                WHERE m >= 2
+                  AND (sq::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE)
+                      / (m::DOUBLE - 1.0::DOUBLE) > 0
+            )
+            SELECT event_type, hour_epoch, n, z FROM zs WHERE abs(z) > {ANOMALY_Z}
+        """,
         "funnel": """
             WITH s0 AS (
                 SELECT user_id AS u, min(ts) AS t FROM events
