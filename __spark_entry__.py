@@ -1704,6 +1704,22 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B analysis (operators/eventstats.ab_test):
+    hash-split exposed (view) users; conversion = purchasing ITEM 7
+    (a rare event — every testdata user purchases SOMETHING, which
+    would make pooled conversion 1.0 and the z denominator zero);
+    pooled two-proportion z from integer counts."""
+    from nadry_spark.operators.eventstats import ab_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    narrowed = ev.where(
+        (F.col("event_type") != "purchase")
+        | (F.regexp_extract("props", r'"k":\s*(\d+)', 1) == "7")
+    )
+    return ab_test(narrowed)
+
+
 PATHS_K = 20
 PATHS_MAX_LEN = 8
 ANOMALY_Z = 2.5
@@ -2357,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "session_paths": q_session_paths,
         "rate_anomaly": q_rate_anomaly,
+        "ab_test": q_ab_test,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3640,6 +3657,39 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "ab_test": f"""
+            WITH exposed AS (
+                SELECT u, CASE WHEN {_HASH_FRAC.format(expr="'ab|' || u::VARCHAR")}
+                               < 0.5::DOUBLE THEN 'A' ELSE 'B' END AS arm
+                FROM (SELECT DISTINCT user_id AS u FROM events
+                      WHERE event_type = 'view')
+            ),
+            conv AS (
+                SELECT DISTINCT user_id AS u, 1 AS c FROM events
+                WHERE event_type = 'purchase'
+                  AND regexp_extract(props, '"k":\\s*(\\d+)', 1) = '7'
+            ),
+            per AS (
+                SELECT arm, count(*)::BIGINT AS n,
+                       sum(coalesce(c.c, 0))::BIGINT AS cv
+                FROM exposed e LEFT JOIN conv c USING (u)
+                GROUP BY arm
+            ),
+            a AS (SELECT n AS n_a, cv AS conv_a FROM per WHERE arm = 'A'),
+            b AS (SELECT n AS n_b, cv AS conv_b FROM per WHERE arm = 'B')
+            SELECT n_a, n_b, conv_a, conv_b,
+                   round(conv_a::DOUBLE / n_a::DOUBLE, 9) AS rate_a,
+                   round(conv_b::DOUBLE / n_b::DOUBLE, 9) AS rate_b,
+                   round(CASE WHEN sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                                * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                                * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)) > 0
+                         THEN (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+                         / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                                * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                                * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE))
+                         ELSE 0.0::DOUBLE END, 9) AS z
+            FROM a CROSS JOIN b
+        """,
         "session_paths": f"""
             WITH g AS (
                 SELECT user_id, event_type, ts, event_id,

@@ -124,3 +124,83 @@ def rate_anomalies(
         .select(type_col, "hour_epoch", "n", F.round(z, 9).alias("z"))
         .where(F.abs(F.col("z")) > threshold)
     )
+
+
+def ab_test(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    exposure_type: str = "view",
+    salt: str = "ab",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 user split —
+    the experiment-analysis primitive, with the assignment coming from
+    the engine's salted hash (operators/sampling discipline) so the
+    same user lands in the same arm on every rerun and engine.
+
+    Exposed users (any `exposure_type` event) are assigned arm A if
+    their salted hash < 0.5 else B; a user converts if they have any
+    `conv_type` event.  One output row: per-arm sizes, conversions,
+    rates, and the pooled two-proportion z statistic
+
+        z = (pA - pB) / sqrt( p*(1-p) * (1/nA + 1/nB) )
+
+    computed from integer counts in one fixed double op sequence
+    (bit-identical cross-engine; no variance estimator drift).
+    Scale: two user-keyed distinct aggregations and a 1-row join.
+    """
+    from nadry_spark.operators.sketches import kmv_frac
+
+    keyed = F.concat(F.lit(salt), F.lit("|"), F.col("u").cast("string"))
+    exposed = (
+        events.where(F.col(type_col) == exposure_type)
+        .select(F.col(user_col).alias("u"))
+        .distinct()
+        .withColumn("arm", F.when(kmv_frac(keyed) < 0.5, "A").otherwise("B"))
+    )
+    converted = (
+        events.where(F.col(type_col) == conv_type)
+        .select(F.col(user_col).alias("u"))
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    per_arm = (
+        exposed.join(converted, "u", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("conv", F.lit(0))).alias("c"),
+        )
+    )
+    a = per_arm.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = per_arm.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    den = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    # degenerate experiments (0% or 100% pooled conversion) have no
+    # variance: report z = 0 rather than raise (ANSI divide-by-zero)
+    z = F.when(den > 0, (p_a - p_b) / den).otherwise(F.lit(0.0))
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 9).alias("rate_a"),
+        F.round(p_b, 9).alias("rate_b"),
+        F.round(z, 9).alias("z"),
+    )

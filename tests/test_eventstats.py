@@ -62,3 +62,38 @@ def test_rate_anomalies(spark):
     mean = s / m
     var = (sq - s * s / m) / (m - 1)
     assert r["z"] == round((50 - mean) / math.sqrt(var), 9)
+
+
+def test_ab_test(spark):
+    import hashlib
+
+    from nadry_spark.operators.eventstats import ab_test
+
+    def frac(u):
+        h = hashlib.md5(f"ab|{u}".encode()).hexdigest()[:13]
+        return int(h, 16) / float(16 ** 13)
+
+    rows = []
+    for u in range(60):
+        rows.append((u, "view"))
+        if u % 3 == 0:
+            rows.append((u, "purchase"))
+    rows.append((999, "purchase"))  # converter never exposed: ignored
+    ev = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, event_type string"
+    )
+    r = ab_test(ev).collect()[0]
+
+    arms = {"A": [], "B": []}
+    for u in range(60):
+        arms["A" if frac(u) < 0.5 else "B"].append(u)
+    n_a, n_b = len(arms["A"]), len(arms["B"])
+    c_a = sum(1 for u in arms["A"] if u % 3 == 0)
+    c_b = sum(1 for u in arms["B"] if u % 3 == 0)
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (n_a, n_b, c_a, c_b)
+    assert r["n_a"] + r["n_b"] == 60
+    import math
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (p_a - p_b) / math.sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+    assert r["z"] == round(z, 9)
