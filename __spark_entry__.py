@@ -1704,6 +1704,24 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup
+    .keep_best_per_group): SimHash buckets as the duplicate grouping,
+    quality_score argmax (ties min doc_id) picks each bucket's
+    canonical doc."""
+    from nadry_spark.operators.dedup import keep_best_per_group, simhash_signatures
+    from nadry_spark.operators.textstats import quality_score
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    members = simhash_signatures(base, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("simhash").alias("group")
+    )
+    scores = quality_score(base, "doc_id", "text")
+    return keep_best_per_group(members, scores).select(
+        "doc_id", F.col("group").alias("simhash"), "quality"
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/B analysis (operators/eventstats.ab_test):
     hash-split exposed (view) users; conversion = purchasing ITEM 7
@@ -2374,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "rate_anomaly": q_rate_anomaly,
         "ab_test": q_ab_test,
+        "keep_best": q_keep_best,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3657,6 +3676,18 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "keep_best": f"""
+            WITH sigs AS ({_simhash_sql()}),
+            q AS ({_quality_sql("documents")})
+            SELECT doc_id, simhash, quality FROM (
+                SELECT s.doc_id, s.simhash, q.quality,
+                       row_number() OVER (
+                           PARTITION BY s.simhash
+                           ORDER BY q.quality DESC, s.doc_id ASC
+                       ) AS rn
+                FROM sigs s JOIN q USING (doc_id)
+            ) WHERE rn = 1
+        """,
         "ab_test": f"""
             WITH exposed AS (
                 SELECT u, CASE WHEN {_HASH_FRAC.format(expr="'ab|' || u::VARCHAR")}

@@ -528,3 +528,35 @@ def simhash_dup_groups(
     return capped.groupBy("simhash", "n").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
+
+
+def keep_best_per_group(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection: per duplicate GROUP keep the
+    highest-scoring member (ties -> min id). Real pipelines keep the
+    best-extracted copy of a duplicated page, not the first-crawled
+    one — min-id `exact_dedup` is the reference-compat variant, this
+    is the quality-aware one. Grouping is pluggable: exact-hash
+    groups, SimHash buckets, or MinHash+CC cluster labels all fit the
+    (id, group) shape.
+
+    One group-keyed window (argmax by (score desc, id asc)); scores
+    should already sit on a rounding grid (quality_score's round-9)
+    so the winner is engine-independent. Returns (id, group, score)
+    for the surviving member of every group."""
+    from pyspark.sql import Window
+
+    joined = members.select(id_col, group_col).join(scores, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1127,3 +1127,24 @@ def test_benchmark_contamination(spark):
         for r in benchmark_contamination(docs, bench_one, n=5).collect()
     }
     assert got_one == {1: 1}
+
+
+def test_keep_best_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from nadry_spark.operators.dedup import keep_best_per_group
+
+    members = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g2"), (5, "g3"), (6, "g3")],
+        "doc_id long, group string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7), (6, 0.7)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["group"]: (r["doc_id"], r["quality"])
+        for r in keep_best_per_group(members, scores).collect()
+    }
+    # g1: 2 and 3 tie on 0.9 -> min id 2 ; g2 singleton ; g3 tie -> 5
+    assert got == {"g1": (2, 0.9), "g2": (4, 0.1), "g3": (5, 0.7)}
