@@ -562,18 +562,7 @@ def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction-duplicates exist to find."""
     from nadry_spark.operators.similarity import cosine_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    doubled = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    ).unionByName(
-        emb.select(
-            (F.col("vec_id") + 10000).alias("vec_id"),
-            F.transform(
-                "embedding", lambda x: x.cast("double") * F.lit(1.01)
-            ).alias("embedding"),
-        )
-    )
+    doubled = _doubled_embeddings(spark, sf_dir)
     pairs = cosine_dup_pairs(doubled, threshold=0.9, dims=[0, 1, 2, 3, 4, 5])
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
@@ -1704,6 +1693,53 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings unioned with scaled copies (id+10000, 1.01x) —
+    shared by q_cosine_dups / q_semdedup so direction-duplicates
+    exist to find."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(
+        emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(1.01)
+            ).alias("embedding"),
+        )
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    dedup over embeddings, composed from this engine's pieces:
+    LSH-bucketed cosine pairs (>= 0.9 on the doubled corpus) ->
+    6-round connected components -> keep ONE member per semantic
+    cluster, chosen as the max-L2-norm member (deterministic
+    round-9, id-asc ties) via keep_best_per_group. Output: each
+    cluster's surviving (doc_id, cluster, norm)."""
+    from nadry_spark.operators.components import connected_components
+    from nadry_spark.operators.dedup import keep_best_per_group
+    from nadry_spark.operators.similarity import cosine_dup_pairs, norm
+
+    doubled = _doubled_embeddings(spark, sf_dir).localCheckpoint()
+    pairs = cosine_dup_pairs(doubled, threshold=0.9, dims=[0, 1, 2, 3, 4, 5])
+    labels = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b", iterations=6
+    )
+    members = labels.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("group")
+    )
+    norms = doubled.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(norm(F.col("embedding")), 9).alias("nrm"),
+    )
+    return keep_best_per_group(members, norms, score_col="nrm").select(
+        "doc_id", F.col("group").alias("cluster"), "nrm"
+    )
+
+
 def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection (operators/dedup
     .keep_best_per_group): SimHash buckets as the duplicate grouping,
@@ -2393,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomaly": q_rate_anomaly,
         "ab_test": q_ab_test,
         "keep_best": q_keep_best,
+        "semdedup": q_semdedup,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3167,6 +3204,71 @@ def _cosine_dups_sql() -> str:
     """
 
 
+def _semdedup_sql() -> str:
+    """SemDeDup mirror: _cosine_dups_sql's pair pipeline -> the
+    _dup_clusters_sql 6-round min-label unroll -> max-norm argmax per
+    cluster. AS MATERIALIZED on every re-referenced CTE (the CC chain
+    doubles per round without it)."""
+    bucket = " || ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(6)
+    )
+    rounds = ""
+    prev = "l0"
+    for i in range(1, 7):
+        rounds += f""",
+        l{i} AS MATERIALIZED (
+            SELECT v, min(c) AS c FROM (
+                SELECT v, c FROM {prev}
+                UNION ALL
+                SELECT e.a AS v, l.c AS c FROM e JOIN {prev} l ON l.v = e.b
+            ) GROUP BY v
+        )"""
+        prev = f"l{i}"
+    return f"""
+        WITH doubled AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id,
+                   list_transform(embedding, x -> x::DOUBLE * 1.01::DOUBLE) AS embedding
+            FROM embeddings
+        ),
+        tagged0 AS (SELECT vec_id AS id, embedding, {bucket} AS bucket FROM doubled),
+        kept AS (SELECT bucket FROM tagged0 GROUP BY bucket HAVING count(*) <= 1000),
+        tagged AS (SELECT t.* FROM tagged0 t JOIN kept k USING (bucket)),
+        bpairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
+            FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id
+        ),
+        el AS (SELECT id_a, id_b, unnest(va)::DOUBLE AS ea, unnest(vb)::DOUBLE AS eb FROM bpairs),
+        cos AS (
+            SELECT id_a, id_b, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+            FROM el GROUP BY id_a, id_b
+        ),
+        cpairs AS MATERIALIZED (
+            SELECT id_a, id_b FROM cos WHERE round(c, 9) >= 0.9::DOUBLE
+        ),
+        e AS MATERIALIZED (
+            SELECT id_a AS a, id_b AS b FROM cpairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM cpairs
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS c FROM e){rounds},
+        norms AS (
+            SELECT vec_id AS v, round(sqrt(sum(x * x)), 9) AS nrm FROM (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM doubled
+            ) GROUP BY vec_id
+        )
+        SELECT v AS doc_id, c AS cluster, nrm FROM (
+            SELECT l.v, l.c, n.nrm,
+                   row_number() OVER (
+                       PARTITION BY l.c ORDER BY n.nrm DESC, l.v ASC
+                   ) AS rn
+            FROM {prev} l JOIN norms n ON n.v = l.v
+        ) WHERE rn = 1
+    """
+
+
 def _lang_sql(source: str = "documents") -> str:
     from nadry_spark.operators.textstats import LANG_SIGNATURES
 
@@ -3676,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "semdedup": _semdedup_sql(),
         "keep_best": f"""
             WITH sigs AS ({_simhash_sql()}),
             q AS ({_quality_sql("documents")})
