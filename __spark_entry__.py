@@ -1740,6 +1740,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability (operators/textstats
+    .readability) over the documents table."""
+    from nadry_spark.operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection (operators/dedup
     .keep_best_per_group): SimHash buckets as the duplicate grouping,
@@ -2430,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "keep_best": q_keep_best,
         "semdedup": q_semdedup,
+        "readability": q_readability,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3779,6 +3788,31 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
         "semdedup": _semdedup_sql(),
+        "readability": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> len(x) > 0) AS t,
+                       greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, len(t) AS nw, ns,
+                       coalesce(list_sum(list_transform(
+                           t, w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+                       )), 0) AS syl
+                FROM base
+            )
+            SELECT doc_id, nw::BIGINT AS n_words, ns::BIGINT AS n_sentences,
+                   syl::BIGINT AS n_syllables,
+                   round(206.835::DOUBLE
+                         - 1.015::DOUBLE * (greatest(1, nw)::DOUBLE / ns::DOUBLE)
+                         - 84.6::DOUBLE * (syl::DOUBLE / greatest(1, nw)::DOUBLE), 9) AS flesch,
+                   round(0.39::DOUBLE * (greatest(1, nw)::DOUBLE / ns::DOUBLE)
+                         + 11.8::DOUBLE * (syl::DOUBLE / greatest(1, nw)::DOUBLE)
+                         - 15.59::DOUBLE, 9) AS fk_grade
+            FROM c
+        """,
         "keep_best": f"""
             WITH sigs AS ({_simhash_sql()}),
             q AS ({_quality_sql("documents")})

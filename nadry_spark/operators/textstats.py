@@ -475,3 +475,59 @@ def benchmark_contamination(
         .agg(F.count("*").alias("n_shared"))
         .select(F.col("id").alias(id_col), F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade (Kincaid et al.
+    1975) — the classic readability pair, a standard feature in
+    document-quality classifiers (easy text != edu text, but the
+    grade level separates listicles from prose).
+
+        FRE = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+        FKG = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    W = non-empty whitespace tokens, S = sentence-punctuation runs
+    ([.!?]+, floored at 1), Syl = per-word max(1, vowel-group count)
+    — the standard dictionary-free syllable heuristic. W and S are
+    floored at 1 so empty docs score the degenerate constants
+    instead of dividing by zero. Pure column expressions (one
+    regexp pass per word inside a single-select HOF — no cross-select
+    array reference, per the CollapseProject rule); round-9.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))),
+    )
+    w0 = F.greatest(F.lit(1), n_words).cast("double")
+    s0 = n_sent.cast("double")
+    syl_d = syl.cast("double")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w0 / s0)
+        - F.lit(84.6) * (syl_d / w0)
+    )
+    fkg = (
+        F.lit(0.39) * (w0 / s0) + F.lit(11.8) * (syl_d / w0) - F.lit(15.59)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(fre, 9).alias("flesch"),
+        F.round(fkg, 9).alias("fk_grade"),
+    )

@@ -1148,3 +1148,34 @@ def test_keep_best_per_group(spark):
     }
     # g1: 2 and 3 tie on 0.9 -> min id 2 ; g2 singleton ; g3 tie -> 5
     assert got == {"g1": (2, 0.9), "g2": (4, 0.1), "g3": (5, 0.7)}
+
+
+def test_readability(spark):
+    from nadry_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),       # 6 words, 2 sentences
+            (2, "supercalifragilistic expialidocious"),
+            (3, ""),                                 # degenerate: floors kick in
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability(docs, "doc_id", "text").collect()}
+
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (6, 2)
+    # syllables by the vowel-group heuristic:
+    # the=1 cat=1 sat.=1 the=1 dog=1 ran!=1 -> 6
+    assert r1["n_syllables"] == 6
+    w, s, syl = 6.0, 2.0, 6.0
+    assert r1["flesch"] == round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 9)
+    assert r1["fk_grade"] == round(0.39 * (w / s) + 11.8 * (syl / w) - 15.59, 9)
+
+    # long vowel-rich words score many syllables, zero sentences floor to 1
+    r2 = got[2]
+    assert r2["n_sentences"] == 1 and r2["n_syllables"] >= 8
+    # empty doc: words floor to 1 in the formulas, counts report 0
+    r3 = got[3]
+    assert (r3["n_words"], r3["n_syllables"]) == (0, 0)
+    assert r3["flesch"] == round(206.835 - 1.015 * 1.0 - 84.6 * 0.0, 9)
