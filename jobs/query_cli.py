@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--snapshot", type=int, default=None, metavar="ID",
                     help="time travel: serve from a pinned snapshot of the "
                          "incremental family instead of the current state")
+    ap.add_argument("--anchor-boost", type=float, default=None, metavar="W",
+                    help="single-segment bm25 with inbound-anchor boost "
+                         "score + W*ln(1+anchor_srcs) (jobs/anchors.py "
+                         "backfill required)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -67,6 +71,18 @@ def main() -> None:
         data = [r.asDict() for r in rows[args.page * args.page_size :]]
         print(json.dumps(
             {"success": True, "data": data, "field": args.field},
+            default=str, indent=2,
+        ))
+    elif args.anchor_boost is not None:
+        from nadry_spark.operators.anchors import anchor_boosted_topk
+
+        rows = anchor_boosted_topk(
+            idx, args.query, k=(args.page + 1) * args.page_size,
+            weight=args.anchor_boost,
+        ).collect()
+        data = [r.asDict() for r in rows[args.page * args.page_size :]]
+        print(json.dumps(
+            {"success": True, "data": data, "anchorBoost": args.anchor_boost},
             default=str, indent=2,
         ))
     elif args.scoring == "bm25" and args.mode == "and":

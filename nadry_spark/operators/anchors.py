@@ -28,6 +28,87 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def anchor_term_index_tokenized(
+    links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """(dst, term, tf, n_srcs) with anchor text run through the
+    engine's REAL tokenizer (NFC + Porter2 + specials, the same
+    pandas UDF the index build uses) — so anchor terms live in the
+    SAME vocabulary as the serving index and a query token can join
+    them directly. The tokenizer-lite variant below is the
+    oracle-mirrorable analytics flavor; this one is the serving
+    flavor (jobs/anchors.py backfill)."""
+    from nadry_spark.functions.udfs import tokenize_udf
+
+    tok = links.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.explode(tokenize_udf(F.col(anchor_col))).alias("term"),
+    )
+    return tok.groupBy("dst", "term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("src").alias("n_srcs"),
+    )
+
+
+def anchor_boosted_topk(
+    index,
+    query: str,
+    k: int = 10,
+    weight: float = 0.2,
+    pool: int | None = None,
+    mode: str = "taat",
+    conjunctive: bool = False,
+) -> DataFrame:
+    """BM25 re-ranked with inbound-anchor evidence:
+
+        final = round( bm25 + weight * ln(1 + anchor_srcs), 9 )
+
+    where anchor_srcs sums the doc's distinct inbound linkers whose
+    anchors use each query term (the spam-resistant count).  The
+    candidate pool is the BM25 top-`pool` (default 5k-per-k), so the
+    anchor join touches pool rows, never the corpus; ties break
+    doc_no like the unboosted path.  Requires a `jobs/anchors.py`
+    backfill (index.has_anchors); anchor-only hits (docs matched by
+    inbound text but not their own) stay out of the pool by design —
+    BM25F (operators/bm25f) is the full multi-field treatment, this
+    is the cheap serving-time boost."""
+    from nadry_spark.functions.tokenizer import tokenize
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    if not index.has_anchors:
+        raise FileNotFoundError(
+            f"no anchors table under {index.path}; run jobs/anchors.py first"
+        )
+    toks = sorted(set(tokenize(query)))
+    pool = pool or max(50, 5 * k)
+    base = bm25_topk(index, query, k=pool, mode=mode, conjunctive=conjunctive)
+    an = (
+        index.anchors.where(F.col("term").isin(toks))
+        .groupBy("doc_no")
+        .agg(F.sum("n_srcs").alias("_asrc"))
+    )
+    return (
+        base.join(an, "doc_no", "left")
+        .select(
+            "doc_id",
+            "url",
+            "doc_no",
+            F.round(
+                F.col("score")
+                + F.lit(float(weight))
+                * F.log(F.lit(1.0) + F.coalesce("_asrc", F.lit(0)).cast("double")),
+                9,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_no"))
+        .limit(k)
+    )
+
+
 def anchor_term_index(
     links: DataFrame,
     stopwords: list[str] | None = None,

@@ -892,6 +892,18 @@ class SegmentIndex:
         return self.spark.read.parquet(os.path.join(self.path, "docmap"))
 
     @property
+    def has_anchors(self) -> bool:
+        """True once jobs/anchors.py has backfilled inbound anchor
+        terms for this segment."""
+        return os.path.isdir(os.path.join(self.path, "anchors"))
+
+    @property
+    def anchors(self) -> DataFrame:
+        """(doc_no, term, tf, n_srcs) inbound-anchor terms in the
+        index vocabulary (jobs/anchors.py backfill)."""
+        return self.spark.read.parquet(os.path.join(self.path, "anchors"))
+
+    @property
     def docs_content(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "docs_content"))
 
