@@ -38,9 +38,10 @@ def main() -> None:
                     help="time travel: serve from a pinned snapshot of the "
                          "incremental family instead of the current state")
     ap.add_argument("--anchor-boost", type=float, default=None, metavar="W",
-                    help="single-segment bm25 with inbound-anchor boost "
+                    help="bm25 with inbound-anchor boost "
                          "score + W*ln(1+anchor_srcs) (jobs/anchors.py "
-                         "backfill required)")
+                         "backfill; multi-segment roots supported, "
+                         "unbackfilled segments contribute no evidence)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -74,9 +75,14 @@ def main() -> None:
             default=str, indent=2,
         ))
     elif args.anchor_boost is not None:
-        from nadry_spark.operators.anchors import anchor_boosted_topk
+        if hasattr(idx, "segments"):
+            from nadry_spark.operators.anchors import (
+                anchor_boosted_topk_multi as _boosted,
+            )
+        else:
+            from nadry_spark.operators.anchors import anchor_boosted_topk as _boosted
 
-        rows = anchor_boosted_topk(
+        rows = _boosted(
             idx, args.query, k=(args.page + 1) * args.page_size,
             weight=args.anchor_boost,
         ).collect()

@@ -109,6 +109,62 @@ def anchor_boosted_topk(
     )
 
 
+def anchor_boosted_topk_multi(
+    msi,
+    query: str,
+    k: int = 10,
+    weight: float = 0.2,
+    pool: int | None = None,
+    mode: str = "taat",
+) -> DataFrame:
+    """Family (MultiSegmentIndex) variant of :func:`anchor_boosted_topk`:
+    the anchor evidence is the union of each LIVE segment's backfilled
+    anchors table mapped through its own docmap (doc_no spaces are
+    per-segment; tombstoned docs drop with ``msi._live``).  Segments
+    without a backfill simply contribute no evidence — a freshly
+    ingested segment degrades to plain BM25 until jobs/anchors.py
+    runs, never errors.  Ties break doc_id like bm25_topk_multi."""
+    from nadry_spark.functions.tokenizer import tokenize
+    from nadry_spark.operators.bm25 import bm25_topk_multi
+
+    toks = sorted(set(tokenize(query)))
+    pool = pool or max(50, 5 * k)
+    base = bm25_topk_multi(msi, query, k=pool, mode=mode)
+
+    parts = []
+    for i, seg in enumerate(msi.segments):
+        if not seg.has_anchors:
+            continue
+        an = msi._live(i, seg.anchors.where(F.col("term").isin(toks)))
+        parts.append(
+            an.join(seg.docmap.select("doc_no", "doc_id"), "doc_no").select(
+                "doc_id", "n_srcs"
+            )
+        )
+    if parts:
+        asrc = parts[0]
+        for p in parts[1:]:
+            asrc = asrc.unionByName(p)
+        asrc = asrc.groupBy("doc_id").agg(F.sum("n_srcs").alias("_asrc"))
+        base = base.join(asrc, "doc_id", "left")
+    else:
+        base = base.withColumn("_asrc", F.lit(None).cast("long"))
+    return (
+        base.select(
+            "doc_id",
+            "url",
+            F.round(
+                F.col("score")
+                + F.lit(float(weight))
+                * F.log(F.lit(1.0) + F.coalesce("_asrc", F.lit(0)).cast("double")),
+                9,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def anchor_term_index(
     links: DataFrame,
     stopwords: list[str] | None = None,

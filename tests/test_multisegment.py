@@ -295,3 +295,47 @@ def test_span_and_bool_parity_multisegment(spark, seg, halves):
         ]
         assert want, ("vacuous bool parity case", bq)
         assert got == want, bq
+
+
+def test_anchor_boost_multi_matches_single(spark, seg, halves, tiny_pages_path):
+    """Anchor-boosted ranking over the two-half family equals the
+    boosted single full segment (anchors backfilled into all three)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nadry_spark.functions.udfs import anchor_links_udf
+    from nadry_spark.operators.anchors import (
+        anchor_boosted_topk,
+        anchor_boosted_topk_multi,
+        anchor_term_index_tokenized,
+    )
+    from nadry_spark.sources.segments import MultiSegmentIndex, SegmentIndex
+
+    idx_single, _, _ = seg
+    pages = spark.read.parquet(tiny_pages_path)
+    links = pages.select(
+        "url", F.explode(anchor_links_udf("html", "url")).alias("l")
+    ).select(F.col("url").alias("src"), "l.dst", "l.anchor")
+    at = anchor_term_index_tokenized(links).localCheckpoint()
+
+    for seg_dir in [idx_single.path] + list(halves):
+        si = SegmentIndex(spark, seg_dir)
+        rows = (
+            si.docmap.select("doc_no", F.col("url").alias("dst"))
+            .join(at, "dst")
+            .select("doc_no", "term", "tf", "n_srcs")
+        )
+        rows.write.mode("overwrite").parquet(os.path.join(seg_dir, "anchors"))
+
+    msi = MultiSegmentIndex(spark, list(halves))
+    for q in QUERIES[:2]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in anchor_boosted_topk_multi(msi, q, k=10, weight=0.5).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in anchor_boosted_topk(idx_single, q, k=10, weight=0.5).collect()
+        ]
+        assert got == want, q
