@@ -37,6 +37,11 @@ def main() -> None:
                     help="near-dup Jaccard threshold")
     ap.add_argument("--domain-cap", type=int, default=0,
                     help="max docs per source (0 = uncapped)")
+    ap.add_argument("--classifier-labels", default=None,
+                    help="parquet of (doc_id, label) seed annotations; "
+                         "trains an NB filter (with --classifier-keep)")
+    ap.add_argument("--classifier-keep", default=None,
+                    help="keep docs whose predicted label equals this")
     ap.add_argument("--line-min-docs", type=int, default=0,
                     help="drop lines occurring in >= N distinct docs "
                          "(CCNet boilerplate pass; 0 = off)")
@@ -68,6 +73,8 @@ def main() -> None:
         max_tokens=args.max_tokens,
         jaccard_threshold=args.jaccard,
         domain_cap=args.domain_cap,
+        classifier_labels=args.classifier_labels,
+        classifier_keep=args.classifier_keep,
         line_min_docs=args.line_min_docs,
         mix_temp=args.mix_temp,
         mix_target=args.mix_target,

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 STAGES = (
     "filter",
+    "classify",
     "dedup_exact",
     "dedup_near",
     "domain_cap",
@@ -54,6 +55,9 @@ class ExportConfig:
     bands: int = 4
     cc_iterations: int = 8
     domain_cap: int = 0  # 0 disables the per-source cap
+    classifier_labels: str | None = None  # parquet (doc_id, label); None disables
+    classifier_keep: str | None = None  # label whose argmax docs survive
+    classifier_alpha: float = 1.0
     line_min_docs: int = 0  # 0 disables line-level boilerplate dedup
     line_sep: str = "\n"
     mix_temp: float = 0.0  # 0 disables temperature mixing
@@ -115,6 +119,39 @@ def _stage_filter(docs: DataFrame, cfg: ExportConfig) -> DataFrame:
     if cfg.max_tokens is not None:
         ntok = ntok.where(F.col("n_tokens") <= cfg.max_tokens)
     return keep.join(ntok.select("doc_id"), "doc_id", "left_semi")
+
+
+def _stage_classify(live: DataFrame, cfg: ExportConfig, stats: dict) -> DataFrame:
+    """FineWeb-Edu-style model filter: train multinomial NB on the
+    labeled subset (a small curated/LLM-annotated doc set), score
+    every live doc, keep the docs whose argmax label is
+    `classifier_keep`. Disabled unless both config knobs are set."""
+    if not cfg.classifier_labels or cfg.classifier_keep is None:
+        return live.select("doc_id")
+    from nadry_spark.operators.classify import nb_score, nb_train
+
+    labels = live.sparkSession.read.parquet(cfg.classifier_labels)
+    tf = (
+        live.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .where((F.length("term") >= 2) & (F.length("term") <= 50))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    labeled_tf = tf.join(labels.select("doc_id"), "doc_id", "left_semi")
+    model = nb_train(labeled_tf, labels, alpha=cfg.classifier_alpha)
+    scored = nb_score(tf, model)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "label")
+    )
+    kept = pred.where(F.col("label") == cfg.classifier_keep).select("doc_id")
+    stats["classifier_kept_label"] = cfg.classifier_keep
+    return kept
 
 
 def _stage_dedup_exact(live: DataFrame, cfg: ExportConfig) -> DataFrame:
@@ -299,6 +336,8 @@ def export_training_shards(
         stats: dict = {}
         if stage == "filter":
             ids = _stage_filter(docs, cfg)
+        elif stage == "classify":
+            ids = _stage_classify(docs_for(prev_ids), cfg, stats)
         elif stage == "dedup_exact":
             ids = _stage_dedup_exact(docs_for(prev_ids), cfg)
         elif stage == "dedup_near":

@@ -208,3 +208,42 @@ def test_line_dedup_and_mix_stages(spark, tmp_path_factory):
         assert again[s].get("resumed") is True, s
     ids1 = {r["doc_id"] for r in shards.collect()}
     assert 0 < len(ids1) <= 40
+
+
+def test_classifier_stage(spark, tmp_path_factory):
+    """Opt-in NB classifier stage: docs predicted off-label drop; the
+    labeled seed set trains the model."""
+    import pyarrow as pa
+
+    rows = []
+    for i in range(30):
+        good = i % 2 == 0
+        text = ("education learning school lesson teacher " * 4
+                if good else "casino jackpot betting odds spin " * 4) + f"tail{i}"
+        rows.append((i, text, "en", "s0"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # label only a seed subset; the classifier generalizes to the rest
+    seed = [(i, "edu" if i % 2 == 0 else "spam") for i in range(10)]
+    labels_path = str(tmp_path_factory.mktemp("labels") / "labels.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [d for d, _ in seed], "label": [l for _, l in seed]}),
+        labels_path,
+    )
+    cfg = ExportConfig(
+        lang=None,
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        classifier_labels=labels_path,
+        classifier_keep="edu",
+        budget=256,
+        shards=2,
+    )
+    out = str(tmp_path_factory.mktemp("export_classify"))
+    manifest = export_training_shards(spark, docs, out, cfg)
+    assert manifest["classify"]["status"] == "done"
+    assert manifest["classify"]["rows"] == 15          # the even docs
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    kept = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert kept == {i for i in range(30) if i % 2 == 0}
