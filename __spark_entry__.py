@@ -1880,6 +1880,23 @@ PQ_M = 4
 PQ_KSUB = 16
 
 
+PQ_RERANK_POOL = 50
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ production shape (operators/pq.pq_rerank_topk): ADC top-50
+    candidate pool from codes, exact cosine re-rank to top-10 — the
+    recall recovery step a deployment pairs with PQ compression."""
+    from nadry_spark.operators.pq import pq_build, pq_rerank_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = pq_build(emb, m=PQ_M, ksub=PQ_KSUB)
+    return pq_rerank_topk(
+        codes, books, emb.where(F.col("vec_id") < 5), emb, k=10,
+        pool=PQ_RERANK_POOL,
+    )
+
+
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq): 64-dim embeddings ->
     4 subspaces x 16-codeword codebooks (seed centroids, RNG-free),
@@ -2430,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "temp_mix": q_temp_mix,
         "pq_ann": q_pq_ann,
+        "pq_rerank": q_pq_rerank,
         "corpus_overlap": q_corpus_overlap,
         "cooccur_items": q_cooccur_items,
         "funnel": q_funnel,
@@ -2722,7 +2740,7 @@ _SYN_VALUES_SQL = ", ".join(
 )
 
 
-def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64) -> str:
+def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64, k: int = 10) -> str:
     """Mirrors pq_build(iters=0) + pq_topk ADC: per-subspace seed
     codebooks (first ksub vectors by id, sliced), argmin codes and
     per-query distance tables on the 1e-9 grid, total = round(sum of
@@ -2783,7 +2801,35 @@ def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64) -> str:
                    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
             FROM adc
         )
-        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_rerank_sql(pool: int = 50, k: int = 10) -> str:
+    """Mirrors pq_rerank_topk: the ADC pool query as a subselect, then
+    exact cosine re-rank of pool members only."""
+    return f"""
+        WITH pqcand AS ({_pq_sql(k=pool)}),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        v AS (SELECT vec_id AS nid, embedding AS vv FROM embeddings),
+        cpairs AS (
+            SELECT c.query_id AS qid, c.neighbour_id AS nid, q.qv, v.vv
+            FROM pqcand c
+            JOIN q ON q.qid = c.query_id
+            JOIN v ON v.nid = c.neighbour_id
+        ),
+        el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM cpairs),
+        cos AS (
+            SELECT qid, nid,
+                   round(sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))), 9) AS c9
+            FROM el GROUP BY qid, nid
+        ),
+        ranked AS (
+            SELECT qid AS query_id, nid AS neighbour_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY c9 DESC, nid ASC) AS rank
+            FROM cos
+        )
+        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= {k}
     """
 
 
@@ -3787,6 +3833,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(LPA_ITERS),
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
+        "pq_rerank": _pq_rerank_sql(PQ_RERANK_POOL, 10),
         "semdedup": _semdedup_sql(),
         "readability": r"""
             WITH base AS (

@@ -110,7 +110,7 @@ def main() -> None:
     exact = {}
     for r in entry_mod.queries()["ann_topk"](spark, SF_DIR).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbour_id"])
-    for ann in ("lsh_ann", "ivf_ann", "pq_ann"):
+    for ann in ("lsh_ann", "ivf_ann", "pq_ann", "pq_rerank"):
         got: dict = {}
         for r in entry_mod.queries()[ann](spark, SF_DIR).collect():
             got.setdefault(r["query_id"], set()).add(r["neighbour_id"])

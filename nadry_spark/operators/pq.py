@@ -132,3 +132,48 @@ def pq_topk(
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 F.col(id_col).alias("neighbour_id"))
     )
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ deployment shape: ADC generates a cheap
+    candidate pool from codes alone, then ONLY the pool's original
+    vectors are fetched (here: joined from `vectors` — in a 100 TB
+    deployment, point reads from cold storage) and re-ranked by exact
+    cosine.  Recall approaches brute force at pool >> k while the
+    scan stays code-sized.  (query_id, rank, neighbour_id), cosine
+    ties on the 1e-9 grid + id asc like brute_force_topk."""
+    from nadry_spark.operators.similarity import cosine
+
+    cand = pq_topk(
+        codes, codebooks, queries, k=pool, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbour_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbour_id"), F.col(vec_col).alias("vvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbour_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            F.round(cosine(F.col("qvec"), F.col("vvec")), 9).alias("c9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c9"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id")
+    )

@@ -78,3 +78,32 @@ def test_pq_dim_validation(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         pq_build(df, m=2)
+
+
+def test_pq_rerank_recovers_exact_order(spark):
+    """ADC pool + exact cosine re-rank must equal brute force when the
+    pool covers the corpus."""
+    import random
+
+    from nadry_spark.operators.pq import pq_build, pq_rerank_topk
+    from nadry_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(24)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    codes, books = pq_build(df, m=2, ksub=4)
+    q = df.where("vec_id < 2")
+    got = [
+        (r["query_id"], r["rank"], r["neighbour_id"])
+        for r in pq_rerank_topk(codes, books, q, df, k=5, pool=23)
+        .orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        (r["query_id"], r["rank"], r["neighbour_id"])
+        for r in brute_force_topk(df, q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want
