@@ -1179,3 +1179,26 @@ def test_readability(spark):
     r3 = got[3]
     assert (r3["n_words"], r3["n_syllables"]) == (0, 0)
     assert r3["flesch"] == round(206.835 - 1.015 * 1.0 - 84.6 * 0.0, 9)
+
+
+def test_corpus_profile(spark):
+    from nadry_spark.pipeline.profile import corpus_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four", "en", "a.com"),
+            (2, "one two three four", "en", "a.com"),   # exact dup
+            (3, "five six", "de", "b.com"),
+            (4, "seven", "en", "a.com"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rep = corpus_profile(docs)
+    assert rep["n_docs"] == 4 and rep["n_tokens"] == 11
+    assert rep["exact_dup_rate"] == round(1 - 3 / 4, 6)
+    assert rep["lang_mix"] == {"en": 3, "de": 1}
+    assert rep["top_sources"] == {"a.com": 3, "b.com": 1}
+    assert rep["distinct_tokens_exact"] == 7
+    # token counts sorted: [1, 2, 4, 4] -> p25=1, p50=2, p90=4
+    assert (rep["doc_tokens_p25"], rep["doc_tokens_p50"], rep["doc_tokens_p90"]) == (1, 2, 4)
+    assert 0.0 < rep["quality_min"] <= rep["quality_mean"] <= 1.0
