@@ -1883,6 +1883,33 @@ PQ_KSUB = 16
 PQ_RERANK_POOL = 50
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / recall@10 (operators/evalmetrics) of the
+    brute-force ANN run against synthetic graded qrels
+    (rel 2 when doc % 29 == qid, 1 when doc % 13 == qid)."""
+    from nadry_spark.operators.evalmetrics import ranking_metrics
+
+    runs = q_ann_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbour_id").alias("doc_id"), "rank"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdim = spark.range(5).select(F.col("id").alias("query_id"))
+    qrels = (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .crossJoin(F.broadcast(qdim))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("doc_id") % 29 == F.col("query_id"), 2)
+            .when(F.col("doc_id") % 13 == F.col("query_id"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    return ranking_metrics(runs, qrels, k=10)
+
+
 def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ production shape (operators/pq.pq_rerank_topk): ADC top-50
     candidate pool from codes, exact cosine re-rank to top-10 — the
@@ -2448,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_mix": q_temp_mix,
         "pq_ann": q_pq_ann,
         "pq_rerank": q_pq_rerank,
+        "rank_eval": q_rank_eval,
         "corpus_overlap": q_corpus_overlap,
         "cooccur_items": q_cooccur_items,
         "funnel": q_funnel,
@@ -2738,6 +2766,24 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 _SYN_VALUES_SQL = ", ".join(
     f"('{t}', '{g}')" for g, ts in SYN_GROUPS.items() for t in ts
 )
+
+
+_ANN_TOPK_SQL = """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            v AS (SELECT vec_id AS nid, embedding AS vv FROM embeddings),
+            pairs AS (SELECT qid, nid, qv, vv FROM q CROSS JOIN v WHERE nid <> qid),
+            el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM pairs),
+            cos AS (
+                SELECT qid, nid, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
+                FROM el GROUP BY qid, nid
+            ),
+            ranked AS (
+                SELECT qid AS query_id, nid AS neighbour_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY round(c, 9) DESC, nid ASC) AS rank
+                FROM cos
+            )
+            SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+        """
 
 
 def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64, k: int = 10) -> str:
@@ -4603,21 +4649,55 @@ def oracle_sql() -> dict[str, str]:
             FROM ex
         """,
         "dup_spans": _DUP_SPANS_SQL,
-        "ann_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-            v AS (SELECT vec_id AS nid, embedding AS vv FROM embeddings),
-            pairs AS (SELECT qid, nid, qv, vv FROM q CROSS JOIN v WHERE nid <> qid),
-            el AS (SELECT qid, nid, unnest(qv)::DOUBLE AS ea, unnest(vv)::DOUBLE AS eb FROM pairs),
-            cos AS (
-                SELECT qid, nid, sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS c
-                FROM el GROUP BY qid, nid
+        "ann_topk": _ANN_TOPK_SQL,
+        "rank_eval": f"""
+            WITH runs AS ({_ANN_TOPK_SQL}),
+            qd(qid) AS (VALUES (0), (1), (2), (3), (4)),
+            qrels AS (
+                SELECT qd.qid AS query_id, e.vec_id AS doc_id,
+                       CASE WHEN e.vec_id % 29 = qd.qid THEN 2
+                            WHEN e.vec_id % 13 = qd.qid THEN 1
+                            ELSE 0 END AS rel
+                FROM embeddings e CROSS JOIN qd
             ),
-            ranked AS (
-                SELECT qid AS query_id, nid AS neighbour_id,
-                       row_number() OVER (PARTITION BY qid ORDER BY round(c, 9) DESC, nid ASC) AS rank
-                FROM cos
+            qr AS MATERIALIZED (SELECT * FROM qrels WHERE rel > 0),
+            joined AS (
+                SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+                FROM runs r
+                LEFT JOIN qr q
+                  ON q.query_id = r.query_id AND q.doc_id = r.neighbour_id
+                WHERE r.rank <= 10
+            ),
+            perq AS (
+                SELECT query_id,
+                       sum((pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                           / log2(rank::DOUBLE + 1.0::DOUBLE)) AS dcg,
+                       min(CASE WHEN rel > 0 THEN rank END) AS fr,
+                       sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits
+                FROM joined GROUP BY query_id
+            ),
+            ideal AS (
+                SELECT query_id,
+                       sum((pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                           / log2(irank::DOUBLE + 1.0::DOUBLE)) AS idcg
+                FROM (
+                    SELECT query_id, rel,
+                           row_number() OVER (
+                               PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+                           ) AS irank
+                    FROM qr
+                ) WHERE irank <= 10 GROUP BY query_id
+            ),
+            totals AS (
+                SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY query_id
             )
-            SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= 10
+            SELECT p.query_id,
+                   round(p.dcg / i.idcg, 9) AS ndcg,
+                   round(coalesce(1.0::DOUBLE / p.fr::DOUBLE, 0.0::DOUBLE), 9) AS mrr,
+                   round(p.hits::DOUBLE / t.n_rel::DOUBLE, 9) AS recall
+            FROM perq p
+            JOIN ideal i USING (query_id)
+            JOIN totals t USING (query_id)
         """,
         "events_hourly": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,

@@ -73,6 +73,12 @@ def rm3_rerank(
     """(rank, doc_id, score) after RM3 expansion.
 
     tf: (doc_id, term, tf); tw: (doc_id, total_words).
+
+    The tf frame is consulted four times (pass-1 probe, relevance
+    model, expansion df, pass-2 probe): at corpus scale pass a
+    persisted/checkpointed tf (and tw) so the tokenization lineage
+    runs once — the caller owns materialization, same contract as
+    ltr_features.
     """
     q = sorted(set(query_terms))
     corpus = tw.agg(F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl"))
