@@ -1883,6 +1883,39 @@ PQ_KSUB = 16
 PQ_RERANK_POOL = 50
 
 
+SPARSE_MAX_DF = 20
+SPARSE_THRESHOLD = 0.5
+
+
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs (operators/sparsesim): 3-word
+    shingle tf over the doubled corpus, df-pruned postings self-join
+    (Elsayed/Lin/Oard), rounded cosine >= 0.5."""
+    from nadry_spark.operators.sparsesim import tfidf_cosine_pairs
+
+    toks = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat(
+        F.col("tok"),
+        F.lit(" "),
+        F.lead("tok", 1).over(w_ord),
+        F.lit(" "),
+        F.lead("tok", 2).over(w_ord),
+    )
+    tf = (
+        toks.select("doc_id", shingle.alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tfidf_cosine_pairs(
+        tf, max_df=SPARSE_MAX_DF, threshold=SPARSE_THRESHOLD
+    )
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 / MRR / recall@10 (operators/evalmetrics) of the
     brute-force ANN run against synthetic graded qrels
@@ -2476,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "pq_rerank": q_pq_rerank,
         "rank_eval": q_rank_eval,
+        "sparse_cosine": q_sparse_cosine,
         "corpus_overlap": q_corpus_overlap,
         "cooccur_items": q_cooccur_items,
         "funnel": q_funnel,
@@ -4650,6 +4684,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_spans": _DUP_SPANS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "sparse_cosine": f"""
+            WITH base AS ({_DOCS_WITH_DUPS_SQL}),
+            toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM base),
+            ex AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks),
+            sh0 AS (
+                SELECT doc_id,
+                       tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS term
+                FROM ex WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            tf AS MATERIALIZED (
+                SELECT doc_id, term, count(*)::BIGINT AS tf FROM sh0
+                WHERE term IS NOT NULL GROUP BY doc_id, term
+            ),
+            dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+            nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf),
+            wt AS MATERIALIZED (
+                SELECT t.doc_id AS d, t.term AS tm,
+                       t.tf::DOUBLE
+                       * ln((SELECT n FROM nn)::DOUBLE / f.df::DOUBLE) AS w
+                FROM tf t JOIN dft f USING (term)
+                WHERE f.df <= {SPARSE_MAX_DF}
+            ),
+            norms AS MATERIALIZED (
+                SELECT d, round(sqrt(sum(w * w)), 9) AS nrm FROM wt GROUP BY d
+            ),
+            dots AS (
+                SELECT a.d AS id_a, b.d AS id_b, sum(a.w * b.w) AS dot
+                FROM wt a JOIN wt b ON a.tm = b.tm AND a.d < b.d
+                GROUP BY a.d, b.d
+            )
+            SELECT id_a, id_b,
+                   round(dot / (na.nrm * nb.nrm), 9) AS cosine
+            FROM dots
+            JOIN norms na ON na.d = id_a
+            JOIN norms nb ON nb.d = id_b
+            WHERE round(dot / (na.nrm * nb.nrm), 9) >= {SPARSE_THRESHOLD}::DOUBLE
+        """,
         "rank_eval": f"""
             WITH runs AS ({_ANN_TOPK_SQL}),
             qd(qid) AS (VALUES (0), (1), (2), (3), (4)),
