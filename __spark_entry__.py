@@ -1883,6 +1883,52 @@ PQ_KSUB = 16
 PQ_RERANK_POOL = 50
 
 
+CHAMPION_M = 20
+
+
+def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list retrieval (Manning/Raghavan/Schütze IIR §7.1.3):
+    per query term keep only the m=20 highest-tf docs (the champion
+    list, tf desc / doc_id asc), score ONLY the union of champions
+    with the standard BM25 formula (df/idf still global), top-10.
+    The df-independent candidate-generation policy: cost is m·|q|
+    regardless of how common the terms are — the static counterpart
+    of BMW's dynamic block skipping."""
+    tf = q_doc_term_tf(spark, sf_dir)
+    tw = q_total_words(spark, sf_dir)
+    qtf = tf.where(F.col("term").isin(QUERY_TERMS))
+    wc = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    champions = (
+        qtf.withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") <= CHAMPION_M)
+        .select("doc_id")
+        .distinct()
+    )
+    corpus = tw.agg(F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl"))
+    df_t = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        qtf.join(champions, "doc_id", "left_semi")
+        .join(tw, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "tfnorm",
+            F.col("tf") * (1.2 + 1.0)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("total_words") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("tfnorm")), 9).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    ).where(F.col("rank") <= 10)
+
+
 SPARSE_MAX_DF = 20
 SPARSE_THRESHOLD = 0.5
 
@@ -2510,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank": q_pq_rerank,
         "rank_eval": q_rank_eval,
         "sparse_cosine": q_sparse_cosine,
+        "champion_topk": q_champion_topk,
         "corpus_overlap": q_corpus_overlap,
         "cooccur_items": q_cooccur_items,
         "funnel": q_funnel,
@@ -4684,6 +4731,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_spans": _DUP_SPANS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "champion_topk": f"""
+            WITH terms AS ({_TERMS_LITE_SQL}),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+            tw AS (SELECT doc_id, count(*)::BIGINT AS total_words FROM terms GROUP BY doc_id),
+            corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(total_words) AS avgdl FROM tw),
+            qtf AS MATERIALIZED (
+                SELECT * FROM tf WHERE term IN ({QUERY_TERMS_SQL})
+            ),
+            champs AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (
+                               PARTITION BY term ORDER BY tf DESC, doc_id ASC
+                           ) AS rn
+                    FROM qtf
+                ) WHERE rn <= {CHAMPION_M}
+            ),
+            df_t AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qtf GROUP BY term
+            ),
+            scored AS (
+                SELECT c.doc_id,
+                       round(sum( ln(1.0::DOUBLE + (n.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                            * (c.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                               / (c.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * w.total_words / n.avgdl))) ), 9) AS score
+                FROM qtf c
+                JOIN champs ch ON ch.doc_id = c.doc_id
+                JOIN tw w ON w.doc_id = c.doc_id
+                JOIN df_t d USING (term)
+                CROSS JOIN corpus n
+                GROUP BY c.doc_id
+            )
+            SELECT rank, doc_id, score FROM (
+                SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                       doc_id, score
+                FROM scored
+            ) WHERE rank <= 10
+        """,
         "sparse_cosine": f"""
             WITH base AS ({_DOCS_WITH_DUPS_SQL}),
             toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM base),
