@@ -1740,6 +1740,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule set (operators/textstats.gopher_rules) over
+    the documents table."""
+    from nadry_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch / Flesch-Kincaid readability (operators/textstats
     .readability) over the documents table."""
@@ -2566,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best": q_keep_best,
         "semdedup": q_semdedup,
         "readability": q_readability,
+        "gopher_rules": q_gopher_rules,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3962,6 +3971,49 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _pq_sql(),
         "pq_rerank": _pq_rerank_sql(PQ_RERANK_POOL, 10),
         "semdedup": _semdedup_sql(),
+        "gopher_rules": r"""
+            WITH w0 AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       len(words) AS wc,
+                       greatest(1, len(words))::DOUBLE AS wcd,
+                       coalesce(list_sum(list_transform(words, w -> len(w))), 0)::DOUBLE AS sumlen,
+                       ((len(text) - len(replace(text, '#', '')))
+                        + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE AS n_sym,
+                       greatest(1, len(lines))::DOUBLE AS nld,
+                       len(list_filter(lines, l -> regexp_matches(l, '^(•|- )')))::DOUBLE AS n_bul,
+                       len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE AS n_ell,
+                       len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE AS n_alpha,
+                       len(list_intersect(
+                           list_distinct(list_transform(words, w -> lower(w))),
+                           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+                       )) AS n_stop
+                FROM w0
+            )
+            SELECT doc_id,
+                   wc::BIGINT AS word_count,
+                   round(sumlen / wcd, 9) AS mean_word_len,
+                   round(n_sym / wcd, 9) AS symbol_ratio,
+                   round(n_bul / nld, 9) AS bullet_ratio,
+                   round(n_ell / nld, 9) AS ellipsis_ratio,
+                   round(n_alpha / wcd, 9) AS alpha_ratio,
+                   n_stop::BIGINT AS n_req_stopwords,
+                   (CASE WHEN wc >= 50 AND wc <= 100000
+                              AND sumlen / wcd >= 3.0::DOUBLE
+                              AND sumlen / wcd <= 10.0::DOUBLE
+                              AND n_sym / wcd < 0.1::DOUBLE
+                              AND n_bul / nld < 0.9::DOUBLE
+                              AND n_ell / nld < 0.3::DOUBLE
+                              AND n_alpha / wcd >= 0.8::DOUBLE
+                              AND n_stop >= 2
+                         THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+            FROM c
+        """,
         "readability": r"""
             WITH base AS (
                 SELECT doc_id,

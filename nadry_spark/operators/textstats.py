@@ -531,3 +531,78 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(fre, 9).alias("flesch"),
         F.round(fkg, 9).alias("fk_grade"),
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models: ...Gopher", Appendix A) — the named heuristic filter set
+    most web-scale pretraining pipelines start from, as one row of
+    per-rule evidence plus the combined verdict:
+
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio < 0.1 (symbols: '#' and '...')
+      * < 90% of lines start with a bullet, < 30% end with an ellipsis
+      * >= 80% of words contain an alphabetic character
+      * >= 2 of the 8 required English stopwords appear
+
+    Pure column expressions (RE2-safe regexes, fixed-order double
+    math, round-9) so the DuckDB oracle mirrors every rule bit-for-bit;
+    `gopher_pass` is the conjunction, 0/1 for flat cross-engine rows.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    wc = F.size(words)
+    wc_d = F.greatest(F.lit(1), wc).cast("double")
+    mean_len = (
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+        ).cast("double")
+        / wc_d
+    )
+    n_hash = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / wc_d
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.greatest(F.lit(1), F.size(lines)).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^(•|- )"))).cast("double") / nl
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))).cast("double")
+        / nl
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / wc_d
+    )
+    low_words = F.array_distinct(F.transform(words, lambda w: F.lower(w)))
+    n_stop = F.size(
+        F.array_intersect(
+            low_words, F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+        )
+    )
+    gpass = (
+        (wc >= 50) & (wc <= 100_000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio >= 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        wc.cast("long").alias("word_count"),
+        F.round(mean_len, 9).alias("mean_word_len"),
+        F.round(symbol_ratio, 9).alias("symbol_ratio"),
+        F.round(bullet_ratio, 9).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 9).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 9).alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_req_stopwords"),
+        gpass.cast("long").alias("gopher_pass"),
+    )

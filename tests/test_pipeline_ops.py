@@ -1202,3 +1202,31 @@ def test_corpus_profile(spark):
     # token counts sorted: [1, 2, 4, 4] -> p25=1, p50=2, p90=4
     assert (rep["doc_tokens_p25"], rep["doc_tokens_p50"], rep["doc_tokens_p90"]) == (1, 2, 4)
     assert 0.0 < rep["quality_min"] <= rep["quality_mean"] <= 1.0
+
+
+def test_gopher_rules(spark):
+    from nadry_spark.operators.textstats import gopher_rules
+
+    good = "the quick brown fox jumps to the lazy dog and keeps going with " \
+           "plenty of words that have normal shape " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),                           # passes everything
+            (2, "too short to count"),           # word count < 50
+            (3, "### " * 60 + good),             # symbol ratio blown
+            (4, "\n".join(["- bullet line"] * 10)),   # bullets + short
+            (5, good.replace("the", "zzz").replace("to", "qqq")
+                    .replace("of", "rrr").replace("and", "sss")
+                    .replace("that", "ttt").replace("have", "uuu")
+                    .replace("with", "vvv")),    # < 2 required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs, "doc_id", "text").collect()}
+    assert got[1]["gopher_pass"] == 1
+    assert got[2]["gopher_pass"] == 0 and got[2]["word_count"] < 50
+    assert got[3]["gopher_pass"] == 0 and got[3]["symbol_ratio"] >= 0.1
+    assert got[4]["bullet_ratio"] == 1.0 and got[4]["gopher_pass"] == 0
+    assert got[5]["n_req_stopwords"] < 2 and got[5]["gopher_pass"] == 0
+    # mean word length sanity on the good doc
+    assert 3.0 <= got[1]["mean_word_len"] <= 10.0
