@@ -2106,6 +2106,48 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 filters (operators/linededup.c4_filters) over synthesized
+    sentence-structured docs: 10-token lines each ending '.', docs
+    with doc_id%10==0 poisoned with a trailing '{' (the code filter
+    must kill them); (doc_id, text, kept)."""
+    from nadry_spark.operators.linededup import c4_filters
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    )
+    lines = toks.groupBy(
+        "doc_id", F.floor(F.col("pos") / LINE_CHUNK).cast("long").alias("line_no")
+    ).agg(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ),
+            F.lit("."),
+        ).alias("line")
+    )
+    lined = lines.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    poisoned = lined.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" {"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return c4_filters(poisoned)
+
+
 RM3_FB_DOCS = 10
 RM3_FB_TERMS = 10
 
@@ -2575,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "readability": q_readability,
         "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
         "retention": q_retention,
         "phrase_match": q_phrase_match,
         "blended_rank": q_blended_rank,
@@ -3971,6 +4014,56 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _pq_sql(),
         "pq_rerank": _pq_rerank_sql(PQ_RERANK_POOL, 10),
         "semdedup": _semdedup_sql(),
+        "c4_clean": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i,
+                       unnest(string_split_regex(text, '\\s+')) AS tok
+                FROM documents
+            ),
+            lines0 AS (
+                SELECT doc_id, ((i - 1) // {LINE_CHUNK})::BIGINT AS line_no,
+                       string_agg(tok, ' ' ORDER BY i) || '.' AS line
+                FROM toks GROUP BY doc_id, (i - 1) // {LINE_CHUNK}
+            ),
+            lined AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_no) AS text
+                FROM lines0 GROUP BY doc_id
+            ),
+            poisoned AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN text || ' {{' ELSE text END AS text
+                FROM lined
+            ),
+            ln AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM poisoned
+            ),
+            good AS (
+                SELECT doc_id, line_no, line FROM ln
+                WHERE regexp_matches(line, '[.!?"'']$')
+                  AND len(list_filter(string_split_regex(line, '\\s+'),
+                                      x -> len(x) > 0)) >= 5
+                  AND NOT contains(lower(line), 'javascript')
+            ),
+            cleaned AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean
+                FROM good GROUP BY doc_id
+            ),
+            j AS (
+                SELECT p.doc_id, p.text AS orig, coalesce(c.clean, '') AS clean
+                FROM poisoned p LEFT JOIN cleaned c USING (doc_id)
+            )
+            SELECT doc_id, clean AS text,
+                   (CASE WHEN len(regexp_extract_all(clean, '[.!?]+')) >= 3
+                              AND NOT contains(orig, '{{')
+                              AND NOT contains(lower(orig), 'lorem ipsum')
+                         THEN 1 ELSE 0 END)::BIGINT AS kept
+            FROM j
+        """,
         "gopher_rules": r"""
             WITH w0 AS (
                 SELECT doc_id, text,

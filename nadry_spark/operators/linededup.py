@@ -82,3 +82,66 @@ def line_dedup_text(
         .join(rejoined, doc_col, "left")
         .select(doc_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+def c4_filters(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al., JMLR'20 §2.2 — the
+    most-cited web-text filter set), faithfully per rule:
+
+      line level: keep only lines that end in terminal punctuation
+                  and have >= 5 words; drop lines containing
+                  'javascript'
+      doc level:  drop docs with < 3 sentences (after line cleaning),
+                  containing '{' or 'lorem ipsum' anywhere
+
+    Returns (doc_id, text, kept): cleaned text rejoined in order plus
+    the doc-level verdict as 0/1 — callers filter on kept but get the
+    cleaned text for survivors.  Pure column expressions over the
+    line long-form (same split/rejoin machinery as dedup_lines);
+    sentence count = terminal-punctuation runs in the CLEANED text.
+    """
+    lines = split_lines(docs, sep=sep, text_col=text_col, doc_col=doc_col)
+    good = lines.where(
+        F.col("line").rlike(r"[.!?\"']$")
+        & (
+            F.size(
+                F.filter(F.split("line", r"\s+"), lambda w: F.length(w) > 0)
+            )
+            >= min_line_words
+        )
+        & ~F.lower("line").contains("javascript")
+    )
+    rejoined = good.groupBy(doc_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("_clean")
+    )
+    out = (
+        docs.select(doc_col, F.col(text_col).alias("_orig"))
+        .join(rejoined, doc_col, "left")
+        .withColumn("_clean", F.coalesce("_clean", F.lit("")))
+    )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("_clean"), F.lit(r"[.!?]+"), F.lit(0))
+    )
+    kept = (
+        (n_sent >= min_sentences)
+        & ~F.col("_orig").contains("{")
+        & ~F.lower("_orig").contains("lorem ipsum")
+    )
+    return out.select(
+        doc_col,
+        F.col("_clean").alias(text_col),
+        kept.cast("long").alias("kept"),
+    )

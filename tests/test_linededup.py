@@ -36,3 +36,34 @@ def test_dedup_lines_and_reassembly(spark):
     )
     out2 = {r["doc_id"]: r["text"] for r in line_dedup_text(docs2, min_docs=2).collect()}
     assert out2 == {1: "x\nx\nx", 2: "y"}
+
+
+def test_c4_filters(spark):
+    from nadry_spark.operators.linededup import c4_filters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a proper sentence one.\n"
+                "Here is a second full sentence!\n"
+                "And a third one finishes the doc?"),
+            (2, "no terminal punctuation here at all\n"
+                "short line.\n"
+                "Enable javascript to view this content please."),
+            (3, "A fine sentence with enough words here.\n"
+                "Another fine sentence with enough words too.\n"
+                "function() { return 1; } and more words follow."),
+            (4, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+                "A second proper sentence sits right here.\n"
+                "A third proper sentence sits right here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["kept"]) for r in c4_filters(docs).collect()}
+    # doc 1: all three lines survive, 3 sentences -> kept
+    assert got[1][1] == 1 and got[1][0].count("\n") == 2
+    # doc 2: line 1 no punct, line 2 <5 words, line 3 has 'javascript'
+    assert got[2] == ("", 0)
+    # doc 3: '{' anywhere kills the doc even though lines are fine
+    assert got[3][1] == 0
+    # doc 4: 'lorem ipsum' kills the doc
+    assert got[4][1] == 0
