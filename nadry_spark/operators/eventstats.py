@@ -99,6 +99,21 @@ def rate_anomalies(
         type_col,
         F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("hour_epoch"),
     ).agg(F.count("*").alias("n"))
+    return rate_anomalies_from_hourly(
+        hourly, window_hours=window_hours, threshold=threshold, type_col=type_col
+    )
+
+
+def rate_anomalies_from_hourly(
+    hourly: DataFrame,
+    window_hours: int = 24,
+    threshold: float = 3.0,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Core scorer over a precomputed (event_type, hour_epoch, n)
+    table — shared by the batch path above and the streaming monitor
+    (streaming/monitor.py), which maintains the hourly table
+    incrementally and re-scores it per batch."""
     w = (
         Window.partitionBy(type_col)
         .orderBy("hour_epoch")
