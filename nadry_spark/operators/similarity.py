@@ -247,7 +247,13 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the nprobe nearest centroid buckets per query, exact cosine
-    within. Approximate recall, cross-join avoided — the IVF scale path."""
+    within. Approximate recall, cross-join avoided — the IVF scale path.
+
+    SERVING shape: the query set is collected to the driver for probe
+    selection (fine for a handful of query vectors, wrong for a query
+    TABLE). Batch / corpus-x-corpus callers use :func:`ivf_topk_batch`,
+    which keeps queries distributed end-to-end and produces identical
+    rows."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -270,6 +276,76 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .join(F.broadcast(q), "query_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbour_id"),
+            cosine(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine")
+    )
+
+
+def _centroid_probe_expr(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int):
+    """nprobe nearest centroids as a pure column expression: array of
+    (round(d2,9), cid) structs -> array_sort (lexicographic: distance
+    asc then cid asc — the exact numpy ``lexsort((cid, d2))`` order
+    ivf_topk uses) -> slice nprobe.  Same 1e-9 quantization as the
+    assignment expr so the probe choice is engine-reproducible."""
+    entries = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(F.round(d2, 9).alias("d"), F.lit(cid).alias("cid")))
+    return F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+
+
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame-native batch IVF top-k: the query set stays a TABLE
+    end-to-end — probe selection is a broadcast-centroid column
+    expression (no ``queries.collect()``), so a corpus-sized query
+    table (cross-corpus linkage, batch dedup of one embedded corpus
+    against another) runs fully distributed.  ``ivf_topk`` keeps the
+    driver-side probe path for serving (a handful of queries, where a
+    numpy argsort beats spinning codegen); both produce identical
+    rows — asserted in tests/test_similarity_batch.py.
+
+    Scale shape: centroids are literals (k_centroids x dim floats,
+    always driver-small by construction), the probe explode fans each
+    query to nprobe rows, and the probes->assigned join is a plain
+    equi-join on cid — Catalyst/AQE broadcasts it while the query side
+    is small and falls back to shuffle-hash when both sides are
+    corpus-sized, which is exactly the join strategy split a 100 TB
+    linkage needs. Cosine scoring + per-query top-k are the same
+    expressions as ivf_topk."""
+    from pyspark.sql import Window
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_centroid_probe_expr(vec_col, centroids, nprobe)).alias("p"),
+    ).select("query_id", "qvec", F.col("p.cid").alias("cid"))
+    scored = (
+        assigned.join(probes, "cid")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
