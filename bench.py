@@ -98,11 +98,30 @@ def main() -> None:
         .count()
         .count()
     )
+    # position-0 sacrificial run: whatever query happens to sit first
+    # in the registry otherwise absorbs the remaining one-time costs
+    # (ramping all N python UDF workers at corpus scale, codegen of the
+    # window/agg shapes, shuffle service init) — observed as a 2-4x
+    # inflation of the first ~10 entries when the r5 reorder moved the
+    # flagship rows to the front. One untimed corpus-scale UDF+window
+    # query makes the 103 recorded timings order-insensitive.
+    next(iter(entry_mod.queries().values()))(spark, SF_DIR).collect()
 
     # ---- operator queries over testdata ----
-    for name, fn in entry_mod.queries().items():
-        t, _ = _timed(lambda fn=fn: fn(spark, SF_DIR).collect())
-        timings[name] = round(t, 3)
+    # min-of-N passes (default 2): this box's hypervisor throttle is
+    # VOLATILE within a single run (probe swings 7-10 effective cores
+    # minute-to-minute; the same warm bm25_rank measured 4.9s in one
+    # pass and 1.35s three repeats later), so a single-pass timing
+    # carries a coin-flip 2-4x spike on any given query. The clean-run
+    # baseline is itself merged-strictest (min over full runs), so
+    # per-query min over passes compares like with like.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for p in range(passes):
+        for name, fn in entry_mod.queries().items():
+            t, _ = _timed(lambda fn=fn: fn(spark, SF_DIR).collect())
+            t = round(t, 3)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
 
     # ---- ANN recall evidence: both approximate paths vs brute force
     # (an ANN that's fast but blind is not done; recall@10 goes in
@@ -410,6 +429,10 @@ def main() -> None:
                 },
                 f, indent=1,
             )
+
+    # bracket the run: throttle is volatile, so a start-only probe can
+    # mis-stamp a run whose second half degraded (or recovered)
+    extras["effective_cores_end"] = _effective_cores()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -118,15 +118,28 @@ def main() -> None:
     # not the best of several attempts.
     import time as _time
 
+    # per-trial machine-health bracketing (VERDICT r04 #5): the probe
+    # (same process fan-out as bench.py's effective_cores) runs
+    # immediately BEFORE each leg, so a below-target trial can be
+    # attributed to a hypervisor-throttle event rather than the code —
+    # the evidence the r04 floor-trial analysis lacked.
+    sys.path.insert(0, REPO)
+    from bench import _effective_cores as _probe
+
     trials: dict[str, list[dict]] = {"high": [], "low": []}
     for t in range(args.trials):
         _time.sleep(args.cooldown)
-        trials["high"].append(run(args.high, args.pages, corpus))
+        h_probe = _probe()
+        trials["high"].append({**run(args.high, args.pages, corpus),
+                               "probe_cores_before": h_probe})
         _time.sleep(args.cooldown)
-        trials["low"].append(run(args.low, args.pages, corpus))
+        l_probe = _probe()
+        trials["low"].append({**run(args.low, args.pages, corpus),
+                              "probe_cores_before": l_probe})
         print(f"trial {t + 1}/{args.trials}: "
-              f"high {trials['high'][-1]['docs_per_sec']} docs/s, "
-              f"low {trials['low'][-1]['docs_per_sec']} docs/s", flush=True)
+              f"high {trials['high'][-1]['docs_per_sec']} docs/s (probe {h_probe}), "
+              f"low {trials['low'][-1]['docs_per_sec']} docs/s (probe {l_probe})",
+              flush=True)
 
     def median_trial(leg):
         """The whole record of the median trial by docs_per_sec — the
@@ -179,7 +192,11 @@ of {args.trials} interleaved trials per leg — internally consistent
 (docs/s == n_docs/build_sec of one actual run)
 (high-leg-first each round, {args.cooldown}s idle cool-down before
 every run — the fair-share recovery protocol; per-trial efficiencies:
-{', '.join(f'{e:.3f}' for e in eff_all)}):
+{', '.join(f'{e:.3f}' for e in eff_all)}; effective-cores probe
+immediately before each leg [high/low per trial]:
+{', '.join(f"{h.get('probe_cores_before', '?')}/{l.get('probe_cores_before', '?')}" for h, l in zip(trials['high'], trials['low']))}
+— a trial whose high-leg probe reads far below the box's healthy
+reading is a throttle event, not a code property):
 
 | parallelism | build sec | docs/sec | BM25 top-10 p50 (s) |
 |---|---|---|---|
