@@ -2053,6 +2053,43 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, emb.where(F.col("vec_id") < 5), k=10)
 
 
+def q_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native BATCH ADC (operators/pq.pq_topk_batch): the
+    query set is a table (vec_id % 25 == 0, the cross-corpus-linkage
+    shape), each query row carries its m x ksub distance table as an
+    array column, and scoring is a per-pair lookup expression over
+    wide codes — no queries-sized broadcast, no per-candidate m-row
+    blow-up. Same codebooks/quantization as pq_ann, so the oracle is
+    the same SQL with the batch query predicate (the row-identity
+    contract with pq_topk is tests/test_pq_batch.py)."""
+    from nadry_spark.operators.pq import pq_build, pq_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = pq_build(emb, m=PQ_M, ksub=PQ_KSUB)
+    return pq_topk_batch(
+        codes, books, emb.where(F.col("vec_id") % 25 == 0), k=10
+    )
+
+
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/pq.ivfpq_topk_batch — the FAISS IVFADC
+    deployment shape): coarse quantizer routes each query to its
+    IVF_NPROBE nearest inverted lists, PQ-ADC scores only those lists'
+    codes. Coarse centroids/probes match ivf_ann, codebooks match
+    pq_ann; the oracle composes both CTE chains and restricts ADC to
+    the probed candidates."""
+    from nadry_spark.operators.pq import ivfpq_topk_batch, pq_build
+    from nadry_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = ivf_build(emb, n_centroids=IVF_CENTROIDS, iters=0)
+    codes, books = pq_build(emb, m=PQ_M, ksub=PQ_KSUB)
+    return ivfpq_topk_batch(
+        assigned, cents, codes, books, emb.where(F.col("vec_id") < 5),
+        k=10, nprobe=IVF_NPROBE,
+    )
+
+
 MIX_TEMP = 2.0
 MIX_TARGET = 200
 MIX_SALT = "mix4"
@@ -2564,7 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SURVEY §2 core / flagship serving surface (ranking, graph, dedup,
     # ANN) so a regression there is always externally visible; the
     # long-stable pipeline/relational/media rows rotate behind at 51+
-    # and stay covered by tools/oracle_check.py (full 102-query mirror,
+    # and stay covered by tools/oracle_check.py (full 105-query mirror,
     # run per session) + pytest.
     return {
         # -- flagship serving / ranking / graph (the 11 rows that fell
@@ -2620,11 +2657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "pq_rerank": q_pq_rerank,
         "ann_topk": q_ann_topk,
-        "sparse_cosine": q_sparse_cosine,
-        "temp_mix": q_temp_mix,
         "ivf_batch": q_ivf_batch,
+        "pq_batch": q_pq_batch,
+        "ivfpq_ann": q_ivfpq_ann,
         # ---- position 51+ : long-stable rows, still gated by the full
         #      tools/oracle_check.py mirror every session ----
+        "sparse_cosine": q_sparse_cosine,
+        "temp_mix": q_temp_mix,
         "facet_counts": q_facet_counts,
         "doc_sample": q_doc_sample,
         "zorder_keys": q_zorder_keys,
@@ -2967,11 +3006,21 @@ _ANN_TOPK_SQL = """
         """
 
 
-def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64, k: int = 10) -> str:
+def _pq_sql(
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    k: int = 10,
+    query_pred: str = "q.vec_id < 5",
+) -> str:
     """Mirrors pq_build(iters=0) + pq_topk ADC: per-subspace seed
     codebooks (first ksub vectors by id, sliced), argmin codes and
     per-query distance tables on the 1e-9 grid, total = round(sum of
-    m rounded lookups, 9), asc-distance/id-asc ranking."""
+    m rounded lookups, 9), asc-distance/id-asc ranking.
+    ``query_pred`` selects the query vectors (pq_ann: the 5 serving
+    queries; pq_batch: the distributed query-table predicate) — the
+    ADC math is identical, which is the point: pq_topk_batch must
+    reproduce pq_topk's rows exactly."""
     d_sub = dim // m
     subs = []
     parts = []
@@ -3006,7 +3055,7 @@ def _pq_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64, k: int = 10) -> s
                        unnest(q.embedding[{lo}:{hi}])::DOUBLE AS a,
                        unnest(c.cvec)::DOUBLE AS b
                 FROM embeddings q CROSS JOIN cent{s} c
-                WHERE q.vec_id < 5
+                WHERE {query_pred}
             ) GROUP BY qid, cid
         )"""
         )
@@ -3354,6 +3403,104 @@ def _trustrank_sql(iters: int) -> str:
         t0 AS (SELECT url, s AS rank FROM base),
         {joined}
         SELECT url::BIGINT AS doc_id, round(rank, 9) AS trust_score FROM {prev}
+    """
+
+
+def _ivfpq_sql(
+    m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64, k: int = 10
+) -> str:
+    """Mirrors ivfpq_topk_batch: coarse probes exactly as _ivf_sql
+    (first IVF_CENTROIDS vectors as centroids, argmin assignment,
+    IVF_NPROBE nearest lists per query on the 1e-9 grid), ADC exactly
+    as _pq_sql (per-subspace seed codebooks, rounded table lookups),
+    candidates restricted to probed-list members before ranking."""
+    d_sub = dim // m
+    subs = []
+    parts = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        subs.append(
+            f"""pcent{s} AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding[{lo}:{hi}] AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub})
+        ),
+        pdist{s} AS (
+            SELECT vec_id, cid, round(sum((a - b) * (a - b)), 9) AS d2
+            FROM (
+                SELECT v.vec_id, c.cid,
+                       unnest(v.embedding[{lo}:{hi}])::DOUBLE AS a,
+                       unnest(c.cvec)::DOUBLE AS b
+                FROM embeddings v CROSS JOIN pcent{s} c
+            ) GROUP BY vec_id, cid
+        ),
+        pcode{s} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM pdist{s}
+            ) WHERE rn = 1
+        ),
+        pdt{s} AS MATERIALIZED (
+            SELECT qid, cid, round(sum((a - b) * (a - b)), 9) AS d2
+            FROM (
+                SELECT q.vec_id AS qid, c.cid,
+                       unnest(q.embedding[{lo}:{hi}])::DOUBLE AS a,
+                       unnest(c.cvec)::DOUBLE AS b
+                FROM embeddings q CROSS JOIN pcent{s} c
+                WHERE q.vec_id < 5
+            ) GROUP BY qid, cid
+        )"""
+        )
+        parts.append(
+            f"SELECT t.qid, c.vec_id AS nid, t.d2 FROM pcode{s} c JOIN pdt{s} t USING (cid)"
+        )
+    joined = ",\n        ".join(subs)
+    unioned = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH icent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS})
+        ),
+        idists AS (
+            SELECT vec_id, cid, round(sum((a - b) * (a - b)), 9) AS d2
+            FROM (
+                SELECT v.vec_id, c.cid,
+                       unnest(v.embedding)::DOUBLE AS a, unnest(c.cvec)::DOUBLE AS b
+                FROM embeddings v CROSS JOIN icent c
+            ) GROUP BY vec_id, cid
+        ),
+        iasgn AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM idists
+            ) WHERE rn = 1
+        ),
+        iprobes AS MATERIALIZED (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM idists WHERE vec_id < 5
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        {joined},
+        cand AS (
+            SELECT DISTINCT p.query_id AS qid, a.vec_id AS nid
+            FROM iprobes p JOIN iasgn a ON a.cid = p.cid
+            WHERE a.vec_id <> p.query_id
+        ),
+        adc AS (
+            SELECT qid, nid, round(sum(d2), 9) AS dist
+            FROM ({unioned})
+            GROUP BY qid, nid
+        ),
+        ranked AS (
+            SELECT c.qid AS query_id, c.nid AS neighbour_id,
+                   row_number() OVER (PARTITION BY c.qid ORDER BY a.dist ASC, c.nid ASC) AS rank
+            FROM cand c JOIN adc a ON a.qid = c.qid AND a.nid = c.nid
+        )
+        SELECT query_id, rank::BIGINT AS rank, neighbour_id FROM ranked WHERE rank <= {k}
     """
 
 
@@ -4065,6 +4212,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": _mmr_sql(),
         "pq_ann": _pq_sql(),
         "pq_rerank": _pq_rerank_sql(PQ_RERANK_POOL, 10),
+        "pq_batch": _pq_sql(query_pred="q.vec_id % 25 = 0"),
+        "ivfpq_ann": _ivfpq_sql(),
         "semdedup": _semdedup_sql(),
         "c4_clean": f"""
             WITH toks AS (

@@ -134,6 +134,158 @@ def pq_topk(
     )
 
 
+def pq_codes_wide(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Long-form (id, sub, code) -> wide (id, codes array<int> ordered
+    by sub) — the shape a 100 TB deployment PERSISTS: m small ints per
+    vector in one row, so ADC scoring is a per-row expression instead
+    of an m-way join + regroup."""
+    return (
+        codes.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(id_col, F.transform("sc", lambda x: x["code"]).alias("codes"))
+    )
+
+
+def _dtab_expr(codebooks: list, vec_col: str):
+    """The per-query ADC distance table as ONE array<array<double>>
+    column expression: tabs[s][c] = round(||q_s - codebook_s[c]||^2, 9)
+    with subspaces in s order and entries in code order.  Codebooks are
+    driver-side literals (m x ksub x d_sub floats — always small by
+    construction), so the expression tree size is independent of both
+    corpus and query-set size."""
+    d_sub = len(codebooks[0][0][1])
+    per_sub = []
+    for s, cents in enumerate(codebooks):
+        qsub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        ordered = sorted(cents, key=lambda t: t[0])
+        per_sub.append(F.array(*[_sq_dist(qsub, cvec) for _cid, cvec in ordered]))
+    return F.array(*per_sub)
+
+
+def _adc_dist_expr():
+    """round(sum_s tabs[s][codes[s]], 9) from the wide `codes` and the
+    per-query `tabs` columns — whole-stage-codegen table lookups, no
+    join, no regroup.  Summation is in fixed s order (0..m-1); the
+    long-form path's groupBy sum is order-free, but both round the
+    total on the 1e-9 grid, so the results agree (asserted row-identical
+    in tests/test_pq_batch.py)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("tabs"),
+                F.col("codes"),
+                lambda t, c: F.element_at(t, c.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+
+
+def pq_topk_batch(
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame-native batch ADC top-k: the query set stays a TABLE
+    end-to-end — no broadcast of a queries-sized distance table, no
+    corpus x queries x m exploded join.  Each query row carries its
+    m x ksub distance table as an array column (:func:`_dtab_expr`),
+    the corpus side is the wide codes (m ints per row), and scoring is
+    a per-pair expression over the flat-scan pair stream.  Same rows as
+    :func:`pq_topk` (asserted in tests); use it when the query side is
+    itself corpus-sized (cross-corpus linkage, batch dedup).
+
+    Scale shape: flat ADC is inherently corpus x queries — what batch
+    mode removes is the per-pair m-row blow-up and the queries-sized
+    broadcast, leaving one pair-stream expression scan + the per-query
+    top-k window.  When the corpus carries an IVF coarse quantizer,
+    :func:`ivfpq_topk_batch` prunes the pair stream to probed lists
+    first — the FAISS IVFADC deployment shape."""
+    wide = pq_codes_wide(codes, id_col=id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dtab_expr(codebooks, vec_col).alias("tabs")
+    )
+    scored = (
+        wide.crossJoin(q)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbour_id"),
+            _adc_dist_expr().alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id"
+        )
+    )
+
+
+def ivfpq_topk_batch(
+    assigned: DataFrame,
+    centroids: list,
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC deployment shape, Jégou TPAMI'11 §IV):
+    a coarse quantizer routes each query to its `nprobe` nearest
+    inverted lists, and ONLY those lists' PQ codes are ADC-scored —
+    candidate count is a corpus fraction (~nprobe/n_centroids) and the
+    scored payload is m bytes/vector, so neither raw vectors nor the
+    full code table are touched per query.  Queries stay a DataFrame
+    end-to-end: probe selection is the same broadcast-centroid
+    expression as :func:`~nadry_spark.operators.similarity
+    .ivf_topk_batch`, the probes->lists join is a plain equi-join on
+    cid (broadcast while the query side is small, shuffle-hash when
+    both sides are corpus-sized), and the ADC distance is the per-pair
+    expression of :func:`pq_topk_batch`.
+
+    `assigned` is ivf_build's (id, cid) coarse assignment; `centroids`
+    its centroid list; `codes`/`codebooks` from :func:`pq_build`.
+    Returns (query_id, rank, neighbour_id) by ADC distance asc,
+    id-asc ties, self excluded."""
+    from nadry_spark.operators.similarity import _centroid_probe_expr
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dtab_expr(codebooks, vec_col).alias("tabs"),
+        F.explode(_centroid_probe_expr(vec_col, centroids, nprobe)).alias("p"),
+    ).select("query_id", "tabs", F.col("p.cid").alias("cid"))
+    lists = assigned.select(id_col, "cid").join(
+        pq_codes_wide(codes, id_col=id_col), id_col
+    )
+    scored = (
+        lists.join(probes, "cid")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbour_id"),
+            _adc_dist_expr().alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbour_id"
+        )
+    )
+
+
 def pq_rerank_topk(
     codes: DataFrame,
     codebooks: list,
