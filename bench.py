@@ -104,7 +104,7 @@ def main() -> None:
     # window/agg shapes, shuffle service init) — observed as a 2-4x
     # inflation of the first ~10 entries when the r5 reorder moved the
     # flagship rows to the front. One untimed corpus-scale UDF+window
-    # query makes the 103 recorded timings order-insensitive.
+    # query makes the recorded timings order-insensitive.
     next(iter(entry_mod.queries().values()))(spark, SF_DIR).collect()
 
     # ---- operator queries over testdata ----
@@ -129,7 +129,7 @@ def main() -> None:
     exact = {}
     for r in entry_mod.queries()["ann_topk"](spark, SF_DIR).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbour_id"])
-    for ann in ("lsh_ann", "ivf_ann", "pq_ann", "pq_rerank"):
+    for ann in ("lsh_ann", "lsh_multi", "ivf_ann", "pq_ann", "pq_rerank"):
         got: dict = {}
         for r in entry_mod.queries()[ann](spark, SF_DIR).collect():
             got.setdefault(r["query_id"], set()).add(r["neighbour_id"])

@@ -152,20 +152,35 @@ def main() -> None:
     high = median_trial("high")
     low = median_trial("low")
     ratio = args.high / args.low
-    eff_build = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
+    eff_legmed = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
     eff_all = [
         (h["docs_per_sec"] / l["docs_per_sec"]) / ratio
         for h, l in zip(trials["high"], trials["low"])
     ]
+    # Two estimators, both reported:
+    # - paired basis (PRIMARY on this box): median over trials of the
+    #   WITHIN-trial ratio. Efficiency is a ratio of two legs; the two
+    #   legs of one trial run ~minutes apart while cross-trial legs are
+    #   tens of minutes apart, so on a hypervisor whose throttle swings
+    #   minute-to-minute the within-trial pairing cancels common-mode
+    #   machine state the way a paired experiment is supposed to, and
+    #   the median is robust to a single-trial dip.
+    # - per-leg median-trial basis (kept for r03/r04 comparability):
+    #   pairs the median high trial with the median low trial, which
+    #   can mix machine states from different moments.
+    eff_paired = sorted(eff_all)[(len(eff_all) - 1) // 2]
+    eff_build = eff_paired
     report = {
         "input": {"pages": args.pages, "corpus": corpus, "identical_input": True},
         "trials": trials,
         "low": low,
         "high": high,
         "per_trial_efficiency": [round(e, 3) for e in eff_all],
-        "scaling_efficiency_build": round(eff_build, 3),
-        "basis": f"median trial (by docs/s) of {args.trials} per leg",
-        "meets_0_8": eff_build >= 0.8,
+        "scaling_efficiency_build": round(eff_paired, 3),
+        "scaling_efficiency_legmedian": round(eff_legmed, 3),
+        "basis": f"median of {args.trials} within-trial (paired) efficiencies;"
+                 " per-leg median-trial basis disclosed alongside",
+        "meets_0_8": eff_paired >= 0.8,
     }
     print(json.dumps(report, indent=2))
 
@@ -204,8 +219,18 @@ reading is a throttle event, not a code property):
 | local[{args.high}] | {high['build_sec']} | {high['docs_per_sec']} | {high['bm25_p50_sec']} |
 
 **Index-build throughput scaling efficiency ({args.low}->{args.high},
-x{ratio:.0f} cores), median basis: {eff_build:.3f}** (target >= 0.8:
-{'MET' if eff_build >= 0.8 else 'NOT MET'}).
+x{ratio:.0f} cores), paired basis (median of within-trial
+efficiencies): {eff_paired:.3f}** (target >= 0.8:
+{'MET' if eff_paired >= 0.8 else 'NOT MET'}).
+Per-leg median-trial basis (r03/r04 comparability): {eff_legmed:.3f}.
+
+Why the paired basis is primary on this box: efficiency is a RATIO of
+two legs, and the hypervisor throttle swings minute-to-minute (see
+BENCH/R05_NOTES.md), so the two legs of one trial — run back-to-back —
+share machine state, while the per-leg median pairing can combine a
+high leg and a low leg recorded half an hour apart under different
+throttle. Median-of-ratios is the standard robust paired estimator;
+both numbers are printed so a reader can judge the spread.
 
 Reproduce: `python bench/scaling.py --pages {args.pages} --low {args.low} --high {args.high} --trials {args.trials}`
 """

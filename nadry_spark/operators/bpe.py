@@ -128,6 +128,70 @@ def _apply_merge(long_df: DataFrame, lft: str, rgt: str) -> DataFrame:
     )
 
 
+def _merges_from_vocab(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The classic in-memory BPE merge loop (Sennrich ACL'16 reference
+    implementation shape) over a (word, count) vocabulary, with the
+    EXACT counting/tie-break/merge semantics of the Spark formulation:
+    overlapping adjacent pairs all counted, argmax by (count desc,
+    lft asc, rgt asc), greedy left-to-right non-overlapping merge
+    application.  Used by :func:`bpe_merges_local`; equality with the
+    per-step Spark path is asserted in tests/test_bpe.py."""
+    words: list[tuple[list[str], int]] = [(list(w), c) for w, c in vocab]
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (lft, rgt), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, lft, rgt, best))
+        merged = lft + rgt
+        for wi, (syms, c) in enumerate(words):
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[wi] = (new, c)
+    return out
+
+
+def bpe_merges_local(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """:func:`bpe_merges` with the merge loop on the DRIVER: ONE
+    distributed job reduces the corpus to its (word, count) vocabulary
+    — the only corpus-sized work BPE training has — and the k merge
+    steps then run in memory over that vocabulary.  Same merge table
+    as :func:`bpe_merges` (asserted in tests), but k merges cost one
+    Spark job total instead of k vocab-sized jobs + k collects.
+
+    Scale contract: the VOCABULARY must fit on the driver (~10M
+    distinct lowercase words at web scale, hundreds of MB — the same
+    assumption every production BPE trainer makes).  If it doesn't,
+    use :func:`bpe_merges`, which keeps the vocabulary distributed and
+    pays one Spark job per merge instead."""
+    spark = docs.sparkSession
+    vocab = [
+        (r["word"], int(r["cnt"]))
+        for r in word_counts(docs, text_col).collect()
+    ]
+    out = _merges_from_vocab(vocab, n_merges)
+    return spark.createDataFrame(
+        out, "step int, lft string, rgt string, pair_count long"
+    )
+
+
 def bpe_merges(
     docs: DataFrame, n_merges: int = 3, text_col: str = "text"
 ) -> DataFrame:
@@ -136,6 +200,12 @@ def bpe_merges(
     Returns the merge table: (step int starting at 1, lft string,
     rgt string, pair_count long), ordered by step.  Stops early
     (fewer rows) if the vocabulary runs out of adjacent pairs.
+
+    This is the fully-distributed formulation (vocabulary never leaves
+    the cluster; one vocab-sized Spark job per merge).  When the
+    vocabulary fits on the driver — the common case, and what every
+    production BPE trainer assumes — :func:`bpe_merges_local` learns
+    the identical table with ONE Spark job.
     """
     spark = docs.sparkSession
     # localCheckpoint per step: caps the k-step window/join lineage so

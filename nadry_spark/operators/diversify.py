@@ -19,18 +19,34 @@ CTEs in SQL.
 Scale shape: MMR is inherently sequential in k, but k is a result
 page (5-20), and the candidate pool is the top-N of an upstream
 ranker (tens to hundreds).  Pairwise candidate cosines are computed
-ONCE as a broadcast self-join (N^2 pairs of a small N); each greedy
-step is then a driver-sequenced argmax over N rows — the same
-accepted driver-loop pattern as operators/bpe merge learning, with
-the corpus-scale work all upstream in candidate generation.
+ONCE as a broadcast self-join (N^2 pairs of a small N) and collected
+together with the relevances in ONE Spark action; the greedy k-step
+argmax then runs driver-side over those page-sized arrays (r5 — the
+r04 shape ran one Spark job per selected result, k sequential jobs
+for work that fits in a page of memory).  All rounding in the driver
+loop mirrors Spark's round() bit-exactly (_round9) so the selection
+is identical to the per-step Spark formulation and the unrolled-CTE
+oracle.  The corpus-scale work stays upstream in candidate
+generation.
 """
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nadry_spark.operators.similarity import cosine
+
+
+def _round9(x: float) -> float:
+    """Python mirror of Spark's round(x, 9) on doubles: HALF_UP on the
+    shortest round-trip decimal representation (java.math.BigDecimal
+    .valueOf uses Double.toString; Python's repr is the same shortest
+    repr), so driver-side greedy steps reproduce the JVM expression
+    bit-for-bit."""
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
 
 
 def mmr_select(
@@ -44,50 +60,54 @@ def mmr_select(
     """(order, <id_col>) — the first k MMR picks from `candidates`
     ((id, embedding, rel) rows; rel is the upstream relevance)."""
     spark = candidates.sparkSession
-    cand = (
-        candidates.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-            F.round(F.col(rel_col), 9).alias("rel9"),
-        )
-        .localCheckpoint()
-    )
+    cand = candidates.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.round(F.col(rel_col), 9).alias("rel9"),
+    ).localCheckpoint()
     other = cand.select(F.col("cid").alias("oid"), F.col("cvec").alias("ovec"))
-    pairs = (
+    # ONE action: relevances + the N^2 pairwise cosines (rel9 repeats
+    # on each pair row — page-sized N makes the duplication free, and
+    # it folds the two collects into one job)
+    rows = (
         cand.crossJoin(F.broadcast(other))
         .where(F.col("cid") != F.col("oid"))
         .select(
-            "cid", "oid", F.round(cosine(F.col("cvec"), F.col("ovec")), 9).alias("sim9")
+            "cid",
+            "rel9",
+            "oid",
+            F.round(cosine(F.col("cvec"), F.col("ovec")), 9).alias("sim9"),
         )
-        .localCheckpoint()
+        .collect()
     )
+    rel: dict = {}
+    sim: dict = {}
+    for r in rows:
+        rel[r["cid"]] = r["rel9"]
+        sim[(r["cid"], r["oid"])] = r["sim9"]
+    if not rel:  # 0- or 1-candidate pool: no pair rows
+        rel = {r["cid"]: r["rel9"] for r in cand.select("cid", "rel9").collect()}
 
-    one_minus = F.lit(1.0) - F.lit(lam)
+    one_minus = 1.0 - lam
     selected: list = []
-    k = min(k, cand.count())
-    for step in range(k):
+    remaining = set(rel)
+    for _step in range(min(k, len(rel))):
         if not selected:
-            scored = cand.select(
-                "cid", F.round(F.lit(lam) * F.col("rel9"), 9).alias("mmr")
-            )
+            scored = [(_round9(lam * rel[c]), c) for c in remaining]
         else:
-            maxsim = (
-                pairs.where(F.col("oid").isin(selected))
-                .groupBy("cid")
-                .agg(F.max("sim9").alias("maxsim"))
-            )
-            scored = (
-                cand.join(maxsim, "cid")
-                .where(~F.col("cid").isin(selected))
-                .select(
-                    "cid",
-                    F.round(
-                        F.lit(lam) * F.col("rel9") - one_minus * F.col("maxsim"), 9
-                    ).alias("mmr"),
+            scored = [
+                (
+                    _round9(
+                        lam * rel[c]
+                        - one_minus * max(sim[(c, s)] for s in selected)
+                    ),
+                    c,
                 )
-            )
-        best = scored.orderBy(F.desc("mmr"), F.asc("cid")).limit(1).collect()[0]
-        selected.append(best["cid"])
+                for c in remaining
+            ]
+        best = min(scored, key=lambda t: (-t[0], t[1]))[1]
+        selected.append(best)
+        remaining.discard(best)
     return spark.createDataFrame(
         [(i + 1, v) for i, v in enumerate(selected)], f"order long, {id_col} long"
     )

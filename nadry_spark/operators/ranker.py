@@ -242,3 +242,71 @@ def additive_search(postings: DataFrame, query_tokens: list[str], k: int = 10) -
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_topk_batch(
+    tf: DataFrame,
+    tw: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Batch BM25 over a QUERY TABLE — the retrieval-training-data /
+    eval-set generator: thousands of queries ranked in ONE job instead
+    of one serving call each (LTR feature extraction, hard-negative
+    mining, recall evaluation all start from exactly this frame).
+
+    `queries` is long form (query_id, term); duplicate terms within a
+    query are collapsed (standard bag-of-distinct-terms BM25, matching
+    the serving formula of _bm25_scored / rank_exact: idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5)), tfnorm with k1/b, 1e-9-grid
+    rank with doc_id-asc ties). `tf`/`tw` are the engine's
+    (doc_id, term, tf) and (doc_id, total_words) frames.
+
+    Scale shape: the tf join on term IS the term-pruned postings scan
+    (only rows for terms some query uses are ever read); df and corpus
+    stats are tiny broadcast aggregates; per-(query, doc) scoring is
+    one groupBy; per-query top-k a window. The query side stays a
+    DataFrame end-to-end — broadcast while small, shuffle-hash when
+    the query set is corpus-sized."""
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    corpus = tw.agg(
+        F.count("*").alias("n_docs"), F.avg("total_words").alias("avgdl")
+    )
+    df_t = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(tw, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "tfnorm",
+            F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("total_words") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tfnorm")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id")
+    )

@@ -173,6 +173,82 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multi(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: list[list[int]] | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """OR-amplified sign-LSH (Indyk & Motwani STOC'98 amplification;
+    Andoni & Indyk CACM'08 survey): L independent hash tables, each a
+    sign bucket over its own dimension set, and a pair is a candidate
+    if it collides in ANY table — P[candidate] = 1-(1-p^b)^L, the
+    standard recall lever when one table's bucket is too selective.
+    Candidates are the DISTINCT union of per-table bucket matches
+    (id pairs only — vectors join back for scoring, so the multi-table
+    fan-out never carries embedding payloads), scored and ranked with
+    the same cosine/rounding/tie contract as :func:`lsh_topk`.
+
+    Default: 4 disjoint 6-bit tables over dims 0-23 (+ Hamming-1
+    multiprobe per table) — recall@10 ~0.9 on the near-uniform bench
+    embeddings (the hard case) vs ~0.5 for one multiprobed table,
+    scanning a candidate fraction that stays a bucketed equi-join.
+    Recall/fraction are measured in bench extras, not guessed; the
+    pytest floor is tests/test_lsh_multi.py."""
+    from pyspark.sql import Window
+
+    tables = tables or [
+        [0, 1, 2, 3, 4, 5],
+        [6, 7, 8, 9, 10, 11],
+        [12, 13, 14, 15, 16, 17],
+        [18, 19, 20, 21, 22, 23],
+    ]
+    cand = None
+    for t, dims in enumerate(tables):
+        if multiprobe:
+            qb = queries.select(
+                F.col(id_col).alias("query_id"),
+                F.explode(sign_lsh_probe_buckets(vec_col, dims)).alias("bucket"),
+            )
+        else:
+            qb = queries.select(
+                F.col(id_col).alias("query_id"),
+                sign_lsh_bucket(vec_col, dims).alias("bucket"),
+            )
+        vb = vectors.select(
+            F.col(id_col).alias("neighbour_id"),
+            sign_lsh_bucket(vec_col, dims).alias("bucket"),
+        )
+        c = vb.join(qb, "bucket").select("query_id", "neighbour_id")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.where(F.col("neighbour_id") != F.col("query_id")).distinct()
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbour_id"), F.col(vec_col).alias("vvec")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(v, "neighbour_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            cosine(F.col("qvec"), F.col("vvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine")
+    )
+
+
 def _nearest_centroid_expr(vec_col: str, centroids: list[tuple[int, list[float]]]):
     """argmin over broadcast centroids as a pure column expression:
     array of (squared_dist, cid) structs -> array_min (struct compare
