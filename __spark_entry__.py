@@ -1466,10 +1466,11 @@ def q_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified multi-table sign-LSH (operators/similarity
     .lsh_topk_multi): 4 independent 6-bit tables + Hamming-1
     multiprobe, candidates = DISTINCT union of per-table collisions —
-    the standard recall lever over single-table LSH (recall@10 ~0.9 vs
-    ~0.5 on the bench embeddings; floor asserted in
-    tests/test_lsh_multi.py). The oracle mirrors every table's probe
-    expansion and the union."""
+    the standard recall lever over single-table LSH (measured
+    recall@10 0.66 vs 0.52 on the near-uniform bench embeddings;
+    floor asserted in tests/test_lsh_multi.py, per-run value in bench
+    extras). The oracle mirrors every table's probe expansion and the
+    union."""
     from nadry_spark.operators.similarity import lsh_topk_multi
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -193,11 +193,15 @@ def lsh_topk_multi(
     the same cosine/rounding/tie contract as :func:`lsh_topk`.
 
     Default: 4 disjoint 6-bit tables over dims 0-23 (+ Hamming-1
-    multiprobe per table) — recall@10 ~0.9 on the near-uniform bench
-    embeddings (the hard case) vs ~0.5 for one multiprobed table,
-    scanning a candidate fraction that stays a bucketed equi-join.
-    Recall/fraction are measured in bench extras, not guessed; the
-    pytest floor is tests/test_lsh_multi.py."""
+    multiprobe per table) — MEASURED recall@10 0.66 on the
+    near-uniform bench embeddings (the worst case for sign locality;
+    expected candidate fraction ~1-(1-7/64)^4 = 0.37 of the corpus
+    there) vs 0.52 for one multiprobed table. On clustered real
+    embeddings both recall and selectivity are far better; for
+    near-uniform data IVF is the stronger structure (bench ivf
+    recall 1.0 at nprobe=4/16). Recall is recorded in bench extras
+    per run, not guessed; the pytest floor is
+    tests/test_lsh_multi.py."""
     from pyspark.sql import Window
 
     tables = tables or [
