@@ -710,6 +710,51 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavor local-supplier volume: the 6-way join
+    (region -> nation -> {customer, supplier} -> orders -> lineitem)
+    with the SAME-NATION predicate (customer and supplier co-located)
+    and a one-year order-date window — the classic join-reordering /
+    dimension-broadcast showcase. Region/nation/customer/supplier are
+    broadcast dims; lineitem x orders is the only fact-fact join.
+    Revenue decimal-exact, per-nation; (n_name, revenue, n_orders)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+                .cast("double"), 4,
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (region, nation) revenue: the lineitem x orders fact
     joined to the broadcast customer->nation->region dimension chain,
@@ -2652,7 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SURVEY §2 core / flagship serving surface (ranking, graph, dedup,
     # ANN) so a regression there is always externally visible; the
     # long-stable pipeline/relational/media rows rotate behind at 51+
-    # and stay covered by tools/oracle_check.py (full 107-query mirror,
+    # and stay covered by tools/oracle_check.py (full 108-query mirror,
     # run per session) + pytest.
     return {
         # -- flagship serving / ranking / graph (the 11 rows that fell
@@ -2739,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
+        "local_volume": q_local_volume,
         "rollup_revenue": q_rollup_revenue,
         "cust_no_orders": q_cust_no_orders,
         "cust_order_stats": q_cust_order_stats,
@@ -5088,6 +5134,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "local_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice::DECIMAL(18,4)
+                             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DOUBLE, 4)
+                       AS revenue,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "segment_revenue": """
             SELECT c_mktsegment, o_orderpriority,

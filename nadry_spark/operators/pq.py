@@ -295,6 +295,7 @@ def pq_rerank_topk(
     pool: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch: bool = False,
 ) -> DataFrame:
     """The production PQ deployment shape: ADC generates a cheap
     candidate pool from codes alone, then ONLY the pool's original
@@ -302,10 +303,17 @@ def pq_rerank_topk(
     deployment, point reads from cold storage) and re-ranked by exact
     cosine.  Recall approaches brute force at pool >> k while the
     scan stays code-sized.  (query_id, rank, neighbour_id), cosine
-    ties on the 1e-9 grid + id asc like brute_force_topk."""
+    ties on the 1e-9 grid + id asc like brute_force_topk.
+
+    ``batch=True`` generates the candidate pool with
+    :func:`pq_topk_batch` (queries stay a DataFrame, no queries-sized
+    broadcast) — same rows either way (asserted in
+    tests/test_pq_batch.py); use it when the query side is itself
+    corpus-sized."""
     from nadry_spark.operators.similarity import cosine
 
-    cand = pq_topk(
+    pool_fn = pq_topk_batch if batch else pq_topk
+    cand = pool_fn(
         codes, codebooks, queries, k=pool, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbour_id")
     q = queries.select(

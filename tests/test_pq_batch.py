@@ -103,6 +103,18 @@ def test_ivfpq_equals_probe_restricted_flat_adc(spark, emb):
     assert _rows(got) == _rows(want)
 
 
+def test_pq_rerank_batch_identical(spark, emb):
+    """pq_rerank_topk(batch=True) generates its pool with
+    pq_topk_batch — rows must match the serving-pool path exactly."""
+    from nadry_spark.operators.pq import pq_build, pq_rerank_topk
+
+    codes, books = pq_build(emb, m=4, ksub=8)
+    q = emb.where(F.col("vec_id") < 7)
+    serving = pq_rerank_topk(codes, books, q, emb, k=10, pool=30)
+    batch = pq_rerank_topk(codes, books, q, emb, k=10, pool=30, batch=True)
+    assert _rows(serving) == _rows(batch)
+
+
 def test_ivfpq_prunes_candidates(spark, emb):
     """The point of the coarse quantizer: fewer scored pairs than flat.
     With nprobe=2 of 8 lists, each query scores roughly a quarter of
