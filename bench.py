@@ -163,6 +163,20 @@ def main() -> None:
     t, _ = _timed(lambda: entry_mod.entry(spark).collect())
     timings["flagship_exact_rank"] = round(t, 3)
 
+    # fair-share recovery before the serving-latency section: by this
+    # point the run has sustained ~20+ min of full-box load (the
+    # registry passes grew to 108 queries incl. the heavy ANN rows),
+    # and the hypervisor throttles whatever runs next — measured
+    # directly: bm25_taat_p50 read 3.1-4.1s at the END of two full r5
+    # runs while the identical code, standalone from idle, reads
+    # 0.77-1.09s. Same protocol as bench/scaling.py's cool-downs; the
+    # serving p50s should measure SERVING, not the throttle tail.
+    # Skippable for quick iteration via SPARK_GRAFT_BENCH_COOLDOWN=0.
+    _cool = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60"))
+    if _cool:
+        time.sleep(_cool)
+        extras["effective_cores_serving"] = _effective_cores()
+
     # ---- synthetic corpus: index build + segment queries ----
     from nadry_spark.operators.bm25 import bm25_topk
     from nadry_spark.operators.phrase import phrase_search
