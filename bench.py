@@ -223,6 +223,29 @@ def main() -> None:
             bm25_topk(idx, q, k=10, mode=mode).collect()
         timings[f"bm25_{mode}_p50"] = round((time.time() - t0) / len(queries), 3)
 
+    # batch queryset serving vs sequential calls: the LTR/eval shape —
+    # one job scores the whole queryset (blocks scan pruned to the term
+    # UNION, each block decoded once per shard) vs one job per query.
+    # Reported as total seconds for the same 24 queries both ways; the
+    # ratio is the point (it grows with Q — term-union decode is shared).
+    from nadry_spark.operators.bm25 import bm25_queryset_topk
+
+    qset = {
+        i: f"{a} {b}"
+        for i, (a, b) in enumerate(
+            (a, b)
+            for a in ("news", "report", "update", "table", "batch", "value")
+            for b in ("sort", "2024", "report", "news")
+        )
+    }
+    t0 = time.time()
+    bm25_queryset_topk(idx, qset, k=10).collect()
+    timings["bm25_queryset24_batch"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in qset.values():
+        bm25_topk(idx, q, k=10, mode="taat").collect()
+    timings["bm25_queryset24_sequential"] = round(time.time() - t0, 3)
+
     # field-restricted BM25 (positions-store per-field counts, no
     # decode): same queries, title field
     from nadry_spark.operators.fieldsearch import field_search

@@ -472,3 +472,145 @@ def bmw_block_stats(
         "n_decoded": int(decoded),
         "skip_rate": round(1.0 - decoded / total, 3) if total else 0.0,
     }
+
+
+QSET_SCHEMA = "query_id long, doc_no long, score double"
+
+
+def _shard_taat_queryset(
+    k: int, k1: float, b: float, avgdl: float, shard_size: int,
+    q_ids: list[int], q_terms: list[list[str]], idf_map: dict[str, float],
+    conjunctive: bool, codec: str = "varint",
+):
+    """Multi-query TAAT shard scorer: every posting block of the
+    queryset's TERM UNION is decoded exactly ONCE per shard, its
+    idf*tfnorm contribution accumulated into each query that uses the
+    term — Q queries cost one pass over the union's postings instead
+    of Q passes.  Memory is O(n_queries x shard_size) accumulator
+    floats; shard_size is docs-per-shard (bounded by construction at
+    any corpus size), so batch the queryset if Q is huge."""
+    term_to_qs: dict[str, list[int]] = {}
+    for qi, ts in enumerate(q_terms):
+        for t in ts:
+            term_to_qs.setdefault(t, []).append(qi)
+    nq = len(q_terms)
+    need = np.array([len(ts) for ts in q_terms], dtype=np.int32)
+
+    def score(key, pdf: pd.DataFrame):
+        base = int(key[0]) * shard_size
+        scores = np.zeros((nq, shard_size), dtype=np.float64)
+        seen = np.zeros((nq, shard_size), dtype=np.int32)
+        for term, tpdf in pdf.groupby("term"):
+            contrib = np.zeros(shard_size, dtype=np.float64)
+            present = np.zeros(shard_size, dtype=np.int32)
+            idf = idf_map[term]
+            for docs_bin, tfs_bin, dls_bin in zip(
+                tpdf["docs_bin"], tpdf["tfs_bin"], tpdf["dls_bin"]
+            ):
+                doc_nos, tfs, dls = decode_posting_block(
+                    docs_bin, tfs_bin, dls_bin, codec
+                )
+                idx = (doc_nos - np.uint64(base)).astype(np.int64)
+                contrib[idx] += idf * bm25_tfnorm(tfs, dls, avgdl, k1, b)
+                present[idx] = 1
+            for qi in term_to_qs.get(term, ()):
+                scores[qi] += contrib
+                seen[qi] += present
+        outs = []
+        for qi in range(nq):
+            mask = (seen[qi] == need[qi]) if conjunctive else (seen[qi] > 0)
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            topn = min(k, cand.size)
+            # exact (score desc, doc_no asc) like _shard_taat — see its
+            # argpartition-tie note
+            order = np.lexsort((cand, -scores[qi][cand]))
+            sel = cand[order[:topn]]
+            outs.append(pd.DataFrame({
+                "query_id": np.full(topn, q_ids[qi], dtype=np.int64),
+                "doc_no": (sel + base).astype("int64"),
+                "score": scores[qi][sel],
+            }))
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": [], "doc_no": [], "score": []}
+            ).astype({"query_id": "int64", "doc_no": "int64", "score": "float64"})
+        return pd.concat(outs, ignore_index=True)
+
+    return score
+
+
+def bm25_queryset_topk(
+    index: SegmentIndex,
+    queries: dict[int, str],
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Segment-native BATCH serving: a whole QUERYSET ranked in one
+    Spark job — the LTR-training / eval-harness / hard-negative-mining
+    shape over the real compressed index.  One blocks scan pruned to
+    the UNION of all query terms, each block decoded once per shard
+    (`_shard_taat_queryset`), per-query global top-k as a window.
+    Q serving calls cost Q jobs + Q scans; this costs one of each.
+
+    Per-query semantics are EXACTLY bm25_topk(mode="taat")'s
+    (tokenize -> distinct terms -> drop terms missing from the index;
+    conjunctive queries with a missing term return no rows; same
+    idf/tfnorm/tie rules) — asserted row-identical per query in
+    tests/test_bm25_queryset.py.
+
+    Returns (query_id, doc_id, url, doc_no, score) with per-query rank
+    order (score desc, doc_no asc), <= k rows per query."""
+    from pyspark.sql import Window
+
+    spark = index.spark
+    empty = spark.createDataFrame(
+        [], "query_id long, doc_id string, url string, doc_no long, score double"
+    )
+    q_ids, q_terms = [], []
+    union_terms: set[str] = set()
+    all_distinct: dict[int, list[str]] = {}
+    for qid, q in queries.items():
+        all_distinct[qid] = sorted(set(tokenize(q)))
+        union_terms.update(all_distinct[qid])
+    if not union_terms:
+        return empty
+    stats = index.term_stats(sorted(union_terms))
+    for qid, distinct in all_distinct.items():
+        terms = [t for t in distinct if t in stats]
+        if not terms:
+            continue
+        if conjunctive and len(terms) < len(distinct):
+            continue  # bm25_topk: a missing term can never match conjunctively
+        q_ids.append(qid)
+        q_terms.append(terms)
+    if not q_ids:
+        return empty
+    live_terms = sorted({t for ts in q_terms for t in ts})
+    n_docs = index.meta["n_docs"]
+    idf_map = {t: bm25_idf(n_docs, stats[t]["df"]) for t in live_terms}
+
+    meta = index.meta
+    scorer = _shard_taat_queryset(
+        k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
+        shard_size=meta["shard_size"], q_ids=q_ids, q_terms=q_terms,
+        idf_map=idf_map, conjunctive=conjunctive,
+        codec=meta.get("codec", "varint"),
+    )
+    per_shard = (
+        index.blocks.where(F.col("term").isin(live_terms))
+        .groupBy("shard")
+        .applyInPandas(scorer, QSET_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_no"))
+    topk = (
+        per_shard.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return (
+        index.docmap.join(F.broadcast(topk), "doc_no")
+        .select("query_id", "doc_id", "url", "doc_no", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_no"))
+    )
