@@ -480,7 +480,7 @@ QSET_SCHEMA = "query_id long, doc_no long, score double"
 def _shard_taat_queryset(
     k: int, k1: float, b: float, avgdl: float, shard_size: int,
     q_ids: list[int], q_terms: list[list[str]], idf_map: dict[str, float],
-    conjunctive: bool, codec: str = "varint",
+    conjunctive: bool, codec: str = "varint", exclude: frozenset = frozenset(),
 ):
     """Multi-query TAAT shard scorer: every posting block of the
     queryset's TERM UNION is decoded exactly ONCE per shard, its
@@ -516,10 +516,17 @@ def _shard_taat_queryset(
             for qi in term_to_qs.get(term, ()):
                 scores[qi] += contrib
                 seen[qi] += present
+        excl_arr = (
+            np.fromiter(exclude, dtype=np.int64) if exclude else None
+        )
         outs = []
         for qi in range(nq):
             mask = (seen[qi] == need[qi]) if conjunctive else (seen[qi] > 0)
             cand = np.nonzero(mask)[0]
+            if excl_arr is not None and cand.size:
+                # tombstoned doc_nos drop BEFORE top-k selection, same
+                # as _shard_taat
+                cand = cand[~np.isin(cand + base, excl_arr)]
             if cand.size == 0:
                 continue
             topn = min(k, cand.size)
@@ -613,4 +620,84 @@ def bm25_queryset_topk(
         index.docmap.join(F.broadcast(topk), "doc_no")
         .select("query_id", "doc_id", "url", "doc_no", "score")
         .orderBy("query_id", F.desc("score"), F.asc("doc_no"))
+    )
+
+
+def bm25_queryset_topk_multi(
+    msi,
+    queries: dict[int, str],
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Batch queryset serving over a MultiSegmentIndex — the
+    incremental-family counterpart of :func:`bm25_queryset_topk`: one
+    job ranks the whole queryset across every live segment with GLOBAL
+    statistics (tombstone-exact df corrections, global N/avgdl, BMW-
+    style per-segment codec dispatch), per-segment scoring via the
+    shared `_shard_taat_queryset` kernel (term-union blocks scan, each
+    block decoded once per shard, tombstones dropped pre-top-k), then
+    a per-query k-way merge with doc_id-asc ties — the same
+    per-query semantics as :func:`bm25_topk_multi` (asserted
+    row-identical in tests/test_bm25_queryset.py).
+
+    Returns (query_id, doc_id, url, score), <= k rows per query,
+    ordered (query_id, score desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    spark = msi.spark
+    empty = spark.createDataFrame(
+        [], "query_id long, doc_id string, url string, score double"
+    )
+    all_distinct = {qid: sorted(set(tokenize(q))) for qid, q in queries.items()}
+    union_terms = sorted({t for ts in all_distinct.values() for t in ts})
+    if not union_terms:
+        return empty
+    stats = msi.term_stats(union_terms)
+    present = [t for t in union_terms if t in stats]
+    df_corr = msi.df_corrections(present)
+    live_df = {t: stats[t]["df"] - df_corr.get(t, 0) for t in present}
+    live = {t for t in present if live_df[t] > 0}
+
+    q_ids, q_terms = [], []
+    for qid, distinct in all_distinct.items():
+        terms = [t for t in distinct if t in live]
+        if not terms:
+            continue
+        if conjunctive and len(terms) < len(distinct):
+            continue
+        q_ids.append(qid)
+        q_terms.append(terms)
+    if not q_ids:
+        return empty
+    live_terms = sorted({t for ts in q_terms for t in ts})
+    meta = msi.meta
+    idf_map = {t: bm25_idf(meta["n_docs"], live_df[t]) for t in live_terms}
+
+    parts = []
+    for seg, excl in zip(msi.segments, msi.excluded):
+        scorer = _shard_taat_queryset(
+            k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
+            shard_size=seg.meta["shard_size"], q_ids=q_ids, q_terms=q_terms,
+            idf_map=idf_map, conjunctive=conjunctive,
+            codec=seg.meta.get("codec", "varint"),
+            exclude=frozenset(int(x) for x in excl),
+        )
+        per_shard = (
+            seg.blocks.where(F.col("term").isin(live_terms))
+            .groupBy("shard")
+            .applyInPandas(scorer, QSET_SCHEMA)
+        )
+        parts.append(
+            seg.docmap.join(F.broadcast(per_shard), "doc_no")
+            .select("query_id", "doc_id", "url", "score")
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )

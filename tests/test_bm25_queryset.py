@@ -58,6 +58,47 @@ def test_queryset_conjunctive_missing_term_empty(spark, idx):
     assert _rows(got) == _rows(want)
 
 
+def test_queryset_multi_matches_serving_per_query(spark, idx, tmp_path_factory):
+    """Multi-segment batch == bm25_topk_multi per query, across a
+    2-segment family (global stats, per-segment scoring, doc_id-asc
+    merge ties)."""
+    import pyarrow.parquet as paq
+
+    from nadry_spark.operators.bm25 import bm25_queryset_topk_multi, bm25_topk_multi
+    from nadry_spark.sources.pages import pages_dataframe
+    from nadry_spark.sources.segments import MultiSegmentIndex, build_segments
+
+    base = tmp_path_factory.mktemp("qset_multi")
+    pdir = str(base / "pages_parquet")
+    pages_dataframe(spark, 300, partitions=4).coalesce(1).write.parquet(pdir)
+    table = paq.read_table(pdir)
+    n = table.num_rows
+    paths = []
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        part = str(base / f"pages{i}.parquet")
+        paq.write_table(table.slice(lo, hi - lo), part)
+        seg = str(base / f"seg{i}")
+        build_segments(spark, spark.read.parquet(part), seg, n_shards=3, shards_per_job=3)
+        paths.append(seg)
+    msi = MultiSegmentIndex(spark, paths)
+
+    batch = bm25_queryset_topk_multi(msi, QUERIES, k=10)
+    got = {
+        qid: [
+            (r["doc_id"], round(r["score"], 9))
+            for r in batch.where(F.col("query_id") == qid)
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        for qid in QUERIES
+    }
+    for qid, q in QUERIES.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_multi(msi, q, k=10, mode="taat").collect()
+        ]
+        assert got[qid] == want, f"query {qid!r} diverged in multi-segment batch"
+
+
 def test_queryset_scan_is_term_union_pruned(spark, idx):
     """The blocks scan must carry a term-membership filter (the
     term-pruned read is the point of the batch path)."""
