@@ -2008,14 +2008,18 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WORST case for coarse quantization): recall@10 = 0.92 for
 # pq_rerank at pool=400 (vs 0.46 at the old m=4/pool=50), ADC-only
 # 0.24 (vs 0.16). iters stays 0 so the DuckDB oracle can rebuild the
-# codebooks exactly; tests/test_pq.py asserts the >=0.9 rerank floor.
-# Production callers with a recall target should use
+# codebooks exactly; tests/test_similarity_batch.py
+# (test_pq_shipped_operating_point_floor) asserts the >=0.9 rerank
+# floor. Production callers with a recall target should use
 # operators/pq.pq_rerank_auto (sampled-ground-truth pool growth).
-PQ_M = 8
-PQ_KSUB = 16
-
-
-PQ_RERANK_POOL = 400
+# The constants LIVE in operators/pq.py (the library defaults are the
+# shipped operating point — r05 verdict #2); imported here so the
+# registry rows and the library can never drift apart.
+from nadry_spark.operators.pq import (  # noqa: E402
+    PQ_KSUB,
+    PQ_M,
+    PQ_RERANK_POOL,
+)
 
 
 CHAMPION_M = 20

@@ -33,6 +33,7 @@ def connected_components(
     iterations: int = 8,
     until_converged: bool = False,
     checkpoint_every: int = 3,
+    driver_max_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """(v, component) for every vertex appearing in ``edges``;
     ``component`` is the minimum vertex id reachable within
@@ -45,10 +46,28 @@ def connected_components(
     ``iterations`` with ``until_converged=False`` is bit-deterministic
     regardless of convergence, which is what the cross-engine oracle
     checks rely on.
+
+    Driver fast path (the bpe_merges_local / mmr_select precedent):
+    dedup pair graphs are a tiny fraction of the corpus (LSH/PPJoin
+    candidates that VERIFIED — thousands of edges for thousands of
+    docs), so when the symmetrized edge set is driver-sized
+    (``driver_max_edges``, default 2M ~ tens of MB) the k propagation
+    rounds run as vectorized numpy min-scatters on one collected edge
+    list instead of k (join + min-aggregate) Spark rounds (2 shuffles
+    each). The simulation is round-for-round the SAME recurrence
+    (label(v) <- min(label(v), min over neighbours)), on index ranks
+    of the sorted vertex set, so min-by-rank == min-by-value for
+    numeric ids and for strings (UTF-8 byte order == code-point
+    order) — bit-identical output to the distributed loop, asserted
+    in tests/test_components_fuzzy.py. Past the threshold (true
+    corpus-scale pair graphs) the distributed loop runs unchanged;
+    ``driver_max_edges=None`` disables the fast path.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.distinct().localCheckpoint()
+    if driver_max_edges is not None and und.count() <= driver_max_edges:
+        return _cc_local(und, iterations, until_converged)
     labels = (
         und.select(F.col("a").alias("v")).distinct()
         .withColumn("component", F.col("v"))
@@ -76,6 +95,38 @@ def connected_components(
         else:
             labels = new_labels
     return labels
+
+
+def _cc_local(und: DataFrame, iterations: int, until_converged: bool) -> DataFrame:
+    """Driver-side simulation of ``iterations`` min-label-propagation
+    rounds over the (already symmetrized, distinct, checkpointed)
+    edge frame — exactly the recurrence of the distributed loop,
+    vectorized with numpy min-scatters."""
+    import numpy as np
+
+    pdf = und.toPandas()
+    spark = und.sparkSession
+    a_vals = pdf["a"].to_numpy()
+    b_vals = pdf["b"].to_numpy()
+    verts = np.unique(np.concatenate([a_vals, b_vals]))
+    a_idx = np.searchsorted(verts, a_vals)
+    b_idx = np.searchsorted(verts, b_vals)
+    labels = np.arange(len(verts), dtype=np.int64)
+    for _ in range(iterations):
+        new = labels.copy()
+        # label(a) <- min(label(a), min over labels of its neighbours)
+        np.minimum.at(new, a_idx, labels[b_idx])
+        if until_converged and np.array_equal(new, labels):
+            break
+        labels = new
+    vtype = und.schema["a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("v", vtype, True), StructField("component", vtype, True)]
+    )
+    rows = list(zip(verts.tolist(), verts[labels].tolist()))
+    return spark.createDataFrame(rows, schema)
 
 
 def label_propagation(

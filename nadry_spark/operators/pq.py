@@ -31,6 +31,18 @@ from pyspark.sql import functions as F
 
 from nadry_spark.operators.similarity import ivf_build
 
+# Shipped PQ operating point (single source of truth — __spark_entry__
+# imports these): m=8 x ksub=16 = 32 bits/vector (32x compression vs
+# float32) and a 400-candidate re-rank pool. Chosen from the r5 numpy
+# sweep on the bench embeddings (near-uniform 2000x64 vectors, the
+# WORST case for coarse quantization): rerank recall@10 = 0.92 at
+# pool=400 (vs 0.46 at the old m=4/pool=50 defaults), ADC-only 0.24.
+# The >=0.9 rerank floor is asserted in tests/test_similarity_batch.py
+# (test_pq_shipped_operating_point_floor).
+PQ_M = 8
+PQ_KSUB = 16
+PQ_RERANK_POOL = 400
+
 
 def _sq_dist(vec_expr, cvec: list[float]):
     """round(||vec - c||^2, 9) as a column expression."""
@@ -49,7 +61,7 @@ def _sq_dist(vec_expr, cvec: list[float]):
 
 def pq_build(
     vectors: DataFrame,
-    m: int = 4,
+    m: int = 8,
     ksub: int = 16,
     iters: int = 0,
     id_col: str = "vec_id",
@@ -62,7 +74,22 @@ def pq_build(
     of the vectors; codebooks = list of per-subspace [(cid, centroid)].
     ``iters`` Lloyd rounds per subspace (0 = seed centroids, the
     oracle-mirrored default; refinement is the same machinery
-    ivf_iter1 already verifies)."""
+    ivf_iter1 already verifies).
+
+    Default ``m=8`` is the shipped operating point (32x compression,
+    rerank recall@10 0.92 at ``PQ_RERANK_POOL`` — the r5 sweep); it is
+    the single source of truth that ``__spark_entry__.PQ_M`` imports.
+
+    Cost shape: the first ksub FULL vectors are collected once and
+    sliced driver-side into every subspace's seed codebook (one job,
+    not one per subspace — each subspace's seeds are by construction
+    slices of the same rows), and the corpus is encoded in ONE scan
+    that computes all m subspace argmins per row (an m-entry struct
+    explode) instead of m unioned per-subspace assignment scans.  Both
+    produce bit-identical codes to the per-subspace formulation: the
+    argmin expression per subspace is unchanged
+    (:func:`~nadry_spark.operators.similarity._nearest_centroid_expr`
+    over the same slice)."""
     first = vectors.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("pq_build: empty vector table")
@@ -71,20 +98,43 @@ def pq_build(
         raise ValueError(f"dim {d} not divisible by m={m}")
     d_sub = d // m
 
-    codes = None
+    seed_rows = vectors.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    seeds = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
     codebooks = []
     for s in range(m):
-        sub = vectors.select(
-            id_col, F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subv")
-        )
-        assigned, cents = ivf_build(
-            sub, n_centroids=ksub, iters=iters, id_col=id_col, vec_col="subv"
-        )
-        codebooks.append(cents)
-        cd = assigned.select(
-            id_col, F.lit(s).alias("sub"), F.col("cid").alias("code")
-        )
-        codes = cd if codes is None else codes.unionByName(cd)
+        sub_seeds = [
+            (i, v[s * d_sub : (s + 1) * d_sub]) for i, v in enumerate(seeds)
+        ]
+        if iters == 0:
+            codebooks.append(sub_seeds)
+        else:
+            sub = vectors.select(
+                id_col, F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subv")
+            )
+            _, cents = ivf_build(
+                sub, n_centroids=ksub, iters=iters, id_col=id_col,
+                vec_col="subv", seed_centroids=sub_seeds,
+            )
+            codebooks.append(cents)
+
+    from nadry_spark.operators.similarity import _nearest_centroid_expr
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                _nearest_centroid_expr(
+                    F.slice(F.col(vec_col), s * d_sub + 1, d_sub), codebooks[s]
+                ).alias("code"),
+            )
+            for s in range(m)
+        ]
+    )
+    codes = (
+        vectors.select(id_col, F.explode(entries).alias("e"))
+        .select(id_col, F.col("e.sub").alias("sub"), F.col("e.code").alias("code"))
+    )
     return codes.localCheckpoint(), codebooks
 
 
@@ -100,24 +150,31 @@ def pq_topk(
     ties), self excluded. `queries` carries original vectors; the
     corpus side is codes only."""
     d_sub = len(codebooks[0][0][1])
-    dtab = None
+    # the whole m x ksub distance table in ONE scan of the query side
+    # (an (m*ksub)-entry struct explode) — the per-subspace union
+    # recomputed the query scan m times for the same rows
+    entries = []
     for s, cents in enumerate(codebooks):
-        qsub = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("qsub"),
-        )
-        entries = F.array(
-            *[
+        qsub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        for cid, cvec in cents:
+            entries.append(
                 F.struct(
-                    F.lit(cid).alias("code"), _sq_dist(F.col("qsub"), cvec).alias("d2")
+                    F.lit(s).alias("sub"),
+                    F.lit(cid).alias("code"),
+                    _sq_dist(qsub, cvec).alias("d2"),
                 )
-                for cid, cvec in cents
-            ]
+            )
+    dtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e")
         )
-        t = qsub.select(
-            "query_id", F.lit(s).alias("sub"), F.explode(entries).alias("e")
-        ).select("query_id", "sub", F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
-        dtab = t if dtab is None else dtab.unionByName(t)
+        .select(
+            "query_id",
+            F.col("e.sub").alias("sub"),
+            F.col("e.code").alias("code"),
+            F.col("e.d2").alias("d2"),
+        )
+    )
 
     scored = (
         codes.join(F.broadcast(dtab), ["sub", "code"])
@@ -147,34 +204,41 @@ def pq_codes_wide(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 
 def _dtab_expr(codebooks: list, vec_col: str):
-    """The per-query ADC distance table as ONE array<array<double>>
-    column expression: tabs[s][c] = round(||q_s - codebook_s[c]||^2, 9)
-    with subspaces in s order and entries in code order.  Codebooks are
-    driver-side literals (m x ksub x d_sub floats — always small by
-    construction), so the expression tree size is independent of both
-    corpus and query-set size."""
+    """The per-query ADC distance table as ONE array<map<int,double>>
+    column expression: tabs[s][cid] = round(||q_s - codebook_s[cid]||^2,
+    9) with subspaces in s order and entries keyed BY cid (a map, not a
+    position — pq_build delegates to the Lloyd machinery, which drops
+    empty clusters when iters>0, so cids need not be contiguous; a
+    positional lookup would silently read the wrong entry or NULL for
+    such a codebook).  Codebooks are driver-side literals (m x ksub x
+    d_sub floats — always small by construction), so the expression
+    tree size is independent of both corpus and query-set size."""
     d_sub = len(codebooks[0][0][1])
     per_sub = []
     for s, cents in enumerate(codebooks):
         qsub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
-        ordered = sorted(cents, key=lambda t: t[0])
-        per_sub.append(F.array(*[_sq_dist(qsub, cvec) for _cid, cvec in ordered]))
+        per_sub.append(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(cid)) for cid, _cvec in cents]),
+                F.array(*[_sq_dist(qsub, cvec) for _cid, cvec in cents]),
+            )
+        )
     return F.array(*per_sub)
 
 
 def _adc_dist_expr():
     """round(sum_s tabs[s][codes[s]], 9) from the wide `codes` and the
-    per-query `tabs` columns — whole-stage-codegen table lookups, no
-    join, no regroup.  Summation is in fixed s order (0..m-1); the
-    long-form path's groupBy sum is order-free, but both round the
+    per-query `tabs` columns — whole-stage-codegen map lookups keyed by
+    cid, no join, no regroup.  Summation is in fixed s order (0..m-1);
+    the long-form path's groupBy sum is order-free, but both round the
     total on the 1e-9 grid, so the results agree (asserted row-identical
-    in tests/test_pq_batch.py)."""
+    in tests/test_pq_batch.py, incl. a non-contiguous-cid codebook)."""
     return F.round(
         F.aggregate(
             F.zip_with(
                 F.col("tabs"),
                 F.col("codes"),
-                lambda t, c: F.element_at(t, c.cast("int") + 1),
+                lambda t, c: F.element_at(t, c.cast("int")),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -292,7 +356,7 @@ def pq_rerank_topk(
     queries: DataFrame,
     vectors: DataFrame,
     k: int = 10,
-    pool: int = 50,
+    pool: int = PQ_RERANK_POOL,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch: bool = False,
@@ -304,6 +368,11 @@ def pq_rerank_topk(
     cosine.  Recall approaches brute force at pool >> k while the
     scan stays code-sized.  (query_id, rank, neighbour_id), cosine
     ties on the 1e-9 grid + id asc like brute_force_topk.
+
+    Default ``pool=PQ_RERANK_POOL`` (400) is the shipped operating
+    point: measured recall@10 0.92 on the bench embeddings, with the
+    pytest floor in tests/test_similarity_batch.py — the old pool=50
+    default silently under-recalled (0.46, the r04 finding).
 
     ``batch=True`` generates the candidate pool with
     :func:`pq_topk_batch` (queries stay a DataFrame, no queries-sized
@@ -409,9 +478,9 @@ def pq_rerank_auto(
         by_q.setdefault(r["query_id"], []).append(r)
 
     curve: list[tuple[int, float]] = []
-    pool = start_pool
+    pool = min(start_pool, max_pool)
     chosen, est = max_pool, 0.0
-    while pool <= max_pool:
+    while True:
         recalls = []
         for qid, items in by_q.items():
             sub = [r for r in items if r["adc_rank"] <= pool]
@@ -421,11 +490,15 @@ def pq_rerank_auto(
                 recalls.append(len(got & gt[qid]) / len(gt[qid]))
         rec = sum(recalls) / len(recalls) if recalls else 0.0
         curve.append((pool, round(rec, 3)))
-        if rec >= target_recall:
-            chosen, est = pool, rec
-            break
         chosen, est = pool, rec
-        pool *= 2
+        if rec >= target_recall or pool >= max_pool:
+            break
+        # clamp the last doubling to max_pool: the ADC candidate
+        # ranking was already computed at max_pool, so the largest
+        # available pool is always in the curve (a bare pool *= 2
+        # could skip it — e.g. start=100, max=250 tested only 100/200
+        # and reported target_met=False with 250 unevaluated)
+        pool = min(pool * 2, max_pool)
     if stats is not None:
         stats["pool"] = chosen
         stats["recall_estimate"] = round(est, 3)

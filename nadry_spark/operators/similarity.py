@@ -253,19 +253,24 @@ def lsh_topk_multi(
     )
 
 
-def _nearest_centroid_expr(vec_col: str, centroids: list[tuple[int, list[float]]]):
+def _nearest_centroid_expr(vec_col, centroids: list[tuple[int, list[float]]]):
     """argmin over broadcast centroids as a pure column expression:
     array of (squared_dist, cid) structs -> array_min (struct compare
     orders by dist, then cid — deterministic ties). Distances are
     quantized to the 1e-9 grid before the argmin so the assignment is
     reproducible across engines (summation-order fp noise ~1e-16 can't
     flip near-equidistant centroids differently in Spark vs the DuckDB
-    oracle); at 1e-9 the quantization is irrelevant to k-means quality."""
+    oracle); at 1e-9 the quantization is irrelevant to k-means quality.
+
+    ``vec_col`` may be a column name or a Column expression (e.g. a
+    subspace ``slice`` — lets pq_build assign every subspace in ONE
+    scan instead of one scan per subspace)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     entries = []
     for cid, cvec in centroids:
         carr = F.array(*[F.lit(float(x)) for x in cvec])
         d2 = F.aggregate(
-            F.zip_with(F.col(vec_col), carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
+            F.zip_with(vec, carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -279,38 +284,55 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_centroids: list[tuple[int, list[float]]] | None = None,
 ):
     """IVF index: deterministic Lloyd's k-means (seeded from the first
     n_centroids vectors by id — no RNG), assignments as a DataFrame.
 
     Returns (assigned_df with `cid`, centroids list). At 100TB the
     assignment is one scan per iteration with broadcast centroids; the
-    centroid update is a (cid, dim) aggregation — no driver data moves
-    beyond k*dim floats.
+    centroid update is a per-cid aggregation of per-dimension means —
+    no driver data moves beyond k*dim floats.
+
+    ``seed_centroids`` lets a caller that already holds the first
+    n_centroids vectors (pq_build collects them ONCE for all
+    subspaces) skip the seed-collect job; values must equal what the
+    default path would collect.
     """
-    seed_rows = (
-        vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    )
-    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+    if seed_centroids is not None:
+        centroids = [(cid, [float(x) for x in cvec]) for cid, cvec in seed_centroids]
+    else:
+        seed_rows = (
+            vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+        centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+    dim = len(centroids[0][1]) if centroids else 0
 
     for _ in range(iters):
         assigned = vectors.withColumn("cid", _nearest_centroid_expr(vec_col, centroids))
+        # per-cid mean of every dimension as ONE narrow aggregation
+        # (dim avg columns, partial map-side aggregation) — the
+        # posexplode->(cid,dim) groupBy formulation shuffled one row
+        # per (vector, dim) instead of k_centroids rows total. Same
+        # values: avg over the identical per-(cid,dim) value set,
+        # quantized to the 1e-6 grid so cross-engine / cross-run
+        # fp-summation noise (~1e-16 relative) in the avg can't leak
+        # into the next assignment's argmin (the distance round to
+        # 1e-9 only absorbs noise BELOW the grid).
         updated = (
-            assigned.select("cid", F.posexplode(vec_col).alias("dim", "val"))
-            .groupBy("cid", "dim")
-            # quantize the new means to the 1e-6 grid: cross-engine /
-            # cross-run fp-summation noise (~1e-16 relative) in the avg
-            # must not leak into the next assignment's argmin (the
-            # distance round to 1e-9 only absorbs noise BELOW the grid)
-            .agg(F.round(F.avg("val"), 6).alias("m"))
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at(F.col(vec_col), d + 1)), 6).alias(f"m{d}")
+                    for d in range(dim)
+                ]
+            )
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in updated:
-            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
         # empty clusters drop out (no vector assigned -> no rows)
         centroids = [
-            (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+            (r["cid"], [r[f"m{d}"] for d in range(dim)])
+            for r in sorted(updated, key=lambda r: r["cid"])
         ]
 
     assigned = vectors.withColumn("cid", _nearest_centroid_expr(vec_col, centroids))

@@ -70,6 +70,47 @@ def test_connected_components_vs_union_find(spark):
     assert any(partial[v] != want[v] for v in want)  # chain of 8 unfinished
 
 
+def test_cc_driver_fast_path_identical_to_distributed(spark):
+    """The driver-sized numpy fast path must be row-identical to the
+    distributed propagation loop for the SAME round count — including
+    unconverged fixed-iteration states (the oracle-relied property)
+    and string vertex ids (min-by-rank == min-by-value)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges += [(i, i + 1) for i in range(100, 112)]  # a 13-chain: diameter > 2
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (2, 8):
+        fast = sorted(
+            (r["v"], r["component"])
+            for r in connected_components(df, iterations=iters).collect()
+        )
+        dist = sorted(
+            (r["v"], r["component"])
+            for r in connected_components(
+                df, iterations=iters, driver_max_edges=None
+            ).collect()
+        )
+        assert fast == dist
+
+    sdf = spark.createDataFrame(
+        [(f"d{a}", f"d{b}") for a, b in edges], "src string, dst string"
+    )
+    fast = sorted(
+        (r["v"], r["component"])
+        for r in connected_components(sdf, iterations=4).collect()
+    )
+    dist = sorted(
+        (r["v"], r["component"])
+        for r in connected_components(
+            sdf, iterations=4, driver_max_edges=None
+        ).collect()
+    )
+    assert fast == dist
+
+
 def test_deletion_variants_exact_set(spark):
     df = spark.createDataFrame([("abc",)], "t string")
     got = {r["variant"] for r in deletion_variants(df, "t", max_deletes=2).collect()}
