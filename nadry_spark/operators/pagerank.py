@@ -49,6 +49,7 @@ def pagerank(
     checkpoint_every: int = 5,
     check_every: int = 1,
     broadcast_threshold: int = 1_000_000,
+    driver_max_edges: int | None = 5_000_000,
 ) -> DataFrame:
     """(url, popularity_score) over pages with >=1 inlink.
 

@@ -44,19 +44,8 @@ PQ_KSUB = 16
 PQ_RERANK_POOL = 400
 
 
-def _sq_dist(vec_expr, cvec: list[float]):
-    """round(||vec - c||^2, 9) as a column expression."""
-    carr = F.array(*[F.lit(float(x)) for x in cvec])
-    return F.round(
-        F.aggregate(
-            F.zip_with(
-                vec_expr, carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        9,
-    )
+def _vec_sql(vec_col: str) -> str:
+    return f"`{vec_col}`" if vec_col.isidentifier() else vec_col
 
 
 def pq_build(
@@ -118,21 +107,18 @@ def pq_build(
             )
             codebooks.append(cents)
 
-    from nadry_spark.operators.similarity import _nearest_centroid_expr
+    from nadry_spark.operators.similarity import _nearest_centroid_sql
 
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                _nearest_centroid_expr(
-                    F.slice(F.col(vec_col), s * d_sub + 1, d_sub), codebooks[s]
-                ).alias("code"),
-            )
-            for s in range(m)
-        ]
+    entries = ",".join(
+        f"struct({s} AS sub, "
+        + _nearest_centroid_sql(
+            f"slice({_vec_sql(vec_col)}, {s * d_sub + 1}, {d_sub})", codebooks[s]
+        )
+        + " AS code)"
+        for s in range(m)
     )
     codes = (
-        vectors.select(id_col, F.explode(entries).alias("e"))
+        vectors.select(id_col, F.explode(F.expr(f"array({entries})")).alias("e"))
         .select(id_col, F.col("e.sub").alias("sub"), F.col("e.code").alias("code"))
     )
     return codes.localCheckpoint(), codebooks
@@ -149,24 +135,27 @@ def pq_topk(
     """(query_id, rank, neighbour_id) by ADC distance (asc, id-asc
     ties), self excluded. `queries` carries original vectors; the
     corpus side is codes only."""
+    from nadry_spark.operators.similarity import _sq_dist_sql
+
     d_sub = len(codebooks[0][0][1])
     # the whole m x ksub distance table in ONE scan of the query side
     # (an (m*ksub)-entry struct explode) — the per-subspace union
-    # recomputed the query scan m times for the same rows
+    # recomputed the query scan m times for the same rows.  SQL-text
+    # assembly (one JVM parse) — the Column-API build of these m*ksub
+    # nested expressions cost ~3.2s of py4j round-trips per call,
+    # dwarfing the query's own execution.
     entries = []
     for s, cents in enumerate(codebooks):
-        qsub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        qsub = f"slice({_vec_sql(vec_col)}, {s * d_sub + 1}, {d_sub})"
         for cid, cvec in cents:
             entries.append(
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.lit(cid).alias("code"),
-                    _sq_dist(qsub, cvec).alias("d2"),
-                )
+                f"struct({s} AS sub, {int(cid)} AS code, "
+                f"{_sq_dist_sql(qsub, cvec)} AS d2)"
             )
     dtab = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e")
+            F.col(id_col).alias("query_id"),
+            F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("e"),
         )
         .select(
             "query_id",
@@ -213,17 +202,16 @@ def _dtab_expr(codebooks: list, vec_col: str):
     such a codebook).  Codebooks are driver-side literals (m x ksub x
     d_sub floats — always small by construction), so the expression
     tree size is independent of both corpus and query-set size."""
+    from nadry_spark.operators.similarity import _sq_dist_sql
+
     d_sub = len(codebooks[0][0][1])
     per_sub = []
     for s, cents in enumerate(codebooks):
-        qsub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
-        per_sub.append(
-            F.map_from_arrays(
-                F.array(*[F.lit(int(cid)) for cid, _cvec in cents]),
-                F.array(*[_sq_dist(qsub, cvec) for _cid, cvec in cents]),
-            )
-        )
-    return F.array(*per_sub)
+        qsub = f"slice({_vec_sql(vec_col)}, {s * d_sub + 1}, {d_sub})"
+        cids = "array(" + ",".join(str(int(cid)) for cid, _cvec in cents) + ")"
+        dists = "array(" + ",".join(_sq_dist_sql(qsub, cvec) for _cid, cvec in cents) + ")"
+        per_sub.append(f"map_from_arrays({cids}, {dists})")
+    return F.expr("array(" + ",".join(per_sub) + ")")
 
 
 def _adc_dist_expr():

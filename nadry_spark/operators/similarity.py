@@ -253,29 +253,55 @@ def lsh_topk_multi(
     )
 
 
-def _nearest_centroid_expr(vec_col, centroids: list[tuple[int, list[float]]]):
-    """argmin over broadcast centroids as a pure column expression:
-    array of (squared_dist, cid) structs -> array_min (struct compare
-    orders by dist, then cid — deterministic ties). Distances are
-    quantized to the 1e-9 grid before the argmin so the assignment is
-    reproducible across engines (summation-order fp noise ~1e-16 can't
-    flip near-equidistant centroids differently in Spark vs the DuckDB
+def _dbl_lit_sql(x: float) -> str:
+    """An exact double literal in Spark SQL text. ``repr(float)`` is the
+    shortest string that round-trips to the same IEEE double, and both
+    Python's parser and Java's Double.parseDouble are correctly-rounded,
+    so CAST(<repr> AS DOUBLE) reproduces the bit pattern F.lit(x) ships
+    (bare SQL decimals would parse as DECIMAL — the same trap as the
+    DuckDB oracle literals, see CLAUDE.md)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _sq_dist_sql(vec_sql: str, cvec: list[float]) -> str:
+    """round(||vec - c||^2, 9) as SQL text — the same expression tree
+    `F.round(F.aggregate(F.zip_with(...)))` builds, but assembled as one
+    string and parsed by the JVM in a single call.  The Column-API
+    formulation costs thousands of py4j round-trips when repeated
+    m x ksub times per codebook (measured 3.2s of DRIVER time per
+    pq_topk call at m=8/ksub=16 — more than the query's execution);
+    text assembly is pure Python string work."""
+    arr = "array(" + ",".join(_dbl_lit_sql(x) for x in cvec) + ")"
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {arr}, "
+        "(a, c) -> (CAST(a AS DOUBLE) - c) * (CAST(a AS DOUBLE) - c)), "
+        f"{_dbl_lit_sql(0.0)}, (acc, v) -> acc + v), 9)"
+    )
+
+
+def _nearest_centroid_sql(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> str:
+    """argmin over broadcast centroids as SQL text: array of
+    (squared_dist, cid) structs -> array_min (struct compare orders by
+    dist, then cid — deterministic ties). Distances are quantized to
+    the 1e-9 grid before the argmin so the assignment is reproducible
+    across engines (summation-order fp noise ~1e-16 can't flip
+    near-equidistant centroids differently in Spark vs the DuckDB
     oracle); at 1e-9 the quantization is irrelevant to k-means quality.
 
-    ``vec_col`` may be a column name or a Column expression (e.g. a
-    subspace ``slice`` — lets pq_build assign every subspace in ONE
-    scan instead of one scan per subspace)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    entries = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = F.aggregate(
-            F.zip_with(vec, carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entries.append(F.struct(F.round(d2, 9).alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+    ``vec_sql`` is the vector as SQL text — a column name or e.g. a
+    subspace ``slice(...)`` (lets pq_build assign every subspace in
+    ONE scan instead of one scan per subspace)."""
+    entries = ",".join(
+        f"struct({_sq_dist_sql(vec_sql, cvec)} AS d, {int(cid)} AS cid)"
+        for cid, cvec in centroids
+    )
+    return f"array_min(array({entries})).cid"
+
+
+def _nearest_centroid_expr(vec_col, centroids: list[tuple[int, list[float]]]):
+    """Column wrapper over :func:`_nearest_centroid_sql`; ``vec_col``
+    is a column name or vector SQL text."""
+    return F.expr(_nearest_centroid_sql(f"`{vec_col}`" if vec_col.isidentifier() else vec_col, centroids))
 
 
 def ivf_build(
@@ -400,17 +426,15 @@ def _centroid_probe_expr(vec_col: str, centroids: list[tuple[int, list[float]]],
     (round(d2,9), cid) structs -> array_sort (lexicographic: distance
     asc then cid asc — the exact numpy ``lexsort((cid, d2))`` order
     ivf_topk uses) -> slice nprobe.  Same 1e-9 quantization as the
-    assignment expr so the probe choice is engine-reproducible."""
-    entries = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_col), carr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entries.append(F.struct(F.round(d2, 9).alias("d"), F.lit(cid).alias("cid")))
-    return F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    assignment expr so the probe choice is engine-reproducible.
+    Assembled as SQL text (single JVM parse) for the same py4j-cost
+    reason as :func:`_sq_dist_sql`."""
+    vec_sql = f"`{vec_col}`" if vec_col.isidentifier() else vec_col
+    entries = ",".join(
+        f"struct({_sq_dist_sql(vec_sql, cvec)} AS d, {int(cid)} AS cid)"
+        for cid, cvec in centroids
+    )
+    return F.expr(f"slice(array_sort(array({entries})), 1, {int(nprobe)})")
 
 
 def ivf_topk_batch(
