@@ -127,3 +127,32 @@ def test_trustrank_matches_python_reference(spark):
     assert got["e"] == round((1.0 - d) * 0.5, 9)  # unreachable seed: teleport only
     total = sum(got.values())
     assert total <= 1.0 + 1e-9  # mass only leaks (dangling), never appears
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    """The numpy fast path must match the distributed broadcast-join
+    loop on the same graph — fixed-iteration and converged modes.
+    (Not bit-compared: the two sum contributions in different orders,
+    the same noise class the distributed loop has run-to-run; 1e-12
+    is far below the 1e-9 output grid.)"""
+    import random
+
+    from nadry_spark.operators.pagerank import pagerank
+
+    rng = random.Random(5)
+    docs = [
+        (f"u{i}", list({f"u{rng.randrange(40)}" for _ in range(rng.randrange(1, 5))}))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "url string, links array<string>")
+    for kwargs in ({"tol": 0.0, "max_iter": 7}, {"tol": 1e-6, "max_iter": 50}):
+        fast = {
+            r["url"]: r["popularity_score"] for r in pagerank(df, **kwargs).collect()
+        }
+        dist = {
+            r["url"]: r["popularity_score"]
+            for r in pagerank(df, driver_max_edges=None, **kwargs).collect()
+        }
+        assert set(fast) == set(dist)
+        for u in dist:
+            assert fast[u] == pytest.approx(dist[u], abs=1e-12), u
