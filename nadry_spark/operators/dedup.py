@@ -38,6 +38,14 @@ HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 # and the drop is logged/returned — never silent.
 DEFAULT_BUCKET_CAP = 1000
 
+# Jaccard-verify broadcast gate: broadcast the candidate-doc shingle
+# arrays into the pair stream while the (distinct) shingle row count —
+# an upper bound on the array table, measured on the already-persisted
+# frame — stays under this. ~30 bytes/row -> ~300 MB worst case, well
+# inside executor/broadcast limits; past it the verify falls back to
+# the two shuffle joins unchanged (the 100 TB shape).
+BROADCAST_VERIFY_MAX_SHINGLE_ROWS = 10_000_000
+
 
 def skip_hot_buckets(
     df: DataFrame,
@@ -262,10 +270,23 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+    broadcast_arrays: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) via shingle self-join; optionally restricted
-    to LSH candidates (the scale path — never all-pairs)."""
+    to LSH candidates (the scale path — never all-pairs).
+
+    ``broadcast_arrays``: broadcast the per-doc shingle-array table
+    into the candidate-pair stream instead of shuffle-joining it twice.
+    The arrays are ~KBs per doc, so the two shuffle joins move
+    |candidates| x array-size bytes (GBs at ~1M candidates) where the
+    pair stream itself is ~16 bytes/row; with the broadcast the verify
+    is ONE stage over the skinny pair stream and the only exchanged
+    payload is the (candidate-docs-only) array table, once. Callers
+    enable it when the candidate-doc set is bounded (ngram_jaccard_dups
+    / minhash_dedup_pairs gate on the measured shingle row count)."""
     if candidates is not None:
         # per-pair set intersection: join each candidate pair to the two
         # docs' shingle arrays and intersect. O(candidates * shingle set)
@@ -285,12 +306,29 @@ def jaccard_pairs(
             .groupBy("id")
             .agg(F.collect_list("shingle").alias("sh"), F.count("*").alias("n_sh"))
         )
+        if broadcast_arrays:
+            # materialize the array table ONCE: it embeds the candidate
+            # join (via cand_ids), and the a/b broadcast exchanges are
+            # different projections, so without the checkpoint each
+            # broadcast build would recompute the whole candidate
+            # generation
+            arrs = arrs.localCheckpoint()
+            # the skinny pair stream (16 B/row) coalesces to ~1 AQE
+            # partition, serializing the per-pair intersections that
+            # dominate the verify — spread it explicitly (hash by the
+            # pair key, fixed partition count so AQE keeps it)
+            candidates = candidates.repartition(
+                candidates.sparkSession.sparkContext.defaultParallelism,
+                "id_a", "id_b",
+            )
         a = arrs.select(
             F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
         )
         b = arrs.select(
             F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
         )
+        if broadcast_arrays:
+            a, b = F.broadcast(a), F.broadcast(b)
         out = (
             candidates.join(a, "id_a")
             .join(b, "id_b")
@@ -430,14 +468,20 @@ def ngram_jaccard_dups(
     pair set is checkpointed.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
-    cand = prefix_filtered_candidates(sh, threshold, stats=stats)
+    # count materializes the persisted shingles (paid once, every later
+    # stage reads the cache) and gates the verify's broadcast plan
+    bcast = sh.count() <= BROADCAST_VERIFY_MAX_SHINGLE_ROWS
+    # persist the candidate pairs: the verify consumes them on the pair
+    # stream AND (via cand_ids) inside the array table — without the
+    # cache the prefix self-join runs once per consumer
+    cand = prefix_filtered_candidates(sh, threshold, stats=stats).persist()
     if stats is not None:
-        cand = cand.persist()
         stats["candidate_pairs"] = cand.count()
-    pairs = jaccard_pairs(sh, cand, threshold).localCheckpoint()
+    pairs = jaccard_pairs(
+        sh, cand, threshold, broadcast_arrays=bcast
+    ).localCheckpoint()
     sh.unpersist()
-    if stats is not None:
-        cand.unpersist()
+    cand.unpersist()
     return pairs
 
 
@@ -467,6 +511,7 @@ def minhash_dedup_pairs(
     to hand over).
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    bcast = sh.count() <= BROADCAST_VERIFY_MAX_SHINGLE_ROWS
     # signatures persisted too: with a bucket_cap the banded frame is
     # consumed by the sizes job AND both sides of the bucket self-join —
     # caching the (n_docs x 16) signature frame keeps the 16-way min
@@ -474,10 +519,13 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(sh, n_hashes).persist()
     cand = lsh_candidate_pairs(
         sigs, n_hashes, bands, bucket_cap=bucket_cap, stats=stats
-    )
-    pairs = jaccard_pairs(sh, cand, threshold).localCheckpoint()
+    ).persist()
+    pairs = jaccard_pairs(
+        sh, cand, threshold, broadcast_arrays=bcast
+    ).localCheckpoint()
     sh.unpersist()
     sigs.unpersist()
+    cand.unpersist()
     return pairs
 
 
