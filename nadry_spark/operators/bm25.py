@@ -330,6 +330,22 @@ def bm25_topk(
 
     per_shard = blocks.groupBy("shard").applyInPandas(scorer, TOPK_SCHEMA)
     topk = per_shard.orderBy(F.desc("score"), F.asc("doc_no")).limit(k)
+    dm = getattr(index, "_docmap_dict", None)
+    if dm is not None:
+        # serving fast path (docmap pinned in the driver at warm()):
+        # ONE Spark job — the per-shard scoring — then the <=k winners
+        # enrich from the driver dict; the broadcast join below costs a
+        # second materialization job per query for the same rows. Same
+        # rows, same (score desc, doc_no) order.
+        rows = topk.collect()
+        if all(r["doc_no"] in dm for r in rows):
+            data = [
+                (dm[r["doc_no"]][0], dm[r["doc_no"]][1], r["doc_no"], r["score"])
+                for r in rows
+            ]
+            return spark.createDataFrame(
+                data, "doc_id string, url string, doc_no long, score double"
+            )
     return (
         index.docmap.join(F.broadcast(topk), "doc_no")
         .select("doc_id", "url", "doc_no", "score")
@@ -397,8 +413,11 @@ def bm25_topk_multi(
         k=k, k1=meta["k1"], b=meta["b"], avgdl=meta["avgdl"],
         idf_map=idf_map, n_query_terms=len(terms), conjunctive=conjunctive,
     )
+    dicts_ok = all(
+        getattr(s, "_docmap_dict", None) is not None for s in msi.segments
+    )
     parts = []
-    for seg, excl in zip(msi.segments, msi.excluded):
+    for i, (seg, excl) in enumerate(zip(msi.segments, msi.excluded)):
         # codec is a per-SEGMENT property (segments of one family may
         # be built with different codecs across compactions)
         seg_args = dict(
@@ -418,13 +437,32 @@ def bm25_topk_multi(
             .groupBy("shard")
             .applyInPandas(scorer, TOPK_SCHEMA)
         )
-        parts.append(
-            seg.docmap.join(F.broadcast(per_shard), "doc_no")
-            .select("doc_id", "url", "score")
-        )
+        if dicts_ok:
+            parts.append(per_shard.withColumn("_seg", F.lit(i)))
+        else:
+            parts.append(
+                seg.docmap.join(F.broadcast(per_shard), "doc_no")
+                .select("doc_id", "url", "score")
+            )
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
+    if dicts_ok:
+        # serving fast path (per-segment docmaps pinned at warm()): the
+        # per-segment shard top-ks (<= n_shards*k rows each) collect in
+        # ONE job and the k-way merge + enrichment run driver-side —
+        # the join formulation costs one broadcast materialization per
+        # segment per query. Same rows and the same (score desc,
+        # doc_id asc) merge order.
+        rows = merged.collect()
+        enriched = []
+        for r in rows:
+            doc_id, url = msi.segments[r["_seg"]]._docmap_dict[r["doc_no"]]
+            enriched.append((doc_id, url, r["score"]))
+        enriched.sort(key=lambda x: (-x[2], x[0]))
+        return spark.createDataFrame(
+            enriched[:k], "doc_id string, url string, score double"
+        )
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

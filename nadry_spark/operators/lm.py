@@ -59,7 +59,12 @@ def train_char_trigram_counts(
         .agg(F.sum("c3").alias("c2"))
     )
     charset = (
-        docs.select(F.explode(F.split(text_col, "")).alias("ch"))
+        # distinct chars PER DOC before the explode: the fan-out is
+        # bounded by charset-per-doc (~dozens) instead of one row per
+        # character of the corpus; the global distinct is unchanged
+        docs.select(
+            F.explode(F.array_distinct(F.split(text_col, ""))).alias("ch")
+        )
         .where(F.col("ch") != "")
         .agg(F.countDistinct("ch").alias("v"))
         .collect()[0]["v"]
@@ -78,19 +83,32 @@ def char_trigram_lm_scores(
     ``ln((c3 + k) / (c2 + k * V))`` averaged over the document's
     trigrams, rounded to 9 digits.  V = corpus charset size.  Higher
     is more fluent; docs with < 3 chars get no row."""
-    c3, c2, charset = train_char_trigram_counts(docs, text_col, id_col)
+    c3, _c2, charset = train_char_trigram_counts(docs, text_col, id_col)
+    # The model is bounded by charset^3 regardless of corpus size (the
+    # module's broadcastability argument) — so collect the trigram
+    # counts ONCE, derive the context counts driver-side (exact integer
+    # sums), and ship a single (tri, c3, c2) broadcast table.  The
+    # two-join formulation materialized the corpus-wide trigram
+    # aggregation twice (c2 derives from c3, and each broadcast build
+    # re-ran the lineage).  Log-probs still evaluate in the JVM on the
+    # same integer inputs — identical doubles.
+    rows = c3.collect()
+    c2map: dict[str, int] = {}
+    for r in rows:
+        ctx = r["tri"][:2]
+        c2map[ctx] = c2map.get(ctx, 0) + r["c3"]
+    spark = docs.sparkSession
+    table = spark.createDataFrame(
+        [(r["tri"], r["c3"], c2map[r["tri"][:2]]) for r in rows],
+        "tri string, c3 long, c2 long",
+    )
     tris = _doc_trigrams(docs, id_col, text_col)
-    scored = (
-        tris.join(F.broadcast(c3), "tri")
-        .withColumn("ctx", F.substring("tri", 1, 2))
-        .join(F.broadcast(c2), "ctx")
-        .withColumn(
-            "_lp",
-            F.log(
-                (F.col("c3").cast("double") + F.lit(float(k)))
-                / (F.col("c2").cast("double") + F.lit(float(k) * charset))
-            ),
-        )
+    scored = tris.join(F.broadcast(table), "tri").withColumn(
+        "_lp",
+        F.log(
+            (F.col("c3").cast("double") + F.lit(float(k)))
+            / (F.col("c2").cast("double") + F.lit(float(k) * charset))
+        ),
     )
     return scored.groupBy(F.col("_id").alias(id_col)).agg(
         F.round(F.avg("_lp"), 9).alias("lm_score")

@@ -45,6 +45,11 @@ def tfidf_cosine_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cosine) with id_a < id_b and rounded cosine >=
     threshold, over tf rows (doc, term, tf)."""
+    # the tf input is typically an expensive pipeline (shingle windows +
+    # groupBy); it feeds FOUR subtrees below (df aggregation, the
+    # pruned-terms count, n_docs, and the weight projection) — persist
+    # so it computes once instead of once per consumer
+    tf = tf.persist()
     df_t = tf.groupBy(term_col).agg(F.countDistinct(id_col).alias("df"))
     n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("n"))
     dropped = df_t.where(F.col("df") > max_df).count()
@@ -70,6 +75,7 @@ def tfidf_cosine_pairs(
         )
         .localCheckpoint()
     )
+    tf.unpersist()
     norms = w.groupBy("d").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
 
     a = w.select(F.col("d").alias("id_a"), "t", F.col("w").alias("wa"))

@@ -853,20 +853,45 @@ def segments_from_postings(
 class SegmentIndex:
     """Handle over a built segment directory."""
 
+    # driver-side pin gates for warm(): the term dictionary and the
+    # doc_no->(doc_id, url) map are pinned in DRIVER memory while they
+    # fit (a real serving deployment holds the dictionary in RAM) so a
+    # query costs a dict probe instead of a Spark job; past the gates
+    # serving falls back to the cached-DataFrame jobs unchanged.
+    TERMS_DICT_MAX = 5_000_000
+    DOCMAP_DICT_MAX = 1_000_000
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
         self._cached: dict[str, DataFrame] = {}
+        self._terms_dict: dict | None = None
+        self._docmap_dict: dict | None = None
 
     def warm(self) -> "SegmentIndex":
         """Pin the dictionary, blocks and docmap in executor memory —
-        what a serving deployment does for query latency. Returns self."""
+        what a serving deployment does for query latency — and, while
+        they fit the driver gates above, the term dictionary and docmap
+        in driver memory too. Returns self."""
+        counts: dict[str, int] = {}
         for name in ("terms", "blocks", "docmap"):
             df = getattr(self, name).cache()
-            df.count()
+            counts[name] = df.count()
             self._cached[name] = df
+        if counts["terms"] <= self.TERMS_DICT_MAX:
+            self._terms_dict = {
+                r["term"]: {"df": r["df"], "n_blocks": r["n_blocks"]}
+                for r in self._cached["terms"].collect()
+            }
+        if counts["docmap"] <= self.DOCMAP_DICT_MAX:
+            self._docmap_dict = {
+                r["doc_no"]: (r["doc_id"], r["url"])
+                for r in self._cached["docmap"]
+                .select("doc_no", "doc_id", "url")
+                .collect()
+            }
         return self
 
     @property
@@ -908,6 +933,12 @@ class SegmentIndex:
         return self.spark.read.parquet(os.path.join(self.path, "docs_content"))
 
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        if self._terms_dict is not None:
+            return {
+                t: dict(self._terms_dict[t])
+                for t in set(terms)
+                if t in self._terms_dict
+            }
         rows = self.terms.where(F.col("term").isin(list(set(terms)))).collect()
         return {r["term"]: {"df": r["df"], "n_blocks": r["n_blocks"]} for r in rows}
 

@@ -129,3 +129,21 @@ def test_broadcast_join_on_candidates(spark, seg):
     df = bm25_topk(idx, "news report", k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_warm_serving_fast_path_matches_join_path(spark, seg):
+    """warm() pins the term dictionary and docmap in the driver; the
+    serving fast path (one scoring job + driver enrichment) must return
+    exactly the join path's rows in the same order, and term_stats must
+    match the Spark probe."""
+    from nadry_spark.sources.segments import SegmentIndex
+    from nadry_spark.operators.bm25 import bm25_topk
+
+    idx, _, _ = seg
+    warm = SegmentIndex(spark, idx.path).warm()
+    assert warm._docmap_dict is not None and warm._terms_dict is not None
+    for q in ("news report", "value sort", "zzz-missing"):
+        fast = [tuple(r) for r in bm25_topk(warm, q, k=5).collect()]
+        join = [tuple(r) for r in bm25_topk(idx, q, k=5).collect()]
+        assert fast == join, q
+        assert warm.term_stats(q.split()) == idx.term_stats(q.split())
