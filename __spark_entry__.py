@@ -1791,8 +1791,13 @@ def q_bm25f_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).select(
             "doc_id", F.lit(name).alias("field"), "term", "tf"
         )
+        # field length = sum of tf per doc — derived from the tf
+        # aggregation instead of a second count over the raw token
+        # explode (same values; the tokenization branch runs once)
         ln = (
-            base.join(tok.groupBy("doc_id").agg(F.count("*").alias("c")), "doc_id", "left")
+            base.join(
+                tf.groupBy("doc_id").agg(F.sum("tf").alias("c")), "doc_id", "left"
+            )
             .select(
                 "doc_id",
                 F.lit(name).alias("field"),
@@ -2326,9 +2331,12 @@ def q_rm3_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5-interpolated weighted re-rank. (rank, doc_id, score)."""
     from nadry_spark.operators.prf import rm3_rerank
 
+    # rm3 consults tf 4x and tw 5x (both passes + relevance model +
+    # expansion df) — materialize the tokenization lineage once, the
+    # contract rm3_rerank's docstring asks of callers
     return rm3_rerank(
-        q_doc_term_tf(spark, sf_dir),
-        q_total_words(spark, sf_dir),
+        q_doc_term_tf(spark, sf_dir).localCheckpoint(),
+        q_total_words(spark, sf_dir).localCheckpoint(),
         QUERY_TERMS,
         fb_docs=RM3_FB_DOCS,
         fb_terms=RM3_FB_TERMS,

@@ -170,7 +170,9 @@ def compact_string_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
     """(id, shingle) — distinct word n-grams over lowercased \\s+ tokens.
 
     Row-based: one posexplode + lead() window per doc, then distinct.
@@ -179,6 +181,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     projections — O(tokens^2) per doc; lead/concat_ws stay in
     whole-stage codegen and the per-doc window partition is bounded by
     document length.)
+
+    ``distinct=False`` skips the final dedup shuffle and returns one
+    row per shingle OCCURRENCE — for consumers whose aggregations are
+    multiset-invariant (MinHash mins) or that dedup in-aggregate
+    (jaccard_pairs' array_distinct); set semantics are unchanged.
     """
     from pyspark.sql import Window
 
@@ -191,11 +198,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shingle = F.when(
         F.lead("tok", n - 1).over(w_ord).isNotNull(), F.concat_ws(" ", *parts)
     )
-    return (
+    out = (
         toks.select("id", shingle.alias("shingle"))
         .where(F.col("shingle").isNotNull())
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +311,12 @@ def jaccard_pairs(
         arrs = (
             shingles.join(cand_ids, "id", "left_semi")
             .groupBy("id")
-            .agg(F.collect_list("shingle").alias("sh"), F.count("*").alias("n_sh"))
+            # array_distinct in-aggregate: set semantics even when the
+            # caller skipped word_shingles' distinct shuffle (identical
+            # for already-distinct inputs; array_intersect dedups its
+            # own output either way)
+            .agg(F.array_distinct(F.collect_list("shingle")).alias("sh"))
+            .select("id", "sh", F.size("sh").alias("n_sh"))
         )
         if broadcast_arrays:
             # materialize the array table ONCE: it embeds the candidate
@@ -510,7 +522,10 @@ def minhash_dedup_pairs(
     frees once the caller drops the DataFrame — no unpersist ownership
     to hand over).
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    # occurrence rows, not distinct rows: MinHash mins are multiset-
+    # invariant and the verify dedups in-aggregate, so the distinct
+    # shuffle buys nothing here
+    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False).persist()
     bcast = sh.count() <= BROADCAST_VERIFY_MAX_SHINGLE_ROWS
     # signatures persisted too: with a bucket_cap the banded frame is
     # consumed by the sizes job AND both sides of the bucket self-join —
