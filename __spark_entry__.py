@@ -882,7 +882,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = base.unionByName(
         base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     )
-    kept = exact_dedup(doubled, "doc_id", "text")
+    # three consumers below (id projection, quality, lang) — checkpoint
+    # so the dedup semi-join + doubled scan run once, not per branch
+    kept = exact_dedup(doubled, "doc_id", "text").localCheckpoint()
     quality = quality_score(kept, "doc_id", "text").where(F.col("quality") >= 0.45)
     lang = lang_id(kept, "doc_id", "text").where(F.col("lang_pred") == "en")
     return (

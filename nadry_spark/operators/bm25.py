@@ -725,6 +725,23 @@ def bm25_queryset_topk_multi(
             .groupBy("shard")
             .applyInPandas(scorer, QSET_SCHEMA)
         )
+        # reduce to a per-query top-k BEFORE the docmap broadcast: the
+        # raw per-shard frame holds up to n_shards*Q*k rows, so for a
+        # corpus-sized queryset (the LTR/eval shape) the forced
+        # broadcast would grow with Q unbounded; after the window it is
+        # <= Q*k rows per segment — the same bound the single-segment
+        # path has. Tie caveat: this prunes on the shard-local
+        # (score desc, doc_no) order like every per-shard top-k here
+        # (exact fp score ties at the k boundary — measure-zero — may
+        # surface a different tied member than the unpruned merge).
+        wseg = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_no")
+        )
+        per_shard = (
+            per_shard.withColumn("_rn", F.row_number().over(wseg))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
         parts.append(
             seg.docmap.join(F.broadcast(per_shard), "doc_no")
             .select("query_id", "doc_id", "url", "score")

@@ -58,7 +58,15 @@ def mmr_select(
     rel_col: str = "rel",
 ) -> DataFrame:
     """(order, <id_col>) — the first k MMR picks from `candidates`
-    ((id, embedding, rel) rows; rel is the upstream relevance)."""
+    ((id, embedding, rel) rows; rel is the upstream relevance).
+
+    CONTRACT: candidate ids must be unique. The driver-side greedy
+    loop keys relevance/similarity by id, so a pool with repeated ids
+    would collapse each to ONE arbitrary row (collect order) — unlike
+    the earlier all-Spark formulation where duplicate rows scored
+    independently. Callers with possibly-duplicated pools must dedupe
+    deterministically upstream (e.g. keep max-rel per id) before
+    calling; this function does not guess a policy for them."""
     spark = candidates.sparkSession
     cand = candidates.select(
         F.col(id_col).alias("cid"),

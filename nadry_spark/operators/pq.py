@@ -242,6 +242,8 @@ def pq_topk_batch(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: dict | None = None,
+    warn_pairs: int = 50_000_000,
 ) -> DataFrame:
     """DataFrame-native batch ADC top-k: the query set stays a TABLE
     end-to-end — no broadcast of a queries-sized distance table, no
@@ -257,7 +259,32 @@ def pq_topk_batch(
     broadcast, leaving one pair-stream expression scan + the per-query
     top-k window.  When the corpus carries an IVF coarse quantizer,
     :func:`ivfpq_topk_batch` prunes the pair stream to probed lists
-    first — the FAISS IVFADC deployment shape."""
+    first — the FAISS IVFADC deployment shape.
+
+    ``stats`` (optional, same discipline as the LSH family's cap
+    reporting): fills ``corpus_rows`` / ``query_rows`` /
+    ``adc_pairs`` (= corpus x queries, the inherent flat-ADC stream
+    size) and logs a warning pointing at :func:`ivfpq_topk_batch`
+    when the pair stream exceeds ``warn_pairs`` — the quadratic
+    shape should never be picked silently for corpus x corpus
+    linkage. Costless when ``stats`` is None (no counting jobs on
+    the serving path)."""
+    if stats is not None:
+        import logging
+
+        m = len(codebooks)
+        n_corpus = codes.count() // max(1, m)
+        n_queries = queries.count()
+        stats["corpus_rows"] = n_corpus
+        stats["query_rows"] = n_queries
+        stats["adc_pairs"] = n_corpus * n_queries
+        if stats["adc_pairs"] > warn_pairs:
+            logging.getLogger("nadry_spark.pq").warning(
+                "pq_topk_batch: flat ADC will stream %d corpus x %d query "
+                "= %d pairs (> %d); for corpus-scale query sets use "
+                "ivfpq_topk_batch (IVF-pruned ADC) instead",
+                n_corpus, n_queries, stats["adc_pairs"], warn_pairs,
+            )
     wide = pq_codes_wide(codes, id_col=id_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dtab_expr(codebooks, vec_col).alias("tabs")

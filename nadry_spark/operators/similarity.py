@@ -210,24 +210,45 @@ def lsh_topk_multi(
         [12, 13, 14, 15, 16, 17],
         [18, 19, 20, 21, 22, 23],
     ]
-    cand = None
-    for t, dims in enumerate(tables):
-        if multiprobe:
-            qb = queries.select(
-                F.col(id_col).alias("query_id"),
-                F.explode(sign_lsh_probe_buckets(vec_col, dims)).alias("bucket"),
+    # ONE scan per side for ALL tables: tag each table's bucket string
+    # with its table index and explode — the per-table union formulation
+    # rescanned the vector side once per table (and the query side once
+    # per table x probe set) for the same candidate-set semantics
+    def _tagged(bucket_col, t):
+        return F.concat(F.lit(f"{t}:"), bucket_col)
+
+    v_entries = F.array(
+        *[_tagged(sign_lsh_bucket(vec_col, dims), t) for t, dims in enumerate(tables)]
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("neighbour_id"), F.explode(v_entries).alias("bucket")
+    )
+    if multiprobe:
+        # NB: a `lambda b, _t=t:` default-arg closure would make
+        # PySpark treat `_t` as the transform lambda's INDEX parameter;
+        # bind the table id through a factory instead
+        def _tag_fn(t):
+            return lambda b: _tagged(b, t)
+
+        q_entries = F.flatten(
+            F.array(
+                *[
+                    F.transform(sign_lsh_probe_buckets(vec_col, dims), _tag_fn(t))
+                    for t, dims in enumerate(tables)
+                ]
             )
-        else:
-            qb = queries.select(
-                F.col(id_col).alias("query_id"),
-                sign_lsh_bucket(vec_col, dims).alias("bucket"),
-            )
-        vb = vectors.select(
-            F.col(id_col).alias("neighbour_id"),
-            sign_lsh_bucket(vec_col, dims).alias("bucket"),
         )
-        c = vb.join(qb, "bucket").select("query_id", "neighbour_id")
-        cand = c if cand is None else cand.unionByName(c)
+    else:
+        q_entries = F.array(
+            *[
+                _tagged(sign_lsh_bucket(vec_col, dims), t)
+                for t, dims in enumerate(tables)
+            ]
+        )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(q_entries).alias("bucket")
+    )
+    cand = vb.join(qb, "bucket").select("query_id", "neighbour_id")
     cand = cand.where(F.col("neighbour_id") != F.col("query_id")).distinct()
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))

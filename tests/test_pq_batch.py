@@ -131,3 +131,20 @@ def test_ivfpq_prunes_candidates(spark, emb):
     n_cand = probes.join(assigned.select("vec_id", "cid"), "cid").count()
     n_flat = q.count() * emb.count()
     assert n_cand < 0.7 * n_flat
+
+
+def test_flat_adc_guard_warns_on_quadratic_stream(spark, emb, caplog):
+    """pq_topk_batch with stats must report the corpus x queries pair
+    stream and warn past the threshold, pointing at ivfpq_topk_batch
+    (VERDICT r05 #5: the quadratic shape must never be silent)."""
+    import logging
+
+    from nadry_spark.operators.pq import pq_build, pq_topk_batch
+
+    codes, books = pq_build(emb, m=4, ksub=8)
+    stats: dict = {}
+    with caplog.at_level(logging.WARNING, logger="nadry_spark.pq"):
+        pq_topk_batch(codes, books, emb, k=3, stats=stats, warn_pairs=10).collect()
+    assert stats["adc_pairs"] == stats["corpus_rows"] * stats["query_rows"]
+    assert stats["corpus_rows"] == emb.count()
+    assert any("ivfpq_topk_batch" in r.message for r in caplog.records)
