@@ -134,6 +134,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    driver_max_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Synchronous label propagation communities (Raghavan et al.,
     Phys. Rev. E 2007, "Near linear time algorithm to detect community
@@ -164,6 +165,8 @@ def label_propagation(
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    if driver_max_edges is not None and und.count() <= driver_max_edges:
+        return _lpa_local(und, iterations)
     labels = und.select(F.col("a").alias("v")).distinct().withColumn(
         "community", F.col("v")
     )
@@ -181,3 +184,46 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def _lpa_local(und: DataFrame, iterations: int) -> DataFrame:
+    """Driver-side simulation of ``iterations`` synchronous LPA rounds
+    over the (symmetrized, self-loop-free, distinct, checkpointed)
+    edge frame — the exact argmax-by-(count desc, label asc) recurrence
+    of the distributed loop, on index ranks of the sorted vertex set
+    (count/argmax are pure integer ops, so the output is bit-identical;
+    min-by-rank == min-by-value, same argument as _cc_local)."""
+    import numpy as np
+
+    pdf = und.toPandas()
+    spark = und.sparkSession
+    a_vals = pdf["a"].to_numpy()
+    b_vals = pdf["b"].to_numpy()
+    verts = np.unique(np.concatenate([a_vals, b_vals]))
+    a_idx = np.searchsorted(verts, a_vals)
+    b_idx = np.searchsorted(verts, b_vals)
+    n = len(verts)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(iterations):
+        # counts[(v, neighbour-label)] -> argmax by (count desc, label asc)
+        key = a_idx.astype(np.int64) * n + labels[b_idx]
+        uniq, cnt = np.unique(key, return_counts=True)
+        v_of = uniq // n
+        lab_of = uniq % n
+        # lexsort: within each v, highest count first, then smallest
+        # label — the first row per v is the distributed row_number()==1
+        order = np.lexsort((lab_of, -cnt, v_of))
+        v_sorted = v_of[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = v_sorted[1:] != v_sorted[:-1]
+        new = labels.copy()
+        new[v_sorted[first]] = lab_of[order][first]
+        labels = new
+    vtype = und.schema["a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("v", vtype, True), StructField("community", vtype, True)]
+    )
+    rows = list(zip(verts.tolist(), verts[labels].tolist()))
+    return spark.createDataFrame(rows, schema)

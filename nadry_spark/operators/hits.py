@@ -33,7 +33,10 @@ from nadry_spark.operators.pagerank import build_edges
 
 
 def hits(
-    documents: DataFrame, iters: int = 3, broadcast_threshold: int = 1_000_000
+    documents: DataFrame,
+    iters: int = 3,
+    broadcast_threshold: int = 1_000_000,
+    driver_max_edges: int | None = 5_000_000,
 ) -> DataFrame:
     """(url, authority, hub) for every page after `iters` rounds.
     Pages nobody links to have authority 0; pages with no outlinks
@@ -46,7 +49,49 @@ def hits(
     threshold the joins degrade to the correct shuffle plan."""
     edges = build_edges(documents).localCheckpoint()
     nodes = documents.select("url").distinct().localCheckpoint()
-    bc = F.broadcast if nodes.count() <= broadcast_threshold else (lambda df: df)
+    n_nodes = nodes.count()
+    # driver fast path (pagerank precedent): the mutual recursion as
+    # numpy scatter-adds + scalar normalizations over one collected
+    # edge list. Vertices absent from an update keep 0 exactly as the
+    # left joins below fill them; summation-order noise is the same
+    # class the distributed partial aggregation has, absorbed by the
+    # 1e-9 output grid.
+    if driver_max_edges is not None and n_nodes <= broadcast_threshold:
+        n_edges = edges.count()
+        if 0 < n_edges <= driver_max_edges:
+            import numpy as np
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            urls = np.sort(nodes.toPandas()["url"].to_numpy())
+            epdf = edges.toPandas()
+            src_idx = np.searchsorted(urls, epdf["src"].to_numpy())
+            dst_idx = np.searchsorted(urls, epdf["dst"].to_numpy())
+            h_vec = np.ones(len(urls), dtype=np.float64)
+            a_vec = np.zeros(len(urls), dtype=np.float64)
+            for _ in range(iters):
+                a_raw = np.zeros(len(urls), dtype=np.float64)
+                np.add.at(a_raw, dst_idx, h_vec[src_idx])
+                a_vec = a_raw / a_raw.sum()
+                h_raw = np.zeros(len(urls), dtype=np.float64)
+                np.add.at(h_raw, src_idx, a_vec[dst_idx])
+                h_vec = h_raw / h_raw.sum()
+            spark = documents.sparkSession
+            schema = StructType(
+                [
+                    StructField("url", nodes.schema["url"].dataType, True),
+                    StructField("authority", DoubleType(), True),
+                    StructField("hub", DoubleType(), True),
+                ]
+            )
+            out = spark.createDataFrame(
+                list(zip(urls.tolist(), a_vec.tolist(), h_vec.tolist())), schema
+            )
+            return out.select(
+                "url",
+                F.round("authority", 9).alias("authority"),
+                F.round("hub", 9).alias("hub"),
+            )
+    bc = F.broadcast if n_nodes <= broadcast_threshold else (lambda df: df)
     h = nodes.select("url", F.lit(1.0).alias("hub"))
     a = None
     for _ in range(iters):

@@ -216,6 +216,7 @@ def trustrank(
     damping: float = DAMPING,
     iters: int = 3,
     broadcast_threshold: int = 1_000_000,
+    driver_max_edges: int | None = 5_000_000,
 ) -> DataFrame:
     """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB'04): trust
     propagation from a trusted seed set to demote web spam before a
@@ -248,14 +249,46 @@ def trustrank(
         "left",
     ).select("url", F.coalesce("s", F.lit(0.0)).alias("s"))
     base = base.localCheckpoint()
+    n_nodes = nodes.count()
+    # driver fast path (same gates/rationale as pagerank's): the
+    # recurrence t = (1-d)*s + d*contrib over a collected live-edge
+    # table, numpy scatter-adds per round
+    if driver_max_edges is not None and n_nodes <= broadcast_threshold:
+        live_ck = live.localCheckpoint()
+        if live_ck.count() <= driver_max_edges:
+            import numpy as np
+
+            bpdf = base.toPandas()
+            epdf = live_ck.select("src", "dst", "outdeg").toPandas()
+            urls = bpdf["url"].to_numpy()
+            order = np.argsort(urls)
+            urls = urls[order]
+            s_vec = bpdf["s"].to_numpy().astype(np.float64)[order]
+            src_idx = np.searchsorted(urls, epdf["src"].to_numpy())
+            dst_idx = np.searchsorted(urls, epdf["dst"].to_numpy())
+            outdeg_f = epdf["outdeg"].to_numpy().astype(np.float64)
+            rank = s_vec.copy()
+            for _ in range(iters):
+                contrib = np.zeros(len(urls), dtype=np.float64)
+                np.add.at(contrib, dst_idx, rank[src_idx] / outdeg_f)
+                rank = (1.0 - damping) * s_vec + damping * contrib
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            spark = documents.sparkSession
+            schema = StructType(
+                [
+                    StructField("url", base.schema["url"].dataType, True),
+                    StructField("trust_score", DoubleType(), True),
+                ]
+            )
+            out = spark.createDataFrame(
+                list(zip(urls.tolist(), rank.tolist())), schema
+            )
+            return out.select("url", F.round("trust_score", 9).alias("trust_score"))
     # trust vectors are node-sized: broadcast them like pagerank does
     # so the edge table never shuffles while the graph fits; past the
     # threshold the joins degrade to the correct shuffle plan
-    bc = (
-        F.broadcast
-        if nodes.count() <= broadcast_threshold
-        else (lambda df: df)
-    )
+    bc = F.broadcast if n_nodes <= broadcast_threshold else (lambda df: df)
     t = base.select("url", F.col("s").alias("rank"))
     for _ in range(iters):
         tb = bc(t)

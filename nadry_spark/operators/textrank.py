@@ -63,6 +63,7 @@ def textrank_keywords(
     iters: int = 3,
     damping: float = 0.85,
     text_col: str = "text",
+    driver_max_edges: int | None = 5_000_000,
 ) -> DataFrame:
     """(term, score) for every token with at least one co-occurrence
     neighbour, after `iters` damped iterations.  Isolated tokens (no
@@ -83,6 +84,42 @@ def textrank_keywords(
     )
     wdeg = edges.groupBy("u").agg(F.sum("w_uv").alias("wdeg")).localCheckpoint()
     vertices = wdeg.select(F.col("u").alias("term"))
+
+    # driver fast path (pagerank precedent): the vocabulary graph is
+    # orders of magnitude smaller than the corpus (distinct adjacent
+    # bigrams); when it is driver-sized run the damped iterations as
+    # numpy scatter-adds over the collected (u, v, w_uv, wdeg) table —
+    # per-edge op order (divide by wdeg THEN multiply by w_uv) matches
+    # the distributed expression; output on the same 1e-9 grid.
+    if driver_max_edges is not None and edges.count() <= driver_max_edges:
+        import numpy as np
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        wpdf = wdeg.toPandas()
+        epdf = edges.toPandas()
+        terms = np.sort(wpdf["u"].to_numpy())
+        wdeg_vec = np.empty(len(terms), dtype=np.float64)
+        wdeg_vec[np.searchsorted(terms, wpdf["u"].to_numpy())] = (
+            wpdf["wdeg"].to_numpy().astype(np.float64)
+        )
+        u_idx = np.searchsorted(terms, epdf["u"].to_numpy())
+        v_idx = np.searchsorted(terms, epdf["v"].to_numpy())
+        w_uv = epdf["w_uv"].to_numpy().astype(np.float64)
+        rank = np.ones(len(terms), dtype=np.float64)
+        base_f = 1.0 - damping
+        for _ in range(iters):
+            contrib = np.zeros(len(terms), dtype=np.float64)
+            np.add.at(contrib, v_idx, (rank[u_idx] / wdeg_vec[u_idx]) * w_uv)
+            rank = base_f + damping * contrib
+        spark = docs.sparkSession
+        schema = StructType(
+            [
+                StructField("term", wdeg.schema["u"].dataType, True),
+                StructField("score", DoubleType(), True),
+            ]
+        )
+        out = spark.createDataFrame(list(zip(terms.tolist(), rank.tolist())), schema)
+        return out.select("term", F.round("score", 9).alias("score"))
 
     base = F.lit(1.0) - F.lit(damping)
     ranks = vertices.select("term", F.lit(1.0).alias("rank"))

@@ -49,3 +49,27 @@ def test_hits_matches_reference(spark):
     assert got["auth1"][1] == 0.0 and got["lonely"] == (0.0, 0.0)
     # hub1 links to every authority -> strictly the best hub
     assert got["hub1"][1] > got["hub2"][1] > 0.0
+
+
+def test_hits_driver_fast_path_matches_distributed(spark):
+    import random
+
+    import pytest as _pt
+
+    from nadry_spark.operators.hits import hits
+
+    rng = random.Random(11)
+    docs = [
+        (f"u{i}", list({f"u{rng.randrange(30)}" for _ in range(rng.randrange(0, 4))}))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "url string, links array<string>")
+    fast = {r["url"]: (r["authority"], r["hub"]) for r in hits(df, iters=3).collect()}
+    dist = {
+        r["url"]: (r["authority"], r["hub"])
+        for r in hits(df, iters=3, driver_max_edges=None).collect()
+    }
+    assert set(fast) == set(dist)
+    for u in dist:
+        assert fast[u][0] == _pt.approx(dist[u][0], abs=1e-9), u
+        assert fast[u][1] == _pt.approx(dist[u][1], abs=1e-9), u

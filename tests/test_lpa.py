@@ -55,3 +55,28 @@ def test_lpa_matches_reference(spark):
     assert len({got2["a1"], got2["a2"], got2["a3"]}) == 1
     assert len({got2["b1"], got2["b2"], got2["b3"]}) == 1
     assert got2["b2"] != got2["a2"] != got2["c2"]
+
+
+def test_lpa_driver_fast_path_identical_to_distributed(spark):
+    """LPA is pure integer counting + (cnt desc, label asc) argmax —
+    the driver fast path must be BIT-identical to the distributed loop."""
+    import random
+
+    from nadry_spark.operators.components import label_propagation
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        fast = sorted(
+            (r["v"], r["community"])
+            for r in label_propagation(df, iterations=iters).collect()
+        )
+        dist = sorted(
+            (r["v"], r["community"])
+            for r in label_propagation(
+                df, iterations=iters, driver_max_edges=None
+            ).collect()
+        )
+        assert fast == dist

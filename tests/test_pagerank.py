@@ -156,3 +156,25 @@ def test_driver_fast_path_matches_distributed(spark):
         assert set(fast) == set(dist)
         for u in dist:
             assert fast[u] == pytest.approx(dist[u], abs=1e-12), u
+
+
+def test_trustrank_driver_fast_path_matches_distributed(spark):
+    import random
+
+    from nadry_spark.operators.pagerank import trustrank
+
+    rng = random.Random(9)
+    docs = [
+        (f"u{i}", list({f"u{rng.randrange(25)}" for _ in range(rng.randrange(1, 4))}))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "url string, links array<string>")
+    seeds = spark.createDataFrame([("u0",), ("u3",)], "url string")
+    fast = {r["url"]: r["trust_score"] for r in trustrank(df, seeds).collect()}
+    dist = {
+        r["url"]: r["trust_score"]
+        for r in trustrank(df, seeds, driver_max_edges=None).collect()
+    }
+    assert set(fast) == set(dist)
+    for u in dist:
+        assert fast[u] == pytest.approx(dist[u], abs=1e-9), u

@@ -64,3 +64,26 @@ def test_textrank_isolated_corpus_empty(spark):
     docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
     # every token <2 chars -> filtered -> no graph at all
     assert textrank_keywords(docs, stopwords=[], iters=2).count() == 0
+
+
+def test_textrank_driver_fast_path_matches_distributed(spark):
+    import pytest as _pt
+
+    from nadry_spark.operators.textrank import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta delta"),
+            (2, "beta gamma gamma epsilon alpha"),
+            (3, "delta epsilon alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {r["term"]: r["score"] for r in textrank_keywords(docs, iters=3).collect()}
+    dist = {
+        r["term"]: r["score"]
+        for r in textrank_keywords(docs, iters=3, driver_max_edges=None).collect()
+    }
+    assert set(fast) == set(dist) and fast
+    for t in dist:
+        assert fast[t] == _pt.approx(dist[t], abs=1e-9), t
