@@ -546,37 +546,58 @@ def build_segments(
         numbered = numbered.withColumn(
             "shard", (F.col("doc_no") / F.lit(shard_size)).cast("int")
         )
-        (
-            numbered.select(
-                "doc_id", "doc_no", "shard", "url", "title", "description",
-                "total_words", F.lit(0.0).alias("popularity_score"),
+
+        # The three stage-0 tables are independent projections of the
+        # SAME persisted frame: submit their writes from a small thread
+        # pool so the next write's tasks back-fill executors freed by
+        # the previous write's straggler tail (guide §2.6) — actions
+        # are only sequential when the driver calls them sequentially.
+        def _write_docmap():
+            (
+                numbered.select(
+                    "doc_id", "doc_no", "shard", "url", "title", "description",
+                    "total_words", F.lit(0.0).alias("popularity_score"),
+                )
+                .repartitionByRange(max(2, n_shards // 2), "doc_no")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(docmap_path)
             )
-            .repartitionByRange(max(2, n_shards // 2), "doc_no")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(docmap_path)
-        )
-        (
-            numbered.select("doc_no", "content", "links")
-            .repartitionByRange(max(2, n_shards // 2), "doc_no")
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(os.path.join(out_dir, "docs_content"))
-        )
+
+        def _write_content():
+            (
+                numbered.select("doc_no", "content", "links")
+                .repartitionByRange(max(2, n_shards // 2), "doc_no")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(os.path.join(out_dir, "docs_content"))
+            )
+
         # per-doc token cache for the shard jobs: compact (arrays per
         # doc, ~corpus-sized), partitioned by shard so each group's read
         # prunes to its own directories. The per-shard index build is
         # LOCAL from here on — no exploded-token shuffle exists at all.
-        (
-            numbered.select(
-                "shard", "doc_no", "tokens_title", "tokens_desc", "tokens_body",
-                "total_words",
+        def _write_tokens():
+            (
+                numbered.select(
+                    "shard", "doc_no", "tokens_title", "tokens_desc",
+                    "tokens_body", "total_words",
+                )
+                .repartition("shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(out_dir, "docs_tokens"))
             )
-            .repartition("shard")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(out_dir, "docs_tokens"))
-        )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (_write_tokens, _write_docmap, _write_content)
+            ]
+            for fut in futures:
+                fut.result()
         if persisted is not None:
             persisted.unpersist()  # docmap/docs_tokens written; release cache
         if timings is not None:
