@@ -433,13 +433,26 @@ def prefix_filtered_candidates(
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
-    ).select("id", "shingle", "n_sh")
+    ).select("id", "shingle", "n_sh", "rn")
     if stats is not None:
         # evidence jobs only when the caller asks for them
         stats["shingle_rows"] = shingles.count()
         stats["prefix_rows"] = prefix.count()
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin positional filter (Xiao WWW'08 §3): a token matching at
+    # positions (pa, pb) of the two sorted sets bounds the overlap at
+    # 1 + min(n_a - pa, n_b - pb); J >= t requires overlap >=
+    # t/(1+t) * (n_a + n_b). Filtering each match row is LOSSLESS for
+    # the PAIR: a qualifying pair's FIRST common token (guaranteed in
+    # both prefixes) carries the loosest bound among its match rows
+    # and satisfies the requirement whenever J >= t, so at least one
+    # row survives. The 1e-9 slack keeps binary-fraction noise in
+    # t/(1+t) from ever over-pruning at exact integer boundaries
+    # (under-pruning only costs verify work, never correctness).
+    overlap_bound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
+    )
     return (
         a.join(
             b,
@@ -448,6 +461,10 @@ def prefix_filtered_candidates(
             & (
                 F.least(F.col("a.n_sh"), F.col("b.n_sh"))
                 >= F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            )
+            & (
+                overlap_bound.cast("double") * F.lit(1.0 + t)
+                >= F.lit(t) * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
