@@ -2085,21 +2085,31 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Elsayed/Lin/Oard), rounded cosine >= 0.5."""
     from nadry_spark.operators.sparsesim import tfidf_cosine_pairs
 
-    toks = _docs_with_dups(spark, sf_dir).select(
+    # Generate-array shingle formation (see dedup.word_shingles): the
+    # token array is materialized through a Generate node so the
+    # transform() lambda reads an attribute — split() runs once per doc
+    # and the per-doc lead() window's Exchange+Sort disappears. Same
+    # shingle occurrences as the lead-window form (concat of 3 tokens;
+    # docs under 3 tokens contribute nothing). Under-parallel scans are
+    # spread by doc first (word_shingles' re-split rationale): the tf
+    # partial agg runs map-side where the window exchange used to
+    # provide the spread.
+    docs_in = _docs_with_dups(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if docs_in.rdd.getNumPartitions() < target:
+        docs_in = docs_in.repartition(target, "doc_id")
+    toks = docs_in.select(
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+        F.explode(F.array(F.split(F.lower("text"), r"\s+"))).alias("toks"),
     )
-    w_ord = Window.partitionBy("doc_id").orderBy("pos")
-    shingle = F.concat(
-        F.col("tok"),
-        F.lit(" "),
-        F.lead("tok", 1).over(w_ord),
-        F.lit(" "),
-        F.lead("tok", 2).over(w_ord),
+    sh_arr = F.expr(
+        "CASE WHEN size(toks) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2))) END"
     )
     tf = (
-        toks.select("doc_id", shingle.alias("term"))
-        .where(F.col("term").isNotNull())
+        toks.select("doc_id", F.explode(sh_arr).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

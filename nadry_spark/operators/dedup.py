@@ -175,33 +175,47 @@ def word_shingles(
 ) -> DataFrame:
     """(id, shingle) — distinct word n-grams over lowercased \\s+ tokens.
 
-    Row-based: one posexplode + lead() window per doc, then distinct.
-    (A transform-over-slice array formulation re-evaluates the inlined
-    split() per lambda element once CollapseProject folds the
-    projections — O(tokens^2) per doc; lead/concat_ws stay in
-    whole-stage codegen and the per-doc window partition is bounded by
-    document length.)
+    Shuffle-free n-gram formation: ``explode(array(split(...)))``
+    materializes the token array through a Generate node, so the
+    shingle ``transform()`` lambda references a plain ATTRIBUTE —
+    CollapseProject cannot inline the split() into the lambda (the
+    O(tokens^2)-per-doc trap of referencing a computed array column
+    across select stages), and split() runs exactly once per doc.
+    This replaces the earlier posexplode + lead() window formulation:
+    same rows, minus the Exchange+Sort over one-row-per-token that the
+    per-doc window paid (identity asserted in
+    tests/test_dedup.py::test_word_shingles_matches_window_form).
 
     ``distinct=False`` skips the final dedup shuffle and returns one
     row per shingle OCCURRENCE — for consumers whose aggregations are
     multiset-invariant (MinHash mins) or that dedup in-aggregate
     (jaccard_pairs' array_distinct); set semantics are unchanged.
-    """
-    from pyspark.sql import Window
 
+    Re-split: downstream partial aggregations (distinct / MinHash md5
+    mins) run map-side ON THE SCAN TASKS now that no exchange precedes
+    them; a small parquet input packs into ~1 split and would serialize
+    that work, so under-parallel inputs are spread by id first (doc
+    rows — strictly fewer shuffled bytes than the old token-row window
+    exchange). At scale the scan already has >= cluster parallelism
+    and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+        F.explode(
+            F.array(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("toks"),
     )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, n)]
-    shingle = F.when(
-        F.lead("tok", n - 1).over(w_ord).isNotNull(), F.concat_ws(" ", *parts)
+    elems = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    sh_arr = F.expr(
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) END"
     )
-    out = (
-        toks.select("id", shingle.alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-    )
+    out = toks.select("id", F.explode(sh_arr).alias("shingle"))
     return out.distinct() if distinct else out
 
 

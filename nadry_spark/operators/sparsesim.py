@@ -44,15 +44,32 @@ def tfidf_cosine_pairs(
     stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) with id_a < id_b and rounded cosine >=
-    threshold, over tf rows (doc, term, tf)."""
-    # the tf input is typically an expensive pipeline (shingle windows +
-    # groupBy); it feeds FOUR subtrees below (df aggregation, the
-    # pruned-terms count, n_docs, and the weight projection) — persist
-    # so it computes once instead of once per consumer
+    threshold, over tf rows (doc, term, tf) — one row per (doc, term)
+    (the usual output of a (doc, term) count aggregation; df is taken
+    from the per-term posting-list size)."""
+    # ONE term-keyed grouping carries everything the old formulation
+    # derived from three subtrees (df aggregation + tf-weight join +
+    # checkpoint): the per-term posting array IS the df (size), the
+    # idf factor is a per-term column, and the df*(df-1)/2 pairs
+    # explode in place. sort_array orders each posting list by doc id,
+    # so slicing strictly after the left element enumerates exactly
+    # the id_a < id_b pairs.
     tf = tf.persist()
-    df_t = tf.groupBy(term_col).agg(F.countDistinct(id_col).alias("df"))
-    n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("n"))
-    dropped = df_t.where(F.col("df") > max_df).count()
+    grouped = (
+        tf.groupBy(F.col(term_col).alias("t"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("d"), F.col(tf_col).alias("tf")))
+            ).alias("ps")
+        )
+        # materialized once: feeds the pruned-count job, the pair
+        # explode and the norm aggregation (and cuts the tf lineage
+        # out of the returned frame)
+        .localCheckpoint()
+    )
+    n = tf.select(id_col).distinct().count()
+    tf.unpersist()
+    dropped = grouped.where(F.size("ps") > max_df).count()
     if dropped:
         log.warning(
             "tfidf_cosine_pairs: pruning %d terms with df > %d from the "
@@ -62,29 +79,48 @@ def tfidf_cosine_pairs(
     if stats is not None:
         stats["pruned_terms"] = dropped
 
-    w = (
-        tf.join(df_t.where(F.col("df") <= max_df), term_col)
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col).alias("d"),
-            F.col(term_col).alias("t"),
-            (
-                F.col(tf_col).cast("double")
-                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
-            ).alias("w"),
-        )
-        .localCheckpoint()
+    # w(d, t) = tf * ln(n / df), bit-identical to the old join form:
+    # same double cast, same quotient, same ln — df = size(ps) equals
+    # the old countDistinct for one-row-per-(doc,term) input, and the
+    # integer n embeds exactly as a double literal.
+    kept = grouped.where(F.size("ps") <= max_df).select(
+        "ps",
+        F.log(
+            F.lit(float(n)) / F.size("ps").cast("double")
+        ).alias("lnw"),
     )
-    tf.unpersist()
-    norms = w.groupBy("d").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
+    norms = (
+        kept.select("lnw", F.explode("ps").alias("x"))
+        .select(
+            F.col("x.d").alias("d"),
+            (F.col("x.tf").cast("double") * F.col("lnw")).alias("w"),
+        )
+        .groupBy("d")
+        .agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm"))
+    )
 
-    a = w.select(F.col("d").alias("id_a"), "t", F.col("w").alias("wa"))
-    b = w.select(F.col("d").alias("id_b"), "t", F.col("w").alias("wb"))
+    # Dot-product addends are unchanged (same w(d,t) * w(d',t)
+    # products); only their summation order moves, which the 1e-9
+    # rounding grid at the cosine (and the oracle's own engine-order
+    # independence) already absorbs — same noise class as Spark's
+    # partial-agg order.
+    e1 = kept.select("lnw", F.posexplode("ps").alias("i", "a"), F.col("ps"))
+    e2 = e1.select(
+        "lnw",
+        "a",
+        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("b"),
+    )
     dots = (
-        a.join(b, "t")
-        .where(F.col("id_a") < F.col("id_b"))
+        e2.select(
+            F.col("a.d").alias("id_a"),
+            F.col("b.d").alias("id_b"),
+            (
+                (F.col("a.tf").cast("double") * F.col("lnw"))
+                * (F.col("b.tf").cast("double") * F.col("lnw"))
+            ).alias("p"),
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(F.sum("p").alias("dot"))
     )
     return (
         dots.join(norms.select(F.col("d").alias("id_a"), F.col("nrm").alias("na")), "id_a")

@@ -144,6 +144,53 @@ def test_jaccard_exact_value(spark):
     assert out[0]["jaccard"] == pytest.approx(3 / 5)
 
 
+def test_word_shingles_matches_window_form(spark):
+    """The Generate-array shingle formulation is row-identical
+    (including occurrence MULTIPLICITY under distinct=False) to the
+    posexplode + lead() window formulation it replaced — over edge
+    cases: docs shorter than n tokens, empty text, leading/trailing
+    whitespace (split's empty-first-token behavior), repeated
+    shingles, and NULL text."""
+    from pyspark.sql import Window
+
+    from nadry_spark.operators.dedup import word_shingles
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b"),                    # < n tokens: no shingles
+        (3, ""),                       # empty: no shingles
+        (4, "  x y z"),                # leading whitespace: "" first token
+        (5, "r r r r r r"),            # repeated shingle occurrences
+        (6, None),                     # NULL text: no shingles
+        (7, "Mixed CASE tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def window_form(df, n):
+        toks = df.select(
+            F.col("id"),
+            F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        w_ord = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, n)]
+        sh = F.when(
+            F.lead("tok", n - 1).over(w_ord).isNotNull(), F.concat_ws(" ", *parts)
+        )
+        return toks.select("id", sh.alias("shingle")).where(
+            F.col("shingle").isNotNull()
+        )
+
+    for n in (2, 3, 5):
+        got = sorted(map(tuple, word_shingles(df, "id", "text", n, distinct=False).collect()))
+        want = sorted(map(tuple, window_form(df, n).collect()))
+        assert got == want, f"n={n}"
+        got_d = sorted(map(tuple, word_shingles(df, "id", "text", n).collect()))
+        want_d = sorted(map(tuple, window_form(df, n).distinct().collect()))
+        assert got_d == want_d, f"distinct n={n}"
+
+
 def test_prefix_filtered_jaccard_matches_naive(spark):
     """The All-Pairs/PPJoin prefix filter is LOSSLESS: at every
     threshold the prefix-filtered pipeline returns exactly the pairs
