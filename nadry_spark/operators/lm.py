@@ -83,16 +83,50 @@ def char_trigram_lm_scores(
     ``ln((c3 + k) / (c2 + k * V))`` averaged over the document's
     trigrams, rounded to 9 digits.  V = corpus charset size.  Higher
     is more fluent; docs with < 3 chars get no row."""
-    c3, _c2, charset = train_char_trigram_counts(docs, text_col, id_col)
-    # The model is bounded by charset^3 regardless of corpus size (the
-    # module's broadcastability argument) — so collect the trigram
-    # counts ONCE, derive the context counts driver-side (exact integer
-    # sums), and ship a single (tri, c3, c2) broadcast table.  The
-    # two-join formulation materialized the corpus-wide trigram
-    # aggregation twice (c2 derives from c3, and each broadcast build
-    # re-ran the lineage).  Log-probs still evaluate in the JVM on the
-    # same integer inputs — identical doubles.
-    rows = c3.collect()
+    # ONE corpus trigram pass: the per-doc trigram tf (a postings-shaped
+    # frame, far smaller than the occurrence stream) feeds BOTH the
+    # model (c3 = exact integer sum of tf by trigram) and the scoring
+    # (occurrence-weighted mean, sum(n*lp)/sum(n) == avg over the
+    # occurrence rows up to summation order, which the 9-digit rounding
+    # grid absorbs — the engine-order noise class the module already
+    # documents).  The earlier shape exploded the corpus twice (train +
+    # score).  The model stays bounded by charset^3 regardless of
+    # corpus size: collect the trigram counts once, derive the context
+    # counts driver-side (exact integer sums), and ship a single
+    # (tri, c3, c2) broadcast table.  Log-probs still evaluate in the
+    # JVM on identical integer inputs — identical doubles.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _charset_probe() -> int:
+        # distinct chars PER DOC before the explode: the fan-out is
+        # bounded by charset-per-doc (~dozens) instead of one row per
+        # character of the corpus; the global distinct is unchanged
+        return int(
+            docs.select(
+                F.explode(F.array_distinct(F.split(text_col, ""))).alias("ch")
+            )
+            .where(F.col("ch") != "")
+            .agg(F.countDistinct("ch").alias("v"))
+            .collect()[0]["v"]
+        )
+
+    # the charset probe and the trigram-tf pass are independent corpus
+    # scans — overlap them so the probe back-fills the tf job's
+    # straggler tail (guide-§2.6 pattern, as in the stage-0 index
+    # writes)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        charset_f = pool.submit(_charset_probe)
+        tf = (
+            _doc_trigrams(docs, id_col, text_col)
+            .groupBy("_id", "tri")
+            .agg(F.count("*").alias("n"))
+            # materialized once (the one corpus pass); feeds the c3
+            # collect AND the scoring join, and is released when the
+            # returned frame goes out of scope
+            .localCheckpoint()
+        )
+        rows = tf.groupBy("tri").agg(F.sum("n").alias("c3")).collect()
+        charset = charset_f.result()
     c2map: dict[str, int] = {}
     for r in rows:
         ctx = r["tri"][:2]
@@ -102,14 +136,17 @@ def char_trigram_lm_scores(
         [(r["tri"], r["c3"], c2map[r["tri"][:2]]) for r in rows],
         "tri string, c3 long, c2 long",
     )
-    tris = _doc_trigrams(docs, id_col, text_col)
-    scored = tris.join(F.broadcast(table), "tri").withColumn(
+    scored = tf.join(F.broadcast(table), "tri").withColumn(
         "_lp",
         F.log(
             (F.col("c3").cast("double") + F.lit(float(k)))
             / (F.col("c2").cast("double") + F.lit(float(k) * charset))
         ),
     )
-    return scored.groupBy(F.col("_id").alias(id_col)).agg(
-        F.round(F.avg("_lp"), 9).alias("lm_score")
+    out = scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.round(
+            F.sum(F.col("n").cast("double") * F.col("_lp")) / F.sum(F.col("n").cast("double")),
+            9,
+        ).alias("lm_score")
     )
+    return out
