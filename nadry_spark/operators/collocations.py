@@ -5,12 +5,13 @@ standard corpus-analysis pass for finding multi-word expressions worth
 treating as units (phrase suggestions, synonym candidates, tokenizer
 merge seeds).
 
-Shape: one corpus pass builds positional tokens, a per-doc lead()
-forms TEXTUALLY adjacent pairs (a pair only forms when the two tokens
-are neighbours in the raw token stream and BOTH survive the
-tokenizer-lite filter), then two map-side-combinable counts (unigram,
-bigram) and two 1-row totals that ride along as broadcasts.  No
-corpus-sized shuffle beyond the two aggregations.
+Shape: one corpus pass materializes the per-doc token array (Generate
+node, see dedup.word_shingles), TEXTUALLY adjacent pairs explode from
+it in place (a pair only forms when the two tokens are neighbours in
+the raw token stream and BOTH survive the tokenizer-lite filter),
+then two map-side-combinable counts (unigram, bigram) and two 1-row
+totals that ride along as broadcasts.  No corpus-sized shuffle beyond
+the two aggregations.
 
 PMI = ln( p(a,b) / (p(a) p(b)) ) with p from the bigram/unigram
 spaces; computed as ``ln((c_ab / B) / ((c_a / T) * (c_b / T)))`` with
@@ -22,7 +23,7 @@ over-score (hapax pairs get the highest PMI by construction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,16 +43,37 @@ def pmi_bigrams(
             cond = cond & ~c.isin(stop)
         return cond
 
-    raw = docs.select(
+    # Generate-array adjacency (see dedup.word_shingles): the token
+    # array is materialized through a Generate node, textually-adjacent
+    # pairs explode from it in place — no per-doc lead() window, no
+    # Exchange+Sort of the token stream. Under-parallel scans are
+    # spread by doc first so the two count aggregations' map sides
+    # don't serialize on a single-split input.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    toks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("i", "w"),
+        F.explode(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("toks"),
     )
-    win = Window.partitionBy("doc_id").orderBy("i")
-    pairs = raw.withColumn("nx", F.lead("w").over(win)).where(
-        F.col("nx").isNotNull() & _ok(F.col("w")) & _ok(F.col("nx"))
+    pair_arr = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS w, element_at(toks, i + 1) AS nx)) END"
+    )
+    pairs = (
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
+        .where(_ok(F.col("w")) & _ok(F.col("nx")))
     )
 
-    uni = raw.where(_ok(F.col("w"))).groupBy("w").agg(F.count("*").alias("c_w"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .where(_ok(F.col("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
     tot_uni = uni.agg(F.sum("c_w").alias("t_uni"))
     big = (
         pairs.groupBy(F.col("w").alias("w1"), F.col("nx").alias("w2"))

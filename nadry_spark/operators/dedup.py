@@ -448,6 +448,12 @@ def prefix_filtered_candidates(
     prefix = ranked.where(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
     ).select("id", "shingle", "n_sh", "rn")
+    # the prefix frame (two window exchanges over shingle rows) feeds
+    # BOTH sides of the self-join and, when asked, the evidence count —
+    # materialize it once instead of re-running the window pipeline per
+    # consumer (it is a strict subset of the shingle rows, so the
+    # checkpoint is bounded by the input)
+    prefix = prefix.localCheckpoint()
     if stats is not None:
         # evidence jobs only when the caller asks for them
         stats["shingle_rows"] = shingles.count()

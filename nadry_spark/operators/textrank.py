@@ -29,7 +29,7 @@ aggregation; lineage is capped with localCheckpoint per iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,14 +44,29 @@ def _token_pairs(docs: DataFrame, stop: list[str], text_col: str) -> DataFrame:
             cond = cond & ~c.isin(stop)
         return cond
 
-    raw = docs.select(
+    # Generate-array adjacency (see dedup.word_shingles / collocations):
+    # the token array is materialized through a Generate node and
+    # adjacent pairs explode from it in place — no per-doc lead()
+    # window Exchange+Sort. Under-parallel scans are spread by doc
+    # first so the downstream aggregation's map side doesn't serialize
+    # on a single-split input.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    toks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("i", "w"),
+        F.explode(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("toks"),
     )
-    win = Window.partitionBy("doc_id").orderBy("i")
+    pair_arr = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS w, element_at(toks, i + 1) AS nx)) END"
+    )
     return (
-        raw.withColumn("nx", F.lead("w").over(win))
-        .where(F.col("nx").isNotNull() & _ok(F.col("w")) & _ok(F.col("nx")))
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
+        .where(_ok(F.col("w")) & _ok(F.col("nx")))
         .where(F.col("w") != F.col("nx"))
         .select(F.col("w").alias("w1"), F.col("nx").alias("w2"))
     )

@@ -318,21 +318,33 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    # Generate-array k-gram formation (see dedup.word_shingles): the
+    # token array is materialized through a Generate node so the gram
+    # transform() reads an attribute — tokenization runs once per doc
+    # and the gram stage's per-doc window Exchange+Sort disappears
+    # (posexplode of the gram-hash array keeps the 0-based gram start
+    # position the island windows key on). Under-parallel scans are
+    # spread by doc first so the md5 work doesn't serialize on a
+    # single-split input.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+        F.explode(F.array(_tokens(text_col))).alias("toks"),
     )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, k)]
-    gh = F.when(
-        F.lead("tok", k - 1).over(w_ord).isNotNull(),
-        F.md5(F.concat_ws(" ", *gram_parts)),
+    elems = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
+    gh_arr = F.expr(
+        f"CASE WHEN size(toks) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', {elems}))) END"
     )
     grams = (
-        toks.select("id", "pos", gh.alias("gh"))
-        .where(F.col("gh").isNotNull())
+        toks.select("id", F.posexplode(gh_arr).alias("pos", "gh"))
         .localCheckpoint()  # feeds the count agg AND the semi-join probe
     )
+    w_ord = Window.partitionBy("id").orderBy("pos")
     dup_hashes = (
         grams.groupBy("gh")
         .agg(F.count("*").alias("occ"))
@@ -401,23 +413,28 @@ def repetition_stats(
       dup_ngram_frac  1 - distinct_ngrams / total_ngrams
       top_ngram_frac  occurrences of the most frequent n-gram / total
 
-    Row-based n-gram formation (posexplode + lead — the CollapseProject
-    -safe shape, see word_shingles) then one (id, gram) count and one
-    per-id aggregate; all whole-stage-codegen column math. Docs with
-    fewer than n tokens emit no n-grams and are absent from the output
-    (no ngrams -> repetition undefined)."""
-    from pyspark.sql import Window
-
+    Generate-array n-gram formation (see dedup.word_shingles: the
+    token array is materialized through a Generate node so the
+    transform() lambda reads an attribute — no CollapseProject
+    inlining, no per-doc window Exchange+Sort) then one (id, gram)
+    count and one per-id aggregate; all whole-stage-codegen column
+    math. Docs with fewer than n tokens emit no n-grams and are absent
+    from the output (no ngrams -> repetition undefined)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+        F.explode(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("toks"),
     )
-    w_ord = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w_ord) for i in range(1, n)]
-    gram = F.when(
-        F.lead("tok", n - 1).over(w_ord).isNotNull(), F.concat_ws(" ", *parts)
+    elems = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    gram_arr = F.expr(
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) END"
     )
-    grams = toks.select("id", gram.alias("gram")).where(F.col("gram").isNotNull())
+    grams = toks.select("id", F.explode(gram_arr).alias("gram"))
     per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
     return (
         per_gram.groupBy("id")
