@@ -32,6 +32,15 @@ def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     Accepts binary or string html; rows skipped by the reference
     (empty / >100MB) come back as all-null structs for a downstream
     filter.
+
+    Marked non-deterministic below (the function itself is pure):
+    extract_documents filters on the UDF-computed struct
+    (doc.content IS NOT NULL), and the optimizer's filter pushdown
+    otherwise duplicates the evaluation — one ArrowEvalPython under
+    the pushed filter and a second one re-parsing every surviving
+    page for the projection (optimization-guide §4.4 pattern; observed
+    as two extract_udf nodes in the build plan). Non-determinism
+    forbids the copy, halving the extraction stage.
     """
     rows = []
     for h, u in zip(html, url):
@@ -50,6 +59,11 @@ def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
                 }
             )
     return pd.DataFrame(rows)
+
+
+# see docstring: forbids the optimizer's duplicate-evaluation copy
+# around filters on the UDF output; the function is pure
+extract_udf = extract_udf.asNondeterministic()
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
