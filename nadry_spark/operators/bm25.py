@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nadry_spark.functions.tokenizer import tokenize
+from nadry_spark.localrows import empty_df, local_rows_df
 from nadry_spark.operators.codecs import bm25_tfnorm, decode_posting_block
 from nadry_spark.sources.segments import SegmentIndex
 
@@ -304,15 +305,15 @@ def bm25_topk(
     spark = index.spark
     tokens = tokenize(query) if tokens is None else list(tokens)
     distinct = sorted(set(tokens))
-    empty = spark.createDataFrame([], "doc_id string, url string, doc_no long, score double")
+    ddl = "doc_id string, url string, doc_no long, score double"
     if not distinct:
-        return empty
+        return empty_df(spark, ddl)
     stats = index.term_stats(distinct)
     terms = [t for t in distinct if t in stats]
     if not terms:
-        return empty
+        return empty_df(spark, ddl)
     if conjunctive and len(terms) < len(distinct):
-        return empty  # a missing term can never be matched conjunctively
+        return empty_df(spark, ddl)  # a missing term can never match conjunctively
     n_docs = index.meta["n_docs"]
     idf_map = {t: bm25_idf(n_docs, stats[t]["df"]) for t in terms}
 
@@ -336,16 +337,17 @@ def bm25_topk(
         # ONE Spark job — the per-shard scoring — then the <=k winners
         # enrich from the driver dict; the broadcast join below costs a
         # second materialization job per query for the same rows. Same
-        # rows, same (score desc, doc_no) order.
+        # rows, same (score desc, doc_no) order. local_rows_df returns
+        # them as a LocalRelation, so the caller's collect() runs no
+        # second job (createDataFrame parallelized into a full task
+        # set — ~250 ms per call on the bench box).
         rows = topk.collect()
         if all(r["doc_no"] in dm for r in rows):
             data = [
                 (dm[r["doc_no"]][0], dm[r["doc_no"]][1], r["doc_no"], r["score"])
                 for r in rows
             ]
-            return spark.createDataFrame(
-                data, "doc_id string, url string, doc_no long, score double"
-            )
+            return local_rows_df(spark, ddl, data)
     return (
         index.docmap.join(F.broadcast(topk), "doc_no")
         .select("doc_id", "url", "doc_no", "score")
@@ -388,13 +390,13 @@ def bm25_topk_multi(
     spark = msi.spark
     toks = tokenize(query) if tokens is None else list(tokens)
     distinct = sorted(set(toks))
-    empty = spark.createDataFrame([], "doc_id string, url string, score double")
+    ddl = "doc_id string, url string, score double"
     if not distinct:
-        return empty
+        return empty_df(spark, ddl)
     stats = msi.term_stats(distinct)
     terms = [t for t in distinct if t in stats]
     if not terms:
-        return empty
+        return empty_df(spark, ddl)
     # df correction: superseded docs still sit in their segment's terms
     # table; subtract the excluded docs that actually contain each term
     # (cached on the handle — one batched probe per previously-unseen
@@ -403,9 +405,9 @@ def bm25_topk_multi(
     live_df = {t: stats[t]["df"] - df_corr.get(t, 0) for t in terms}
     terms = [t for t in terms if live_df[t] > 0]
     if not terms:
-        return empty
+        return empty_df(spark, ddl)
     if conjunctive and len(terms) < len(distinct):
-        return empty
+        return empty_df(spark, ddl)
 
     meta = msi.meta
     idf_map = {t: bm25_idf(meta["n_docs"], live_df[t]) for t in terms}
@@ -460,9 +462,7 @@ def bm25_topk_multi(
             doc_id, url = msi.segments[r["_seg"]]._docmap_dict[r["doc_no"]]
             enriched.append((doc_id, url, r["score"]))
         enriched.sort(key=lambda x: (-x[2], x[0]))
-        return spark.createDataFrame(
-            enriched[:k], "doc_id string, url string, score double"
-        )
+        return local_rows_df(spark, ddl, enriched[:k])
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -610,9 +610,7 @@ def bm25_queryset_topk(
     from pyspark.sql import Window
 
     spark = index.spark
-    empty = spark.createDataFrame(
-        [], "query_id long, doc_id string, url string, doc_no long, score double"
-    )
+    ddl = "query_id long, doc_id string, url string, doc_no long, score double"
     q_ids, q_terms = [], []
     union_terms: set[str] = set()
     all_distinct: dict[int, list[str]] = {}
@@ -620,7 +618,7 @@ def bm25_queryset_topk(
         all_distinct[qid] = sorted(set(tokenize(q)))
         union_terms.update(all_distinct[qid])
     if not union_terms:
-        return empty
+        return empty_df(spark, ddl)
     stats = index.term_stats(sorted(union_terms))
     for qid, distinct in all_distinct.items():
         terms = [t for t in distinct if t in stats]
@@ -631,7 +629,7 @@ def bm25_queryset_topk(
         q_ids.append(qid)
         q_terms.append(terms)
     if not q_ids:
-        return empty
+        return empty_df(spark, ddl)
     live_terms = sorted({t for ts in q_terms for t in ts})
     n_docs = index.meta["n_docs"]
     idf_map = {t: bm25_idf(n_docs, stats[t]["df"]) for t in live_terms}
@@ -683,13 +681,11 @@ def bm25_queryset_topk_multi(
     from pyspark.sql import Window
 
     spark = msi.spark
-    empty = spark.createDataFrame(
-        [], "query_id long, doc_id string, url string, score double"
-    )
+    ddl = "query_id long, doc_id string, url string, score double"
     all_distinct = {qid: sorted(set(tokenize(q))) for qid, q in queries.items()}
     union_terms = sorted({t for ts in all_distinct.values() for t in ts})
     if not union_terms:
-        return empty
+        return empty_df(spark, ddl)
     stats = msi.term_stats(union_terms)
     present = [t for t in union_terms if t in stats]
     df_corr = msi.df_corrections(present)
@@ -706,7 +702,7 @@ def bm25_queryset_topk_multi(
         q_ids.append(qid)
         q_terms.append(terms)
     if not q_ids:
-        return empty
+        return empty_df(spark, ddl)
     live_terms = sorted({t for ts in q_terms for t in ts})
     meta = msi.meta
     idf_map = {t: bm25_idf(meta["n_docs"], live_df[t]) for t in live_terms}

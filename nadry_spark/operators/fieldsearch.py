@@ -48,9 +48,10 @@ def field_search(index, query: str, field: str, k: int = 10) -> DataFrame:
         raise ValueError(f"field must be one of {sorted(_FIELD_COL)}")
     spark = index.spark
     tokens = sorted(set(tokenize(query)))
-    empty = spark.createDataFrame([], "doc_id string, url string, score double")
     if not tokens:
-        return empty
+        from nadry_spark.localrows import empty_df
+
+        return empty_df(spark, "doc_id string, url string, score double")
 
     segments = index.segments if hasattr(index, "segments") else [index]
     parts = []

@@ -23,6 +23,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nadry_spark.localrows import empty_df, local_rows_df
+
 from nadry_spark.functions.tokenizer import tokenize
 from nadry_spark.sources.segments import SegmentIndex
 
@@ -76,8 +78,11 @@ def phrase_match_docs(index: SegmentIndex, tokens: list[str]) -> DataFrame:
     """doc_nos containing the exact consecutive same-field phrase."""
     spark = index.spark
     n = len(tokens)
-    offsets = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(tokens)], "i int, term string"
+    # LocalRelation-backed (localrows): a createDataFrame list goes
+    # through parallelize, so even this tiny broadcast input costs a
+    # full task set to build
+    offsets = local_rows_df(
+        spark, "i int, term string", [(i, t) for i, t in enumerate(tokens)]
     )
     pos = positions_long(
         index.positions.where(F.col("term").isin(sorted(set(tokens))))
@@ -148,7 +153,9 @@ def phrase_ranked(
     docs = meta.join(phrase_match_doc_ids(index, tokens), "doc_id").select(
         "doc_id", "url", "total_words", "popularity_score"
     )
-    terms_df = spark.createDataFrame([(t,) for t in sorted(set(tokens))], "term string")
+    terms_df = local_rows_df(
+        spark, "term string", [(t,) for t in sorted(set(tokens))]
+    )
     cand = docs.crossJoin(F.broadcast(terms_df)).select(
         "term", "doc_id", "url", F.lit(1).alias("tf")
     )
@@ -178,14 +185,12 @@ def phrase_search(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
     """
     spark = index.spark
     tokens = tokenize(phrase)
-    empty = spark.createDataFrame(
-        [], "doc_id string, url string, relevance double, popularity double, score double"
-    )
+    ddl = "doc_id string, url string, relevance double, popularity double, score double"
     if not tokens:
-        return empty
+        return empty_df(spark, ddl)
     if len(tokens) == 1:
         retok = tokenize(tokens[0])
         if not retok:
-            return empty
+            return empty_df(spark, ddl)
         return disjunctive_ranked(index, retok).limit(k)
     return phrase_ranked(index, tokens).limit(k)

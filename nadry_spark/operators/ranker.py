@@ -43,6 +43,7 @@ from collections import Counter
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nadry_spark.localrows import empty_df, local_rows_df
 from nadry_spark.functions.tokenizer import tokenize
 
 
@@ -152,8 +153,8 @@ def rank_exact(
         # QUERY_TFIDF covers every query token; tokens absent from all
         # candidates get df = 0 (Ranker.java:129 getOrDefault) — a tiny
         # (|query| rows) aggregate broadcast onto every result row
-        qterms = spark.createDataFrame(
-            [(t, c) for t, c in query_bag.items()], "term string, qtf int"
+        qterms = local_rows_df(
+            spark, "term string, qtf int", [(t, c) for t, c in query_bag.items()]
         )
         q_vec = (
             qterms.join(term_df, "term", "left")
@@ -217,8 +218,9 @@ def search(
     """
     tokens = tokenize_query(query)
     if not tokens:
-        return spark.createDataFrame(
-            [], "doc_id string, url string, relevance double, popularity double, score double"
+        return empty_df(
+            spark,
+            "doc_id string, url string, relevance double, popularity double, score double",
         )
     cand = candidates_for_terms(postings, tokens)
     ranked = rank_exact(spark, cand, doc_stats, tokens)
@@ -234,7 +236,7 @@ def additive_search(postings: DataFrame, query_tokens: list[str], k: int = 10) -
     multiset rather than an isin filter.
     """
     spark = postings.sparkSession
-    terms = spark.createDataFrame([(t,) for t in query_tokens], "term string")
+    terms = local_rows_df(spark, "term string", [(t,) for t in query_tokens])
     return (
         postings.join(F.broadcast(terms), "term")
         .groupBy("doc_id")

@@ -27,7 +27,9 @@ def insert_suggestion(suggestions: DataFrame, new: str) -> DataFrame:
     """Insert with duplicate rejection (the 409 path): no-op if an
     equal-ignoring-case suggestion exists."""
     spark = suggestions.sparkSession
-    new_df = spark.createDataFrame([(new,)], "suggestion string")
+    from nadry_spark.localrows import local_rows_df
+
+    new_df = local_rows_df(spark, "suggestion string", [(new,)])
     existing_lc = suggestions.select(F.lower("suggestion").alias("_lc"))
     to_add = new_df.join(
         existing_lc, F.lower(new_df.suggestion) == existing_lc._lc, "left_anti"

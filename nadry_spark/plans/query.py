@@ -32,6 +32,7 @@ import time
 from pyspark.sql import functions as F
 
 from nadry_spark.functions.snippets import snippet_udf
+from nadry_spark.localrows import local_rows_df
 from nadry_spark.functions.tokenizer import tokenize
 from nadry_spark.operators.phrase import (
     disjunctive_ranked,
@@ -241,7 +242,7 @@ class QueryEngine:
             self._vocab_variants = deletion_variants(
                 vocab, "term", out="_var"
             ).persist()
-        qdf = spark.createDataFrame([(t,) for t in set(tokens)], "q string")
+        qdf = local_rows_df(spark, "q string", [(t,) for t in set(tokens)])
         qv = deletion_variants(qdf, "q", out="_var")
         cands = (
             qv.join(self._vocab_variants, "_var")
@@ -270,9 +271,7 @@ class QueryEngine:
         idx = self.index
         spark = idx.spark
         by_doc_id = {r["doc_id"]: self._result_row(r) for r in page_rows}
-        ids_df = spark.createDataFrame(
-            [(d,) for d in by_doc_id], "doc_id string"
-        )
+        ids_df = local_rows_df(spark, "doc_id string", [(d,) for d in by_doc_id])
         detail = (
             idx.content_for(F.broadcast(ids_df))
             .select(
