@@ -36,7 +36,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _terms_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term) exploded with tokenizer-lite filters applied."""
+    """(doc_id, term) exploded with tokenizer-lite filters applied.
+
+    Deliberately NOT spread_small_scan'd: its consumers hang only
+    light per-token work on the explode (one md5 or a filter), and the
+    A/B measured the doc-row exchange + probe costing more than the
+    parallelism bought (kmv 0.99 -> 1.47 s with the spread). The
+    spread pays off only for md5-heavy multi-agg map sides (minhash,
+    simhash, trigram tf)."""
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
@@ -2094,10 +2101,9 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread by doc first (word_shingles' re-split rationale): the tf
     # partial agg runs map-side where the window exchange used to
     # provide the spread.
-    docs_in = _docs_with_dups(spark, sf_dir)
-    target = spark.sparkContext.defaultParallelism
-    if docs_in.rdd.getNumPartitions() < target:
-        docs_in = docs_in.repartition(target, "doc_id")
+    from nadry_spark.spread import spread_small_scan
+
+    docs_in = spread_small_scan(_docs_with_dups(spark, sf_dir), "doc_id")
     toks = docs_in.select(
         "doc_id",
         F.explode(F.array(F.split(F.lower("text"), r"\s+"))).alias("toks"),

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nadry_spark.spread import spread_small_scan
+
 
 def pmi_bigrams(
     docs: DataFrame,
@@ -49,10 +51,7 @@ def pmi_bigrams(
     # Exchange+Sort of the token stream. Under-parallel scans are
     # spread by doc first so the two count aggregations' map sides
     # don't serialize on a single-split input.
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    docs = spread_small_scan(docs, "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("toks"),

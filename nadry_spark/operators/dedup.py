@@ -26,6 +26,8 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nadry_spark.spread import spread_small_scan
+
 _LOG = logging.getLogger("nadry_spark.dedup")
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -199,10 +201,7 @@ def word_shingles(
     exchange). At scale the scan already has >= cluster parallelism
     and this is a no-op.
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
+    df = spread_small_scan(df, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -593,6 +592,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     majority vote weighted by token frequency. md5-derived so the SQL
     oracle reproduces it exactly.
     """
+    # the 32 md5-sum aggregations run map-side on the scan tasks; a
+    # small parquet input packs into ~1 split and would serialize them
+    # (word_shingles' re-split rationale; no-op at scan parallelism >=
+    # cluster width)
+    df = spread_small_scan(df, id_col)
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
         .where(F.length("tok") > 0)

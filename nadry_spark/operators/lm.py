@@ -110,6 +110,12 @@ def char_trigram_lm_scores(
             .collect()[0]["v"]
         )
 
+    # the trigram explode + tf partial agg and the charset probe both
+    # run map-side on the scan — spread an under-parallel input first
+    # (nadry_spark.spread rationale)
+    from nadry_spark.spread import spread_small_scan
+
+    docs = spread_small_scan(docs, id_col)
     # the charset probe and the trigram-tf pass are independent corpus
     # scans — overlap them so the probe back-fills the tf job's
     # straggler tail (guide-§2.6 pattern, as in the stage-0 index

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nadry_spark.spread import spread_small_scan
+
 
 def _token_pairs(docs: DataFrame, stop: list[str], text_col: str) -> DataFrame:
     """Directed textually-adjacent (w1, w2) occurrences; both tokens
@@ -50,10 +52,7 @@ def _token_pairs(docs: DataFrame, stop: list[str], text_col: str) -> DataFrame:
     # window Exchange+Sort. Under-parallel scans are spread by doc
     # first so the downstream aggregation's map side doesn't serialize
     # on a single-split input.
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    docs = spread_small_scan(docs, "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("toks"),

@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from nadry_spark.spread import spread_small_scan
 from pyspark.sql import types as T
 
 # tiny per-language stopword signatures (public common-word lists)
@@ -326,10 +328,7 @@ def duplicate_spans(
     # position the island windows key on). Under-parallel scans are
     # spread by doc first so the md5 work doesn't serialize on a
     # single-split input.
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
+    df = spread_small_scan(df, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(_tokens(text_col))).alias("toks"),
@@ -420,10 +419,7 @@ def repetition_stats(
     count and one per-id aggregate; all whole-stage-codegen column
     math. Docs with fewer than n tokens emit no n-grams and are absent
     from the output (no ngrams -> repetition undefined)."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
+    df = spread_small_scan(df, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("toks"),
