@@ -40,6 +40,17 @@ def lang_scores(text_col: str) -> dict[str, Column]:
     return out
 
 
+def lang_pred_col(text_col: str, min_score: float = 0.05) -> Column:
+    """Column form of :func:`lang_id`'s lang_pred (argmax signature
+    ratio, 'und' below floor; ties by score desc then lexicographic
+    lang) — for single-pass pipelines that fuse several per-doc
+    predicates into one projection."""
+    scores = lang_scores(text_col)
+    pairs = [F.struct(col.alias("s"), F.lit(lang).alias("l")) for lang, col in sorted(scores.items())]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["s"] >= min_score, best["l"]).otherwise("und")
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str, min_score: float = 0.05) -> DataFrame:
     """(id, lang, lang_score): argmax signature ratio, 'und' below floor.
 
@@ -83,6 +94,30 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1))
         ).alias("unique_ratio"),
     )
+
+
+def quality_score_col(text_col: str) -> Column:
+    """Column form of :func:`quality_score` (same feature expressions,
+    same blend, same 9-digit rounding) — for single-pass pipelines."""
+    toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    text_len = F.length(F.col(text_col))
+    en = LANG_SIGNATURES["en"]
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")
+    ) / F.greatest(text_len, F.lit(1))
+    stopword_ratio = F.size(F.filter(toks, lambda t: t.isin(en))) / F.greatest(
+        n_toks, F.lit(1)
+    )
+    unique_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1))
+    clamped_len = F.least(n_toks / F.lit(200.0), F.lit(1.0))
+    score = (
+        0.3 * clamped_len
+        + 0.3 * alpha_ratio
+        + 0.2 * unique_ratio
+        + 0.2 * F.least(stopword_ratio * 5, F.lit(1.0))
+    )
+    return F.round(score, 9)
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

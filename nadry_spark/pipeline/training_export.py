@@ -104,21 +104,30 @@ def _write_ids(df: DataFrame, path: str) -> int:
 
 
 def _stage_filter(docs: DataFrame, cfg: ExportConfig) -> DataFrame:
-    from nadry_spark.operators.textstats import lang_id, quality_score
+    # ONE pass: lang/quality/token-count are 1:1 per-doc predicates, so
+    # they fuse into a single projection + conjunctive filter — the
+    # per-predicate frames + left-semi joins re-scanned the text three
+    # times and shuffled twice for the same survivor set. Column forms
+    # are the operators' own expressions (lang_pred_col /
+    # quality_score_col), so the kept set is identical.
+    from nadry_spark.operators.textstats import lang_pred_col, quality_score_col
 
+    # NOT spread_small_scan'd: A/B measured the doc-row exchange
+    # costing more than the parallelism bought here (warm filter stage
+    # 1.15 s fused vs 1.42 s fused+spread on the doubled bench corpus)
     base = docs.select("doc_id", "text")
-    keep = base.select("doc_id")
+    flt = base.select(
+        "doc_id",
+        lang_pred_col("text").alias("_lang"),
+        quality_score_col("text").alias("_q"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("_ntok"),
+    )
+    cond = (F.col("_q") >= cfg.min_quality) & (F.col("_ntok") >= cfg.min_tokens)
     if cfg.lang is not None:
-        lang = lang_id(base, "doc_id", "text").where(F.col("lang_pred") == cfg.lang)
-        keep = keep.join(lang.select("doc_id"), "doc_id", "left_semi")
-    q = quality_score(base, "doc_id", "text").where(F.col("quality") >= cfg.min_quality)
-    keep = keep.join(q.select("doc_id"), "doc_id", "left_semi")
-    ntok = base.select(
-        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
-    ).where(F.col("n_tokens") >= cfg.min_tokens)
+        cond = cond & (F.col("_lang") == cfg.lang)
     if cfg.max_tokens is not None:
-        ntok = ntok.where(F.col("n_tokens") <= cfg.max_tokens)
-    return keep.join(ntok.select("doc_id"), "doc_id", "left_semi")
+        cond = cond & (F.col("_ntok") <= cfg.max_tokens)
+    return flt.where(cond).select("doc_id")
 
 
 def _stage_classify(live: DataFrame, cfg: ExportConfig, stats: dict) -> DataFrame:
