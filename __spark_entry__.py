@@ -465,14 +465,13 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same 6 rounds as chained CTEs (the pagerank
     fixed-iteration pattern), so the propagation itself is
     cross-checked, not just the pair input."""
-    from nadry_spark.operators.components import connected_components
+    from nadry_spark.operators.components import connected_components_with_sizes
 
     pairs = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
-    labels = connected_components(pairs, src="id_a", dst="id_b", iterations=6)
-    sizes = labels.groupBy("component").agg(
-        F.count("*").cast("long").alias("cluster_size")
+    out = connected_components_with_sizes(
+        pairs, src="id_a", dst="id_b", iterations=6
     )
-    return labels.join(sizes, "component").select(
+    return out.select(
         F.col("v").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",

@@ -50,8 +50,9 @@ def connected_components(
     Driver fast path (the bpe_merges_local / mmr_select precedent):
     dedup pair graphs are a tiny fraction of the corpus (LSH/PPJoin
     candidates that VERIFIED — thousands of edges for thousands of
-    docs), so when the symmetrized edge set is driver-sized
-    (``driver_max_edges``, default 2M ~ tens of MB) the k propagation
+    docs), so when twice the raw edge count is driver-sized
+    (``driver_max_edges``, default 2M ~ tens of MB; 2x because the
+    recurrence runs over the symmetrized set) the k propagation
     rounds run as vectorized numpy min-scatters on one collected edge
     list instead of k (join + min-aggregate) Spark rounds (2 shuffles
     each). The simulation is round-for-round the SAME recurrence
@@ -63,11 +64,21 @@ def connected_components(
     corpus-scale pair graphs) the distributed loop runs unchanged;
     ``driver_max_edges=None`` disables the fast path.
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges is not None and raw.count() * 2 <= driver_max_edges:
+        # collect the RAW pair rows (one cheap count-gate job + one
+        # toPandas job) and symmetrize in numpy — duplicate edges are
+        # harmless to a min-scatter, so the Spark-side distinct
+        # shuffle + checkpoint the distributed loop needs buys nothing
+        # on the fast path
+        verts, labels = _cc_numpy(raw.toPandas(), iterations, until_converged)
+        return _local_frame(
+            edges.sparkSession,
+            raw.schema["a"].dataType,
+            [("v", verts), ("component", verts[labels])],
+        )
+    und = raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.distinct().localCheckpoint()
-    if driver_max_edges is not None and und.count() <= driver_max_edges:
-        return _cc_local(und, iterations, until_converged)
     labels = (
         und.select(F.col("a").alias("v")).distinct()
         .withColumn("component", F.col("v"))
@@ -97,15 +108,17 @@ def connected_components(
     return labels
 
 
-def _cc_local(und: DataFrame, iterations: int, until_converged: bool) -> DataFrame:
+def _cc_numpy(pdf, iterations: int, until_converged: bool):
     """Driver-side simulation of ``iterations`` min-label-propagation
-    rounds over the (already symmetrized, distinct, checkpointed)
-    edge frame — exactly the recurrence of the distributed loop,
-    vectorized with numpy min-scatters."""
+    rounds over collected RAW (a, b) pair rows — exactly the
+    recurrence of the distributed loop, vectorized with numpy
+    min-scatters. Symmetrization happens here (both scatter
+    directions); duplicate/self edges cannot change a min. Returns
+    (verts, labels) with ``labels`` as indices into the sorted
+    ``verts`` (min-by-rank == min-by-value for numeric ids and for
+    strings — UTF-8 byte order == code-point order)."""
     import numpy as np
 
-    pdf = und.toPandas()
-    spark = und.sparkSession
     a_vals = pdf["a"].to_numpy()
     b_vals = pdf["b"].to_numpy()
     verts = np.unique(np.concatenate([a_vals, b_vals]))
@@ -114,19 +127,79 @@ def _cc_local(und: DataFrame, iterations: int, until_converged: bool) -> DataFra
     labels = np.arange(len(verts), dtype=np.int64)
     for _ in range(iterations):
         new = labels.copy()
-        # label(a) <- min(label(a), min over labels of its neighbours)
+        # label(v) <- min(label(v), min over labels of its neighbours)
         np.minimum.at(new, a_idx, labels[b_idx])
+        np.minimum.at(new, b_idx, labels[a_idx])
         if until_converged and np.array_equal(new, labels):
             break
         labels = new
-    vtype = und.schema["a"].dataType
-    from pyspark.sql.types import StructField, StructType
+    return verts, labels
+
+
+def _local_frame(spark, vtype, cols) -> DataFrame:
+    """Driver-resident (name, numpy array) columns as a DataFrame.
+
+    Arrow-backed ``createDataFrame(pandas)`` — measured ~2-3x cheaper
+    end-to-end than the row-list path for the few-thousand-row frames
+    the graph fast paths return (the rows still ship to executors
+    through parallelize slices; Arrow just makes the conversion and
+    the collect cheap). Integer-typed columns pass through as int64;
+    the vertex-typed columns keep the input's Spark type."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
-        [StructField("v", vtype, True), StructField("component", vtype, True)]
+        [
+            StructField(
+                name, LongType() if name == "cluster_size" else vtype, True
+            )
+            for name, _ in cols
+        ]
     )
-    rows = list(zip(verts.tolist(), verts[labels].tolist()))
-    return spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame({name: vals for name, vals in cols})
+    return spark.createDataFrame(pdf, schema)
+
+
+def connected_components_with_sizes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    driver_max_edges: int | None = 2_000_000,
+) -> DataFrame:
+    """(v, component, cluster_size) — :func:`connected_components`
+    labels joined with the per-component member count, in ONE call.
+
+    The labels-then-sizes shape every keep-one-per-cluster consumer
+    needs costs a groupBy + a join over the (tiny) label frame when
+    composed from the outside — two extra shuffle stages whose task
+    overhead dominates at driver-graph sizes. On the driver fast path
+    the sizes are one ``np.unique`` over the final labels, so the
+    whole answer returns as a single driver-built frame; past the
+    gate it composes the distributed pieces unchanged."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges is not None and raw.count() * 2 <= driver_max_edges:
+        import numpy as np
+
+        verts, labels = _cc_numpy(raw.toPandas(), iterations, False)
+        _, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
+        return _local_frame(
+            edges.sparkSession,
+            raw.schema["a"].dataType,
+            [
+                ("v", verts),
+                ("component", verts[labels]),
+                ("cluster_size", cnt[inv].astype("int64")),
+            ],
+        )
+    labels = connected_components(
+        edges, src=src, dst=dst, iterations=iterations,
+        driver_max_edges=None,
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "component").select("v", "component", "cluster_size")
 
 
 def label_propagation(
@@ -162,11 +235,15 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges is not None and raw.count() * 2 <= driver_max_edges:
+        # raw rows collected; symmetrize + self-loop drop + DISTINCT
+        # happen in numpy (LPA counts neighbours, so unlike CC the
+        # dedup is semantic here and must match the distributed
+        # loop's distinct() exactly — it does, on pair identity)
+        return _lpa_local(raw, iterations)
+    und = raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
-    if driver_max_edges is not None and und.count() <= driver_max_edges:
-        return _lpa_local(und, iterations)
     labels = und.select(F.col("a").alias("v")).distinct().withColumn(
         "community", F.col("v")
     )
@@ -186,23 +263,35 @@ def label_propagation(
     return labels
 
 
-def _lpa_local(und: DataFrame, iterations: int) -> DataFrame:
+def _lpa_local(raw: DataFrame, iterations: int) -> DataFrame:
     """Driver-side simulation of ``iterations`` synchronous LPA rounds
-    over the (symmetrized, self-loop-free, distinct, checkpointed)
-    edge frame — the exact argmax-by-(count desc, label asc) recurrence
-    of the distributed loop, on index ranks of the sorted vertex set
-    (count/argmax are pure integer ops, so the output is bit-identical;
-    min-by-rank == min-by-value, same argument as _cc_local)."""
+    over collected RAW (a, b) pair rows — the exact
+    argmax-by-(count desc, label asc) recurrence of the distributed
+    loop, on index ranks of the sorted vertex set (count/argmax are
+    pure integer ops, so the output is bit-identical; min-by-rank ==
+    min-by-value, same argument as _cc_numpy). Symmetrization,
+    self-loop removal and the distinct() the distributed loop applies
+    are reproduced here in numpy — LPA counts neighbours, so the
+    dedup is load-bearing, unlike CC's."""
     import numpy as np
 
-    pdf = und.toPandas()
-    spark = und.sparkSession
-    a_vals = pdf["a"].to_numpy()
-    b_vals = pdf["b"].to_numpy()
-    verts = np.unique(np.concatenate([a_vals, b_vals]))
-    a_idx = np.searchsorted(verts, a_vals)
-    b_idx = np.searchsorted(verts, b_vals)
+    pdf = raw.toPandas()
+    spark = raw.sparkSession
+    a0 = pdf["a"].to_numpy()
+    b0 = pdf["b"].to_numpy()
+    # drop self-loop rows BEFORE the vertex set (matching the
+    # distributed `.where(a != b)` placement: a vertex incident only
+    # to self-loops is not a vertex of the LPA graph), then
+    # symmetrize + distinct on (a, b) identity
+    m = a0 != b0
+    a0, b0 = a0[m], b0[m]
+    verts = np.unique(np.concatenate([a0, b0]))
     n = len(verts)
+    ai = np.concatenate([np.searchsorted(verts, a0), np.searchsorted(verts, b0)])
+    bi = np.concatenate([np.searchsorted(verts, b0), np.searchsorted(verts, a0)])
+    pair_key = np.unique(ai.astype(np.int64) * n + bi.astype(np.int64))
+    a_idx = (pair_key // n).astype(np.int64)
+    b_idx = (pair_key % n).astype(np.int64)
     labels = np.arange(n, dtype=np.int64)
     for _ in range(iterations):
         # counts[(v, neighbour-label)] -> argmax by (count desc, label asc)
@@ -219,11 +308,8 @@ def _lpa_local(und: DataFrame, iterations: int) -> DataFrame:
         new = labels.copy()
         new[v_sorted[first]] = lab_of[order][first]
         labels = new
-    vtype = und.schema["a"].dataType
-    from pyspark.sql.types import StructField, StructType
-
-    schema = StructType(
-        [StructField("v", vtype, True), StructField("community", vtype, True)]
+    return _local_frame(
+        spark,
+        raw.schema["a"].dataType,
+        [("v", verts), ("community", verts[labels])],
     )
-    rows = list(zip(verts.tolist(), verts[labels].tolist()))
-    return spark.createDataFrame(rows, schema)

@@ -83,8 +83,11 @@ def hits(
                     StructField("hub", DoubleType(), True),
                 ]
             )
+            import pandas as pd
+
             out = spark.createDataFrame(
-                list(zip(urls.tolist(), a_vec.tolist(), h_vec.tolist())), schema
+                pd.DataFrame({"url": urls, "authority": a_vec, "hub": h_vec}),
+                schema,
             )
             return out.select(
                 "url",

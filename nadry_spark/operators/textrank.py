@@ -132,7 +132,11 @@ def textrank_keywords(
                 StructField("score", DoubleType(), True),
             ]
         )
-        out = spark.createDataFrame(list(zip(terms.tolist(), rank.tolist())), schema)
+        import pandas as pd
+
+        out = spark.createDataFrame(
+            pd.DataFrame({"term": terms, "score": rank}), schema
+        )
         return out.select("term", F.round("score", 9).alias("score"))
 
     base = F.lit(1.0) - F.lit(damping)

@@ -111,6 +111,35 @@ def test_cc_driver_fast_path_identical_to_distributed(spark):
     assert fast == dist
 
 
+def test_cc_with_sizes_fast_path_identical_to_distributed(spark):
+    """connected_components_with_sizes: the driver fast path's numpy
+    size computation must match the distributed groupBy+join
+    composition row-for-row — including duplicate and self-loop edges
+    (the fast path skips the Spark-side distinct because min-scatters
+    are dedup-invariant; sizes must still come out identical)."""
+    import random
+
+    from nadry_spark.operators.components import connected_components_with_sizes
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(70)]
+    edges += edges[:10]  # duplicates
+    edges += [(5, 5), (41, 41)]  # self-loops (41 only in a self-loop)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (2, 8):
+        fast = sorted(
+            tuple(r) for r in connected_components_with_sizes(
+                df, iterations=iters
+            ).collect()
+        )
+        dist = sorted(
+            tuple(r) for r in connected_components_with_sizes(
+                df, iterations=iters, driver_max_edges=None
+            ).collect()
+        )
+        assert fast == dist
+
+
 def test_deletion_variants_exact_set(spark):
     df = spark.createDataFrame([("abc",)], "t string")
     got = {r["variant"] for r in deletion_variants(df, "t", max_deletes=2).collect()}
