@@ -65,6 +65,12 @@ def connected_components(
     ``driver_max_edges=None`` disables the fast path.
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges is not None:
+        # materialize the pair stream once (the round-start shape
+        # checkpointed it too): the count gate AND whichever path wins
+        # read the checkpoint instead of re-evaluating an expensive
+        # pair pipeline per consumer
+        raw = raw.localCheckpoint()
     if driver_max_edges is not None and raw.count() * 2 <= driver_max_edges:
         # collect the RAW pair rows (one cheap count-gate job + one
         # toPandas job) and symmetrize in numpy — duplicate edges are
@@ -178,6 +184,12 @@ def connected_components_with_sizes(
     whole answer returns as a single driver-built frame; past the
     gate it composes the distributed pieces unchanged."""
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges is not None:
+        # materialize the pair stream once (the round-start shape
+        # checkpointed it too): the count gate AND whichever path wins
+        # read the checkpoint instead of re-evaluating an expensive
+        # pair pipeline per consumer
+        raw = raw.localCheckpoint()
     if driver_max_edges is not None and raw.count() * 2 <= driver_max_edges:
         import numpy as np
 
@@ -193,7 +205,7 @@ def connected_components_with_sizes(
             ],
         )
     labels = connected_components(
-        edges, src=src, dst=dst, iterations=iterations,
+        raw, src="a", dst="b", iterations=iterations,
         driver_max_edges=None,
     )
     sizes = labels.groupBy("component").agg(
@@ -236,6 +248,12 @@ def label_propagation(
     from pyspark.sql import Window
 
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges is not None:
+        # materialize the pair stream once (the round-start shape
+        # checkpointed it too): the count gate AND whichever path wins
+        # read the checkpoint instead of re-evaluating an expensive
+        # pair pipeline per consumer
+        raw = raw.localCheckpoint()
     if driver_max_edges is not None and raw.count() * 2 <= driver_max_edges:
         # raw rows collected; symmetrize + self-loop drop + DISTINCT
         # happen in numpy (LPA counts neighbours, so unlike CC the
