@@ -40,6 +40,15 @@ HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 # and the drop is logged/returned — never silent.
 DEFAULT_BUCKET_CAP = 1000
 
+# driver fast-path gates for the exact Jaccard join (ngram_jaccard_dups):
+# collect at most this many shingle OCCURRENCE rows (estimated from a
+# cheap token-count aggregation before anything is collected) ...
+DRIVER_JACCARD_MAX_OCC_ROWS = 5_000_000
+# ... and enumerate at most this many co-occurrence pair rows (exact
+# bound computed driver-side from the per-shingle dfs; past it the
+# collect is abandoned and the distributed PPJoin path runs unchanged)
+DRIVER_JACCARD_MAX_PAIR_ROWS = 50_000_000
+
 # Jaccard-verify broadcast gate: broadcast the candidate-doc shingle
 # arrays into the pair stream while the (distinct) shingle row count —
 # an upper bound on the array table, measured on the already-persisted
@@ -491,6 +500,77 @@ def prefix_filtered_candidates(
     )
 
 
+def _jaccard_local(spark, occ_pdf, id_dtype, threshold: float):
+    """Driver-side exact-threshold Jaccard self-join over collected
+    shingle OCCURRENCE rows (id, shingle) — the naive co-occurrence
+    formulation, affordable here precisely because the input passed
+    the driver gate: n_int(a, b) = count of distinct shingles shared,
+    enumerated per shingle group with vectorized numpy offsets.
+
+    Produces the same (id_a, id_b, jaccard) rows as the PPJoin
+    prefix-filter + array_intersect verify (the prefix filter is
+    lossless, so both compute exactly the J >= t pair set): same
+    id_a < id_b value order (np.unique codes are value-sorted; UTF-8
+    byte order == code-point order for string ids), same
+    int/(int+int-int) double division. Returns None when the
+    enumerated pair bound exceeds ``DRIVER_JACCARD_MAX_PAIR_ROWS``
+    (degenerate shared-shingle distribution) — caller falls back to
+    the distributed path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ids_u, id_code = np.unique(occ_pdf["id"].to_numpy(), return_inverse=True)
+    sh_code, _sh_u = pd.factorize(occ_pdf["shingle"])
+    n_ids = len(ids_u)
+    n_sh = len(_sh_u)
+    # distinct (id, shingle) — word_shingles(distinct=True) semantics
+    key = np.unique(id_code.astype(np.int64) * n_sh + sh_code)
+    idx = (key // n_sh).astype(np.int64)
+    shx = (key % n_sh).astype(np.int64)
+    n_per_id = np.bincount(idx, minlength=n_ids)
+    df_per_sh = np.bincount(shx).astype(np.int64)
+    if int((df_per_sh * (df_per_sh - 1) // 2).sum()) > DRIVER_JACCARD_MAX_PAIR_ROWS:
+        return None
+    order = np.lexsort((idx, shx))
+    s_sorted = shx[order]
+    d_sorted = idx[order]
+    parts = []
+    k = 1
+    # groups are contiguous after the sort: once no row matches the
+    # shingle k positions ahead, no group is larger than k
+    while k < len(s_sorted):
+        m = s_sorted[:-k] == s_sorted[k:]
+        if not m.any():
+            break
+        # within a shingle group ids are ascending and distinct, so
+        # (d[i], d[i+k]) is already the id_a < id_b orientation
+        parts.append(d_sorted[:-k][m] * np.int64(n_ids) + d_sorted[k:][m])
+        k += 1
+    if parts:
+        upk, n_int = np.unique(np.concatenate(parts), return_counts=True)
+    else:
+        upk = np.empty(0, dtype=np.int64)
+        n_int = np.empty(0, dtype=np.int64)
+    ia = upk // n_ids
+    ib = upk % n_ids
+    jac = n_int / (n_per_id[ia] + n_per_id[ib] - n_int)
+    if threshold > 0:
+        keep = jac >= threshold
+        ia, ib, jac = ia[keep], ib[keep], jac[keep]
+    schema = StructType(
+        [
+            StructField("id_a", id_dtype, True),
+            StructField("id_b", id_dtype, True),
+            StructField("jaccard", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"id_a": ids_u[ia], "id_b": ids_u[ib], "jaccard": jac}),
+        schema,
+    )
+
+
 def ngram_jaccard_dups(
     df: DataFrame,
     id_col: str,
@@ -499,6 +579,7 @@ def ngram_jaccard_dups(
     shingle_n: int = 3,
     threshold: float = 0.5,
     stats: dict | None = None,
+    driver_max_occ_rows: int | None = DRIVER_JACCARD_MAX_OCC_ROWS,
 ) -> DataFrame:
     """Exact-threshold all-pairs n-gram Jaccard near-dup join:
     shingle -> prefix-filtered candidates -> jaccard verify.
@@ -508,13 +589,44 @@ def ngram_jaccard_dups(
     J >= threshold — the prefix filter is lossless by construction —
     while still avoiding the O(sum df^2) naive shingle self-join.
     Returns (id_a, id_b, jaccard). ``stats`` (optional) records
-    shingle/prefix/candidate-pair counts as pruning evidence.
+    shingle/prefix/candidate-pair counts as pruning evidence, and
+    forces the distributed path (the counts ARE that path's
+    telemetry).
+
+    Driver fast path (the components/pagerank precedent): when the
+    token-count estimate says the occurrence rows are driver-sized
+    (``driver_max_occ_rows``) the verify runs as one numpy
+    co-occurrence pass over the collected shingle rows
+    (:func:`_jaccard_local` — identical rows by construction,
+    asserted in tests/test_dedup.py), with an exact enumerated-pair
+    bound falling back to the distributed join on degenerate inputs.
+    Past the gates the PPJoin shape below runs unchanged — that shape,
+    not the fast path, is what survives a 100x corpus.
 
     Persist discipline mirrors ``minhash_dedup_pairs``: the shingle
     frame feeds both the candidate generation and the verify join, so
     it is persisted for the call and released once the (small) verified
     pair set is checkpointed.
     """
+    if stats is None and driver_max_occ_rows is not None:
+        est = df.select(
+            F.sum(F.size(F.split(F.col(text_col), r"\s+"))).alias("n")
+        ).collect()[0]["n"]
+        if est is not None and est <= driver_max_occ_rows:
+            occ = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
+            out = _jaccard_local(
+                df.sparkSession,
+                occ.select(F.col("id"), F.col("shingle")).toPandas(),
+                df.schema[id_col].dataType,
+                threshold,
+            )
+            if out is not None:
+                return out
+            _LOG.warning(
+                "ngram_jaccard_dups: enumerated pair bound over %d — "
+                "falling back to the distributed prefix join",
+                DRIVER_JACCARD_MAX_PAIR_ROWS,
+            )
     sh = word_shingles(df, id_col, text_col, shingle_n).persist()
     # count materializes the persisted shingles (paid once, every later
     # stage reads the cache) and gates the verify's broadcast plan

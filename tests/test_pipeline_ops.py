@@ -237,6 +237,63 @@ def test_prefix_filtered_jaccard_matches_naive(spark):
     sh.unpersist()
 
 
+def test_jaccard_driver_fast_path_identical_to_distributed(spark):
+    """ngram_jaccard_dups' driver fast path (numpy co-occurrence
+    verify) must be row-identical — jaccard doubles BIT-equal — to the
+    distributed PPJoin path, for long and string ids; the pair-bound
+    gate must fall back to the distributed join rather than fail."""
+    import random
+
+    from nadry_spark.operators.dedup import ngram_jaccard_dups
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))))
+    for i in range(40, 55):
+        base = rows[i - 40][1].split()
+        if base:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    rows.append((90, ""))  # empty doc: no shingles either way
+    df = spark.createDataFrame(rows, "id long, text string")
+    sdf = spark.createDataFrame(
+        [(f"d{i:03d}", t) for i, t in rows], "id string, text string"
+    )
+    for frame in (df, sdf):
+        for t in (0.3, 0.5):
+            fast = sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in ngram_jaccard_dups(
+                    frame, "id", "text", shingle_n=3, threshold=t
+                ).collect()
+            )
+            dist = sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in ngram_jaccard_dups(
+                    frame, "id", "text", shingle_n=3, threshold=t,
+                    driver_max_occ_rows=None,
+                ).collect()
+            )
+            assert fast == dist, f"threshold={t}"
+
+    # degenerate input: every doc identical -> pair bound explodes;
+    # the fallback must still return the correct (complete) pair set
+    from nadry_spark.operators import dedup as dedup_mod
+
+    boiler = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)], "id long, text string"
+    )
+    old = dedup_mod.DRIVER_JACCARD_MAX_PAIR_ROWS
+    dedup_mod.DRIVER_JACCARD_MAX_PAIR_ROWS = 10
+    try:
+        got = ngram_jaccard_dups(boiler, "id", "text", threshold=0.5).count()
+    finally:
+        dedup_mod.DRIVER_JACCARD_MAX_PAIR_ROWS = old
+    assert got == 20 * 19 // 2
+
+
 def test_prefix_filter_prunes_boilerplate(spark):
     """Docs sharing only a frequent boilerplate shingle never become
     candidates: the common shingle lands in every doc's suffix (global
