@@ -303,6 +303,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     threshold: float = 0.0,
     broadcast_arrays: bool = False,
+    driver_verify: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) via shingle self-join; optionally restricted
     to LSH candidates (the scale path — never all-pairs).
@@ -315,7 +316,29 @@ def jaccard_pairs(
     is ONE stage over the skinny pair stream and the only exchanged
     payload is the (candidate-docs-only) array table, once. Callers
     enable it when the candidate-doc set is bounded (ngram_jaccard_dups
-    / minhash_dedup_pairs gate on the measured shingle row count)."""
+    / minhash_dedup_pairs gate on the measured shingle row count).
+
+    ``driver_verify``: run the restricted verify driver-side
+    (:func:`_jaccard_local` with the collected candidate set) —
+    callers set it when the measured shingle row count is under
+    ``DRIVER_JACCARD_MAX_OCC_ROWS`` and threshold > 0; identical rows
+    (see _jaccard_local), distributed verify unchanged past the gate
+    or when the enumerated pair bound trips."""
+    if candidates is not None and driver_verify and threshold > 0:
+        out = _jaccard_local(
+            shingles.sparkSession,
+            shingles.select("id", "shingle").toPandas(),
+            shingles.schema["id"].dataType,
+            threshold,
+            cand_pdf=candidates.select("id_a", "id_b").toPandas(),
+        )
+        if out is not None:
+            return out
+        _LOG.warning(
+            "jaccard_pairs: enumerated pair bound over %d — falling "
+            "back to the distributed verify",
+            DRIVER_JACCARD_MAX_PAIR_ROWS,
+        )
     if candidates is not None:
         # per-pair set intersection: join each candidate pair to the two
         # docs' shingle arrays and intersect. O(candidates * shingle set)
@@ -500,12 +523,19 @@ def prefix_filtered_candidates(
     )
 
 
-def _jaccard_local(spark, occ_pdf, id_dtype, threshold: float):
+def _jaccard_local(spark, occ_pdf, id_dtype, threshold: float, cand_pdf=None):
     """Driver-side exact-threshold Jaccard self-join over collected
     shingle OCCURRENCE rows (id, shingle) — the naive co-occurrence
     formulation, affordable here precisely because the input passed
     the driver gate: n_int(a, b) = count of distinct shingles shared,
     enumerated per shingle group with vectorized numpy offsets.
+
+    ``cand_pdf`` (id_a, id_b rows, id_a < id_b by value) restricts the
+    output to a candidate pair set — the LSH verify semantics, where
+    only candidate pairs may be returned regardless of their true
+    Jaccard. Requires ``threshold > 0``: a candidate pair with zero
+    common shingles never enters the co-occurrence stream here, while
+    the join verify would emit it with jaccard 0.
 
     Produces the same (id_a, id_b, jaccard) rows as the PPJoin
     prefix-filter + array_intersect verify (the prefix filter is
@@ -552,6 +582,19 @@ def _jaccard_local(spark, occ_pdf, id_dtype, threshold: float):
     else:
         upk = np.empty(0, dtype=np.int64)
         n_int = np.empty(0, dtype=np.int64)
+    if cand_pdf is not None and n_ids > 0:
+        # restrict to the candidate pair set: map candidate ids to
+        # codes (ids absent from the occurrence rows have no shingles,
+        # hence no signature, hence cannot be candidates — dropped
+        # defensively) and keep only enumerated pairs in the set
+        ca_vals = cand_pdf["id_a"].to_numpy()
+        cb_vals = cand_pdf["id_b"].to_numpy()
+        ca = np.minimum(np.searchsorted(ids_u, ca_vals), n_ids - 1)
+        cb = np.minimum(np.searchsorted(ids_u, cb_vals), n_ids - 1)
+        ok = (ids_u[ca] == ca_vals) & (ids_u[cb] == cb_vals)
+        ckeys = np.unique(ca[ok].astype(np.int64) * n_ids + cb[ok])
+        keep = np.isin(upk, ckeys, assume_unique=False)
+        upk, n_int = upk[keep], n_int[keep]
     ia = upk // n_ids
     ib = upk % n_ids
     jac = n_int / (n_per_id[ia] + n_per_id[ib] - n_int)
@@ -674,7 +717,8 @@ def minhash_dedup_pairs(
     # invariant and the verify dedups in-aggregate, so the distinct
     # shuffle buys nothing here
     sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False).persist()
-    bcast = sh.count() <= BROADCAST_VERIFY_MAX_SHINGLE_ROWS
+    n_occ = sh.count()
+    bcast = n_occ <= BROADCAST_VERIFY_MAX_SHINGLE_ROWS
     # signatures persisted too: with a bucket_cap the banded frame is
     # consumed by the sizes job AND both sides of the bucket self-join —
     # caching the (n_docs x 16) signature frame keeps the 16-way min
@@ -684,7 +728,12 @@ def minhash_dedup_pairs(
         sigs, n_hashes, bands, bucket_cap=bucket_cap, stats=stats
     ).persist()
     pairs = jaccard_pairs(
-        sh, cand, threshold, broadcast_arrays=bcast
+        sh, cand, threshold, broadcast_arrays=bcast,
+        # driver verify: collect the persisted occurrence rows and the
+        # (LSH-bounded) candidate set, verify in numpy — identical
+        # restricted-verify rows, minus the array-table aggregation +
+        # broadcast + per-pair intersect stages
+        driver_verify=(n_occ <= DRIVER_JACCARD_MAX_OCC_ROWS and threshold > 0),
     ).localCheckpoint()
     sh.unpersist()
     sigs.unpersist()

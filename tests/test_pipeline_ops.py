@@ -294,6 +294,44 @@ def test_jaccard_driver_fast_path_identical_to_distributed(spark):
     assert got == 20 * 19 // 2
 
 
+def test_minhash_driver_verify_identical_to_join_verify(spark):
+    """minhash_dedup_pairs' driver-side numpy verify must return
+    exactly the rows of the broadcast-join verify (the LSH candidate
+    restriction is semantic: only candidate pairs may appear)."""
+    import random
+
+    from nadry_spark.operators import dedup as dedup_mod
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(35):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20)))))
+    for i in range(35, 50):
+        base = rows[i - 35][1].split()
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def run():
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup_mod.minhash_dedup_pairs(
+                df, "id", "text", shingle_n=2, n_hashes=16, bands=4,
+                threshold=0.4,
+            ).collect()
+        )
+
+    fast = run()
+    old = dedup_mod.DRIVER_JACCARD_MAX_OCC_ROWS
+    dedup_mod.DRIVER_JACCARD_MAX_OCC_ROWS = 0
+    try:
+        dist = run()
+    finally:
+        dedup_mod.DRIVER_JACCARD_MAX_OCC_ROWS = old
+    assert fast == dist and len(fast) > 0
+
+
 def test_prefix_filter_prunes_boilerplate(spark):
     """Docs sharing only a frequent boilerplate shingle never become
     candidates: the common shingle lands in every doc's suffix (global
