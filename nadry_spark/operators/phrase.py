@@ -75,9 +75,29 @@ def positions_long(positions: DataFrame) -> DataFrame:
 
 
 def phrase_match_docs(index: SegmentIndex, tokens: list[str]) -> DataFrame:
-    """doc_nos containing the exact consecutive same-field phrase."""
+    """doc_nos containing the exact consecutive same-field phrase.
+
+    Two physically different, row-identical shapes:
+
+    * **Fused kernel** (warm serving path): when the positions store
+      is pinned by ``warm()`` its cache partitions are whole shards
+      (explicit repartition by ``shard``), and doc-range sharding
+      puts every row of a doc in exactly one shard — so the entire
+      match (decode -> adj normalization -> per-(doc, field, adj)
+      distinct-offset count == n) runs inside ONE mapInPandas pass
+      with no exchange, and per-partition distinct doc_nos are
+      globally distinct. A raw parquet scan gives no such partition
+      guarantee (split packing can place row groups of one file in
+      different tasks at scale), so the fused form is gated on the
+      cache.
+    * **Join + aggregation** (scale path, unchanged): offset join,
+      groupBy (doc, field, adj), countDistinct(i) == n.
+    """
     spark = index.spark
     n = len(tokens)
+    if "positions" in getattr(index, "_cached", {}):
+        pos = index.positions.where(F.col("term").isin(sorted(set(tokens))))
+        return _phrase_match_fused(pos, tokens)
     # LocalRelation-backed (localrows): a createDataFrame list goes
     # through parallelize, so even this tiny broadcast input costs a
     # full task set to build
@@ -95,6 +115,69 @@ def phrase_match_docs(index: SegmentIndex, tokens: list[str]) -> DataFrame:
         .where(F.col("n_hit") == n)
     )
     return starts.select("doc_no").distinct()
+
+
+def _phrase_match_fused(pos: DataFrame, tokens: list[str]) -> DataFrame:
+    """One-pass phrase match over a doc-complete-partition positions
+    frame (see phrase_match_docs): same (doc, field, adj) distinct-i
+    count as the join form, vectorized per partition."""
+    import numpy as np
+    import pandas as pd
+
+    from nadry_spark.operators.codecs import decode_position_lists
+    from nadry_spark.sources.segments import _POS_FIELDS
+
+    n = len(tokens)
+    nf = len(_POS_FIELDS)
+    offs_of: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        offs_of.setdefault(t, []).append(i)
+
+    def gen(batches):
+        docs_p = []
+        field_p = []
+        adj_p = []
+        i_p = []
+        for pdf in batches:
+            terms = pdf["term"].to_numpy(dtype=object)
+            doc_nos = pdf["doc_no"].to_numpy(np.int64)
+            for f_code, (_field, ncol, bcol) in enumerate(_POS_FIELDS):
+                counts = pdf[ncol].to_numpy(dtype=np.int64)
+                if counts.sum() == 0:
+                    continue
+                posv = decode_position_lists(list(pdf[bcol]), counts).astype(
+                    np.int64
+                )
+                d_rep = np.repeat(doc_nos, counts)
+                t_rep = np.repeat(terms, counts)
+                for t, offs in offs_of.items():
+                    m = t_rep == t
+                    if not m.any():
+                        continue
+                    pm, dm = posv[m], d_rep[m]
+                    for i in offs:
+                        docs_p.append(dm)
+                        field_p.append(
+                            np.full(len(dm), f_code, dtype=np.int64)
+                        )
+                        adj_p.append(pm - i)
+                        i_p.append(np.full(len(dm), i, dtype=np.int64))
+        if docs_p:
+            d = np.concatenate(docs_p)
+            fc = np.concatenate(field_p)
+            adj = np.concatenate(adj_p) + np.int64(n)  # >= 1
+            iv = np.concatenate(i_p)
+            m1 = int(adj.max()) + 1
+            grp = (d * nf + fc) * m1 + adj
+            # distinct (group, i) then count distinct i per group
+            per_grp = np.unique(grp * n + iv) // n
+            uniq, cnt = np.unique(per_grp, return_counts=True)
+            matched = np.unique(uniq[cnt == n] // m1 // nf)
+        else:
+            matched = np.empty(0, dtype=np.int64)
+        yield pd.DataFrame({"doc_no": matched})
+
+    return pos.mapInPandas(gen, "doc_no long")
 
 
 def phrase_match_doc_ids(index, tokens: list[str]) -> DataFrame:

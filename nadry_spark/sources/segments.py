@@ -881,6 +881,9 @@ class SegmentIndex:
     # serving falls back to the cached-DataFrame jobs unchanged.
     TERMS_DICT_MAX = 5_000_000
     DOCMAP_DICT_MAX = 1_000_000
+    # serving-tier RAM budget for pinning the positions store (see
+    # warm()); deliberately a byte capacity, not a core/corpus tune
+    POSITIONS_CACHE_MAX_BYTES = 4 << 30
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -897,9 +900,23 @@ class SegmentIndex:
         they fit the driver gates above, the term dictionary and docmap
         in driver memory too. Returns self."""
         counts: dict[str, int] = {}
-        for name in ("terms", "blocks", "docmap"):
+        names = ["terms", "blocks", "docmap"]
+        # the positions store is the largest segment table — pin it
+        # only while it fits a serving-tier RAM budget (on-disk bytes,
+        # a capacity gate, not a local-core tune); past the gate the
+        # phrase/field paths keep their term-pruned parquet scans,
+        # which is the 100x shape (position stores live on SSD there)
+        pos_dir = os.path.join(self.path, "positions")
+        pos_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(pos_dir)
+            for f in files
+        )
+        if pos_bytes <= self.POSITIONS_CACHE_MAX_BYTES:
+            names.append("positions")
+        for name in names:
             df = getattr(self, name)
-            if name == "blocks":
+            if name in ("blocks", "positions"):
                 # cache the postings pre-clustered by shard: the
                 # directory-partitioned scan caches as many small
                 # splits whose per-partition scan overhead dominates
@@ -938,6 +955,8 @@ class SegmentIndex:
 
     @property
     def positions(self) -> DataFrame:
+        if "positions" in self._cached:
+            return self._cached["positions"]
         return self.spark.read.parquet(os.path.join(self.path, "positions"))
 
     @property
