@@ -325,19 +325,23 @@ def jaccard_pairs(
     (see _jaccard_local), distributed verify unchanged past the gate
     or when the enumerated pair bound trips."""
     if candidates is not None and driver_verify and threshold > 0:
-        out = _jaccard_local(
+        # per-pair sorted-set intersection (not the co-occurrence
+        # enumeration): the candidate set is already LSH-bounded, so
+        # O(pairs x set size) skips the O(sum df^2) enumeration that
+        # dominates on corpora with high-df shingles
+        out = _jaccard_local_cand(
             shingles.sparkSession,
             shingles.select("id", "shingle").toPandas(),
             shingles.schema["id"].dataType,
             threshold,
-            cand_pdf=candidates.select("id_a", "id_b").toPandas(),
+            candidates.select("id_a", "id_b").toPandas(),
         )
         if out is not None:
             return out
         _LOG.warning(
-            "jaccard_pairs: enumerated pair bound over %d — falling "
+            "jaccard_pairs: candidate pair bound over %d — falling "
             "back to the distributed verify",
-            DRIVER_JACCARD_MAX_PAIR_ROWS,
+            DRIVER_MINHASH_MAX_CAND_PAIRS,
         )
     if candidates is not None:
         # per-pair set intersection: join each candidate pair to the two
@@ -614,6 +618,217 @@ def _jaccard_local(spark, occ_pdf, id_dtype, threshold: float, cand_pdf=None):
     )
 
 
+# driver MinHash-LSH gates (on top of DRIVER_JACCARD_MAX_OCC_ROWS):
+# the signature computation hashes each DISTINCT shingle n_hashes
+# times driver-side (hashlib md5 ~0.5 us/call -> 16 x 500k = ~4 s
+# worst case) ...
+DRIVER_MINHASH_MAX_DISTINCT_SHINGLES = 500_000
+# ... and the per-pair verify loops over the LSH candidate pairs in
+# Python (~5 us/pair); past either bound the distributed pipeline
+# runs unchanged (the 100x shape).
+DRIVER_MINHASH_MAX_CAND_PAIRS = 2_000_000
+
+
+def _csr_distinct_shingles(id_code, sh_code, n_ids: int, n_sh: int):
+    """CSR view of the DISTINCT (id, shingle) pairs from occurrence
+    codes: returns (offsets, sorted shingle codes per id, per-id set
+    sizes). word_shingles(distinct=True) semantics — duplicates
+    collapse — matching the array_distinct the join verify applies."""
+    import numpy as np
+
+    key = np.unique(id_code.astype(np.int64) * n_sh + sh_code)
+    idx = (key // n_sh).astype(np.int64)
+    shx = (key % n_sh).astype(np.int64)
+    counts = np.bincount(idx, minlength=n_ids)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return offs, shx, counts
+
+
+def _jaccard_local_cand(spark, occ_pdf, id_dtype, threshold: float, cand_pdf):
+    """Driver-side CANDIDATE-RESTRICTED Jaccard verify: per-pair sorted
+    set intersection over the collected shingle occurrence rows — the
+    numpy mirror of the broadcast array_intersect verify, minus the
+    full co-occurrence enumeration :func:`_jaccard_local` pays (the
+    candidate set is already bounded by LSH, so O(pairs x set size)
+    beats O(sum df^2) whenever candidates are selective).
+
+    Identical rows to the join verify for ``threshold > 0`` (callers
+    gate on it): same distinct-set sizes, same int/(int+int-int)
+    double division, candidates with id_a >= id_b by value or ids
+    absent from the occurrence rows dropped exactly as
+    :func:`_jaccard_local`'s ckeys restriction drops them. Returns
+    None past ``DRIVER_MINHASH_MAX_CAND_PAIRS`` (caller falls back to
+    the distributed verify)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if len(cand_pdf) > DRIVER_MINHASH_MAX_CAND_PAIRS:
+        return None
+    ids_u, id_code = np.unique(occ_pdf["id"].to_numpy(), return_inverse=True)
+    sh_code, sh_uniq = pd.factorize(occ_pdf["shingle"])
+    n_ids = len(ids_u)
+    n_sh = len(sh_uniq)
+    offs, shx, counts = _csr_distinct_shingles(id_code, sh_code, n_ids, n_sh)
+    if n_ids and len(cand_pdf):
+        ca_vals = cand_pdf["id_a"].to_numpy()
+        cb_vals = cand_pdf["id_b"].to_numpy()
+        ca = np.minimum(np.searchsorted(ids_u, ca_vals), n_ids - 1)
+        cb = np.minimum(np.searchsorted(ids_u, cb_vals), n_ids - 1)
+        ok = (ids_u[ca] == ca_vals) & (ids_u[cb] == cb_vals) & (ca < cb)
+        keys = np.unique(ca[ok].astype(np.int64) * n_ids + cb[ok])
+        ca = (keys // n_ids).astype(np.int64)
+        cb = (keys % n_ids).astype(np.int64)
+    else:
+        ca = np.empty(0, dtype=np.int64)
+        cb = np.empty(0, dtype=np.int64)
+    n_int = np.empty(len(ca), dtype=np.int64)
+    for p in range(len(ca)):
+        a = ca[p]
+        b = cb[p]
+        n_int[p] = np.intersect1d(
+            shx[offs[a] : offs[a + 1]],
+            shx[offs[b] : offs[b + 1]],
+            assume_unique=True,
+        ).size
+    jac = n_int / (counts[ca] + counts[cb] - n_int) if len(ca) else n_int.astype(float)
+    if threshold > 0:
+        keep = jac >= threshold
+        ca, cb, jac = ca[keep], cb[keep], jac[keep]
+    schema = StructType(
+        [
+            StructField("id_a", id_dtype, True),
+            StructField("id_b", id_dtype, True),
+            StructField("jaccard", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"id_a": ids_u[ca], "id_b": ids_u[cb], "jaccard": jac}),
+        schema,
+    )
+
+
+def _minhash_local(
+    spark,
+    occ_pdf,
+    id_dtype,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+    bucket_cap: int | None,
+    stats: dict | None,
+):
+    """Full driver-side MinHash-LSH pipeline over collected shingle
+    OCCURRENCE rows — signatures, banding, hot-bucket skip, candidate
+    pairs and the restricted Jaccard verify in one numpy pass (the
+    components/pagerank fast-path precedent; gated by the caller on
+    the occurrence-row count and here on the distinct-shingle and
+    candidate-pair bounds; returns None past a gate so the distributed
+    pipeline runs unchanged).
+
+    Bit-identical to the distributed pipeline by construction:
+
+    * mh_i = min over the doc's DISTINCT shingles of
+      md5(str(i) + "|" + shingle) — hashlib md5 of the UTF-8 bytes ==
+      Spark ``md5()`` of the string (lowercase hex); the min is taken
+      on integer RANKS of the digests (ascending digest order == UTF-8
+      binary order == numpy U32 order for hex), a bijection, and mins
+      over the occurrence MULTISET equal mins over the set.
+    * band buckets: two docs share a (band, sig) bucket iff their
+      ``rows_per_band`` min-digests all match iff their min-ranks all
+      match — grouped on the int columns, no digest strings built.
+    * hot-bucket skip: same count-per-(band, sig) > cap rule, same
+      ``skipped_buckets`` / ``max_pairs_dropped`` stats and the same
+      warning the shared :func:`skip_hot_buckets` emits.
+    * pairs: per kept bucket all (id_a < id_b)-by-value pairs,
+      deduplicated across bands; verify via
+      :func:`_jaccard_local_cand` (identical restricted-verify rows).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    sh_code, sh_uniq = pd.factorize(occ_pdf["shingle"])
+    n_sh = len(sh_uniq)
+    if n_sh > DRIVER_MINHASH_MAX_DISTINCT_SHINGLES:
+        return None
+    ids_u, id_code = np.unique(occ_pdf["id"].to_numpy(), return_inverse=True)
+    n_ids = len(ids_u)
+    rows_per_band = n_hashes // bands
+    # group occurrence rows by doc once; per-hash mins via reduceat.
+    # sorted id_code groups enumerate codes 0..n_ids-1 in order, so
+    # group j IS doc code j and the min-rank arrays index by doc code.
+    order = np.argsort(id_code, kind="stable")
+    g_sh = sh_code[order]
+    g_id = id_code[order]
+    starts = (
+        np.flatnonzero(np.concatenate(([True], g_id[1:] != g_id[:-1])))
+        if n_ids
+        else np.empty(0, dtype=np.int64)
+    )
+    md5 = hashlib.md5
+    sh_bytes = [s.encode("utf-8") for s in sh_uniq]
+    min_ranks = np.empty((n_hashes, n_ids), dtype=np.int64)
+    for i in range(n_hashes):
+        pre = (str(i) + "|").encode()
+        digs = np.array([md5(pre + b).hexdigest() for b in sh_bytes], dtype="U32")
+        sort_idx = np.argsort(digs, kind="stable")
+        rank = np.empty(n_sh, dtype=np.int64)
+        rank[sort_idx] = np.arange(n_sh)
+        min_ranks[i] = (
+            np.minimum.reduceat(rank[g_sh], starts) if len(g_sh) else 0
+        )
+    skipped = 0
+    max_dropped = 0
+    total_pairs = 0
+    pair_parts = []
+    for b in range(bands):
+        cols = min_ranks[b * rows_per_band : (b + 1) * rows_per_band]
+        ord2 = np.lexsort(cols[::-1]) if n_ids else np.empty(0, dtype=np.int64)
+        diff = np.zeros(n_ids, dtype=bool)
+        if n_ids:
+            diff[0] = True
+        for c in cols:
+            cs = c[ord2]
+            diff[1:] |= cs[1:] != cs[:-1]
+        bstarts = np.flatnonzero(diff)
+        bends = np.concatenate((bstarts[1:], [n_ids])) if len(bstarts) else bstarts
+        sizes = bends - bstarts
+        if bucket_cap is not None:
+            hot = sizes > bucket_cap
+            skipped += int(hot.sum())
+            max_dropped += sum(int(n) * (int(n) - 1) // 2 for n in sizes[hot])
+            keep_mask = (sizes >= 2) & ~hot
+        else:
+            keep_mask = sizes >= 2
+        total_pairs += sum(int(n) * (int(n) - 1) // 2 for n in sizes[keep_mask])
+        if total_pairs > DRIVER_MINHASH_MAX_CAND_PAIRS:
+            return None
+        for s, e in zip(bstarts[keep_mask], bends[keep_mask]):
+            m = np.sort(ord2[s:e])
+            ii, jj = np.triu_indices(e - s, k=1)
+            pair_parts.append(m[ii].astype(np.int64) * n_ids + m[jj])
+    if pair_parts:
+        keys = np.unique(np.concatenate(pair_parts))
+    else:
+        keys = np.empty(0, dtype=np.int64)
+    if stats is not None and bucket_cap is not None:
+        stats["skipped_buckets"] = skipped
+        stats["max_pairs_dropped"] = max_dropped
+    if skipped:
+        _LOG.warning(
+            "%s: skipped %d hot buckets over cap=%d (up to %d candidate pairs dropped)",
+            "lsh_candidate_pairs", skipped, bucket_cap, max_dropped,
+        )
+    cand_pdf = pd.DataFrame(
+        {"id_a": ids_u[(keys // n_ids)], "id_b": ids_u[(keys % n_ids)]}
+        if n_ids
+        else {"id_a": [], "id_b": []}
+    )
+    return _jaccard_local_cand(spark, occ_pdf, id_dtype, threshold, cand_pdf)
+
+
 def ngram_jaccard_dups(
     df: DataFrame,
     id_col: str,
@@ -718,6 +933,31 @@ def minhash_dedup_pairs(
     # shuffle buys nothing here
     sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False).persist()
     n_occ = sh.count()
+    if n_occ <= DRIVER_JACCARD_MAX_OCC_ROWS and threshold > 0:
+        # full driver fast path: ONE Spark job (the shingle collect)
+        # replaces the signature aggregation (n_hashes md5s per
+        # occurrence row), the banding self-join + distinct and the
+        # hot-bucket sizes job — the collected rows were already the
+        # price of the driver verify. Stats/skip semantics identical
+        # (asserted in tests); falls back past the distinct-shingle /
+        # candidate-pair gates with the collect as sunk cost.
+        out = _minhash_local(
+            df.sparkSession,
+            sh.select("id", "shingle").toPandas(),
+            df.schema[id_col].dataType,
+            n_hashes,
+            bands,
+            threshold,
+            bucket_cap,
+            stats,
+        )
+        if out is not None:
+            sh.unpersist()
+            return out
+        _LOG.warning(
+            "minhash_dedup_pairs: driver LSH gates tripped — falling "
+            "back to the distributed pipeline"
+        )
     bcast = n_occ <= BROADCAST_VERIFY_MAX_SHINGLE_ROWS
     # signatures persisted too: with a bucket_cap the banded frame is
     # consumed by the sizes job AND both sides of the bucket self-join —

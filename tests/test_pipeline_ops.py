@@ -332,6 +332,85 @@ def test_minhash_driver_verify_identical_to_join_verify(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_minhash_driver_pipeline_parity_stats_and_string_ids(spark):
+    """The full driver LSH fast path (signatures + banding + hot-bucket
+    skip + restricted verify in numpy) must match the distributed
+    pipeline row-for-row AND stat-for-stat, including a tripped bucket
+    cap and string ids."""
+    import random
+
+    from nadry_spark.operators import dedup as dedup_mod
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        rows.append(
+            (f"doc_{i:03d}", " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18))))
+        )
+    for i in range(40, 55):  # near-dup partners
+        base = rows[i - 40][1].split()
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((f"doc_{i:03d}", " ".join(base)))
+    for i in range(55, 80):  # degenerate boilerplate -> hot buckets
+        rows.append((f"dup_{i:03d}", "same same same same same"))
+    df = spark.createDataFrame(rows, "id string, text string")
+
+    def run(cap):
+        stats: dict = {}
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup_mod.minhash_dedup_pairs(
+                df, "id", "text", shingle_n=2, n_hashes=16, bands=4,
+                threshold=0.3, bucket_cap=cap, stats=stats,
+            ).collect()
+        )
+        return got, stats
+
+    for cap in (10, 1000, None):
+        fast, fast_stats = run(cap)
+        old = dedup_mod.DRIVER_JACCARD_MAX_OCC_ROWS
+        dedup_mod.DRIVER_JACCARD_MAX_OCC_ROWS = 0
+        try:
+            dist, dist_stats = run(cap)
+        finally:
+            dedup_mod.DRIVER_JACCARD_MAX_OCC_ROWS = old
+        assert fast == dist, cap
+        assert fast_stats == dist_stats, cap
+        if cap == 10:
+            assert fast_stats["skipped_buckets"] >= 1
+        if cap == 1000:
+            assert len(fast) > 0
+
+
+def test_minhash_driver_gates_fall_back(spark):
+    """Tripping the distinct-shingle or candidate-pair gate must fall
+    back to the distributed pipeline with identical rows."""
+    from nadry_spark.operators import dedup as dedup_mod
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)],
+        "id long, text string",
+    )
+
+    def run():
+        return sorted(
+            map(tuple, dedup_mod.minhash_dedup_pairs(
+                df, "id", "text", threshold=0.5
+            ).collect())
+        )
+
+    base = run()
+    for attr in ("DRIVER_MINHASH_MAX_DISTINCT_SHINGLES", "DRIVER_MINHASH_MAX_CAND_PAIRS"):
+        old = getattr(dedup_mod, attr)
+        setattr(dedup_mod, attr, 0)
+        try:
+            assert run() == base, attr
+        finally:
+            setattr(dedup_mod, attr, old)
+    assert len(base) == 12 * 11 // 2  # identical docs all pair up
+
+
 def test_prefix_filter_prunes_boilerplate(spark):
     """Docs sharing only a frequent boilerplate shingle never become
     candidates: the common shingle lands in every doc's suffix (global

@@ -141,9 +141,16 @@ def test_warm_serving_fast_path_matches_join_path(spark, seg):
 
     idx, _, _ = seg
     warm = SegmentIndex(spark, idx.path).warm()
-    assert warm._docmap_dict is not None and warm._terms_dict is not None
-    for q in ("news report", "value sort", "zzz-missing"):
-        fast = [tuple(r) for r in bm25_topk(warm, q, k=5).collect()]
-        join = [tuple(r) for r in bm25_topk(idx, q, k=5).collect()]
-        assert fast == join, q
-        assert warm.term_stats(q.split()) == idx.term_stats(q.split())
+    try:
+        assert warm._docmap_dict is not None and warm._terms_dict is not None
+        for q in ("news report", "value sort", "zzz-missing"):
+            fast = [tuple(r) for r in bm25_topk(warm, q, k=5).collect()]
+            join = [tuple(r) for r in bm25_topk(idx, q, k=5).collect()]
+            assert fast == join, q
+            assert warm.term_stats(q.split()) == idx.term_stats(q.split())
+    finally:
+        # unpersist: the warm caches match `seg`-path reads session-wide
+        # (CacheManager keys on the plan), which would taint later
+        # plan-shape tests over the same parquet
+        for df in warm._cached.values():
+            df.unpersist()
