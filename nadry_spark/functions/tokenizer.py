@@ -92,22 +92,70 @@ def _apply_stemming(token: str) -> str:
     return _stem_cached(token)
 
 
+# full per-token decision memo for the tokenize() hot loop: raw token
+# -> stemmed output, or None when the length/stopword filters drop it.
+# Subsumes the stem memo for this path (same Zipf argument, same
+# bounded-reset discipline); the loop body collapses to one dict probe.
+_TOK_MEMO: dict[str, str | None] = {}
+
+
+def _token_result(tok: str) -> str | None:
+    """Steps 5-7 for one raw token (the loop body of the original
+    formulation, unchanged semantics: length filter, stopword filter
+    with the _email_/_num_ bypass, Porter2 for len > 3)."""
+    if not (2 <= len(tok) <= 50):
+        return None
+    if tok != "_email_" and tok != "_num_" and tok in STOP_WORDS:
+        return None
+    if len(tok) <= 3 or tok == "_email_" or tok == "_num_":
+        return tok
+    return stem(tok)
+
+
+_MISS = object()
+
+
 def tokenize(text: str | None) -> list[str]:
     """Full pipeline; returns [] for null/empty input (Tokenizer.java:31-33)."""
     if not text:
         return []
     text = unicodedata.normalize("NFC", text)
-    specials = extract_special_tokens(text)
-    processable = replace_special_tokens(text)
+    # one findall per pattern serves BOTH the special-token extraction
+    # (match order: emails, urls, numbers — Tokenizer.java:71-90) and
+    # the mask gate: a category with zero matches in the original text
+    # cannot match in the partially-masked text either (masks are
+    # word-character strings with no digits/dots/colons, so they never
+    # create an email/url/number match or a \b boundary), making its
+    # sub() a guaranteed no-op — skip the scan.
+    emails = EMAIL_PATTERN.findall(text)
+    urls = URL_PATTERN.findall(text)
+    nums = NUMBER_PATTERN.findall(text)
+    processable = text
+    if emails:
+        processable = EMAIL_PATTERN.sub("_EMAIL_", processable)
+    if urls:
+        processable = URL_PATTERN.sub("_URL_", processable)
+    if nums:
+        processable = NUMBER_PATTERN.sub("_NUM_", processable)
 
     raw_tokens = _TOKEN_RUN.findall(processable.lower())
 
     out: list[str] = []
+    append = out.append
+    memo = _TOK_MEMO
+    memo_get = memo.get
     for tok in raw_tokens:
-        if not (2 <= len(tok) <= 50):
-            continue
-        if tok != "_email_" and tok != "_num_" and tok in STOP_WORDS:
-            continue
-        out.append(_apply_stemming(tok))
-    out.extend(specials)
+        r = memo_get(tok, _MISS)
+        if r is _MISS:
+            if len(memo) >= _STEM_MEMO_MAX:
+                memo.clear()
+            r = memo[tok] = _token_result(tok)
+        if r is not None:
+            append(r)
+    for m in emails:
+        append("email:" + m.lower())
+    for m in urls:
+        append("url:" + m.lower())
+    for m in nums:
+        append("num:" + m)
     return out
