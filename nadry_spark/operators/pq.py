@@ -79,6 +79,14 @@ def pq_build(
     argmin expression per subspace is unchanged
     (:func:`~nadry_spark.operators.similarity._nearest_centroid_expr`
     over the same slice)."""
+    from nadry_spark.operators.similarity import _collect_vectors_local
+
+    loc = _collect_vectors_local(vectors, id_col, vec_col)
+    if loc is not None and len(loc["pdf"]):
+        return _pq_build_local(
+            vectors.sparkSession, vectors.schema[id_col].dataType, loc, m,
+            ksub, iters, id_col,
+        )
     first = vectors.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("pq_build: empty vector table")
@@ -124,6 +132,104 @@ def pq_build(
     return codes.localCheckpoint(), codebooks
 
 
+def _pq_build_local(spark, id_dtype, loc, m, ksub, iters, id_col):
+    """pq_build on a collected table (driver ANN fast-path family, see
+    operators/similarity): per-subspace codebooks via
+    :func:`~nadry_spark.operators.similarity._lloyd_local` (identical
+    seed/assignment/quantization rules), codes as a LOCAL long-form
+    frame carrying the arrays for downstream ADC calls."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from nadry_spark.operators.similarity import _lloyd_local
+
+    ids, V = loc["ids"], loc["V"]
+    n, d = V.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    order = np.argsort(ids, kind="stable")[:ksub]
+    codebooks = []
+    codes_mat = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        sub = V[:, s * d_sub : (s + 1) * d_sub]
+        sub_seeds = [
+            (i, [float(x) for x in V[order[i], s * d_sub : (s + 1) * d_sub]])
+            for i in range(len(order))
+        ]
+        assign, cents = _lloyd_local(ids, sub, sub_seeds, iters)
+        codebooks.append(cents)
+        codes_mat[:, s] = assign
+    pdf = pd.DataFrame(
+        {
+            id_col: np.repeat(ids, m),
+            "sub": np.tile(np.arange(m, dtype=np.int32), n),
+            "code": codes_mat.reshape(-1).astype(np.int32),
+        }
+    )
+    schema = StructType(
+        [
+            StructField(id_col, id_dtype, True),
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+        ]
+    )
+    codes_df = spark.createDataFrame(pdf, schema)
+    codes_df._nadry_local = {
+        "ids": ids, "V": V, "codes": codes_mat, "codebooks": codebooks,
+    }
+    return codes_df, codebooks
+
+
+def _adc_dists_local(local, codebooks, qv):
+    """round-9 ADC distance of every corpus row to one query vector:
+    per-subspace round-9 tables (sequential-fold squared distances),
+    summed in fixed s order like :func:`_adc_dist_expr`."""
+    import numpy as np
+
+    from nadry_spark.operators.similarity import _d2_round9
+
+    codes_mat = local["codes"]
+    n = codes_mat.shape[0]
+    d_sub = len(codebooks[0][0][1])
+    total = np.zeros(n, dtype=np.float64)
+    for s, cents in enumerate(codebooks):
+        Cs = np.array([c for _, c in cents], dtype=np.float64)
+        cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        qsub = np.asarray(qv, dtype=np.float64)[s * d_sub : (s + 1) * d_sub]
+        d2 = _d2_round9(qsub[None, :], Cs)[0]
+        total += d2[np.searchsorted(cids, codes_mat[:, s])]
+    return np.round(total, 9)
+
+
+def _pq_topk_rows_local(local, codebooks, qid, qv, k):
+    """Per-query ADC top-k (dist asc, id asc, self excluded)."""
+    import numpy as np
+
+    ids = local["ids"]
+    dist = _adc_dists_local(local, codebooks, qv)
+    mask = ids != qid
+    cand_ids = ids[mask]
+    order = np.lexsort((cand_ids, dist[mask]))[:k]
+    return [(qid, r + 1, cand_ids[i]) for r, i in enumerate(order)]
+
+
+def _pq_topk_frame(spark, rows, id_dtype):
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "neighbour_id"])
+    schema = StructType(
+        [
+            StructField("query_id", id_dtype, True),
+            StructField("rank", LongType(), False),
+            StructField("neighbour_id", id_dtype, True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def pq_topk(
     codes: DataFrame,
     codebooks: list,
@@ -135,7 +241,21 @@ def pq_topk(
     """(query_id, rank, neighbour_id) by ADC distance (asc, id-asc
     ties), self excluded. `queries` carries original vectors; the
     corpus side is codes only."""
-    from nadry_spark.operators.similarity import _sq_dist_sql
+    from nadry_spark.operators.similarity import (
+        _collect_vectors_local,
+        _sq_dist_sql,
+    )
+
+    local = getattr(codes, "_nadry_local", None)
+    if local is not None:
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        if qloc is not None:
+            rows = []
+            for qid, qv in zip(qloc["ids"].tolist(), qloc["V"]):
+                rows.extend(_pq_topk_rows_local(local, codebooks, qid, qv, k))
+            return _pq_topk_frame(
+                codes.sparkSession, rows, codes.schema[id_col].dataType
+            )
 
     d_sub = len(codebooks[0][0][1])
     # the whole m x ksub distance table in ONE scan of the query side
@@ -269,12 +389,24 @@ def pq_topk_batch(
     shape should never be picked silently for corpus x corpus
     linkage. Costless when ``stats`` is None (no counting jobs on
     the serving path)."""
+    from nadry_spark.operators.similarity import _collect_vectors_local
+
+    local = getattr(codes, "_nadry_local", None)
+    qloc = (
+        _collect_vectors_local(queries, id_col, vec_col)
+        if local is not None
+        else None
+    )
     if stats is not None:
         import logging
 
         m = len(codebooks)
-        n_corpus = codes.count() // max(1, m)
-        n_queries = queries.count()
+        if local is not None and qloc is not None:
+            n_corpus = len(local["ids"])
+            n_queries = len(qloc["ids"])
+        else:
+            n_corpus = codes.count() // max(1, m)
+            n_queries = queries.count()
         stats["corpus_rows"] = n_corpus
         stats["query_rows"] = n_queries
         stats["adc_pairs"] = n_corpus * n_queries
@@ -285,6 +417,13 @@ def pq_topk_batch(
                 "ivfpq_topk_batch (IVF-pruned ADC) instead",
                 n_corpus, n_queries, stats["adc_pairs"], warn_pairs,
             )
+    if local is not None and qloc is not None:
+        rows = []
+        for qid, qv in zip(qloc["ids"].tolist(), qloc["V"]):
+            rows.extend(_pq_topk_rows_local(local, codebooks, qid, qv, k))
+        return _pq_topk_frame(
+            codes.sparkSession, rows, codes.schema[id_col].dataType
+        )
     wide = pq_codes_wide(codes, id_col=id_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dtab_expr(codebooks, vec_col).alias("tabs")
@@ -336,7 +475,45 @@ def ivfpq_topk_batch(
     its centroid list; `codes`/`codebooks` from :func:`pq_build`.
     Returns (query_id, rank, neighbour_id) by ADC distance asc,
     id-asc ties, self excluded."""
-    from nadry_spark.operators.similarity import _centroid_probe_expr
+    from nadry_spark.operators.similarity import (
+        _centroid_probe_expr,
+        _collect_vectors_local,
+        _d2_round9,
+    )
+
+    a_local = getattr(assigned, "_nadry_local", None)
+    c_local = getattr(codes, "_nadry_local", None)
+    if a_local is not None and c_local is not None:
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        if qloc is not None:
+            import numpy as np
+
+            # align the coarse assignment to the codes table's row
+            # order by id (separate collects of the same table need
+            # not share an order)
+            a_ids, a_cid = a_local["ids"], a_local["cid"]
+            a_order = np.argsort(a_ids, kind="stable")
+            pos = np.searchsorted(a_ids[a_order], c_local["ids"])
+            pos = np.minimum(pos, len(a_ids) - 1)
+            row_cid = a_cid[a_order][pos]
+            matched = a_ids[a_order][pos] == c_local["ids"]
+            C = np.array([c for _, c in centroids], dtype=np.float64)
+            cent_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+            ids = c_local["ids"]
+            rows = []
+            for qid, qv in zip(qloc["ids"].tolist(), qloc["V"]):
+                d2 = _d2_round9(np.asarray(qv, dtype=np.float64)[None, :], C)[0]
+                probe = cent_ids[np.lexsort((cent_ids, d2))[:nprobe]]
+                mask = matched & np.isin(row_cid, probe) & (ids != qid)
+                dist = _adc_dists_local(c_local, codebooks, qv)
+                cand_ids = ids[mask]
+                order = np.lexsort((cand_ids, dist[mask]))[:k]
+                rows.extend(
+                    (qid, r + 1, cand_ids[i]) for r, i in enumerate(order)
+                )
+            return _pq_topk_frame(
+                codes.sparkSession, rows, codes.schema[id_col].dataType
+            )
 
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -394,7 +571,55 @@ def pq_rerank_topk(
     broadcast) — same rows either way (asserted in
     tests/test_pq_batch.py); use it when the query side is itself
     corpus-sized."""
-    from nadry_spark.operators.similarity import cosine
+    from nadry_spark.operators.similarity import (
+        _collect_vectors_local,
+        _seq_dot,
+        cosine,
+    )
+
+    local = getattr(codes, "_nadry_local", None)
+    if local is not None:
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        vloc = (
+            _collect_vectors_local(vectors, id_col, vec_col)
+            if qloc is not None
+            else None
+        )
+        if qloc is not None and vloc is not None:
+            import numpy as np
+
+            v_ids, Vv = vloc["ids"], vloc["V"]
+            v_order = np.argsort(v_ids, kind="stable")
+            v_ids_sorted = v_ids[v_order]
+            v_norms = (
+                np.sqrt(np.cumsum(Vv * Vv, axis=1)[:, -1])[v_order]
+                if len(v_ids)
+                else np.empty(0)
+            )
+            Vv_sorted = Vv[v_order] if len(v_ids) else Vv
+            rows = []
+            for qid, qv in zip(qloc["ids"].tolist(), qloc["V"]):
+                pool_rows = _pq_topk_rows_local(local, codebooks, qid, qv, pool)
+                cand_ids = np.array([r[2] for r in pool_rows])
+                # fetch the pool's ORIGINAL vectors (inner-join
+                # semantics: ids absent from `vectors` drop out)
+                pos = np.searchsorted(v_ids_sorted, cand_ids)
+                pos = np.minimum(pos, max(0, len(v_ids_sorted) - 1))
+                ok = (
+                    (v_ids_sorted[pos] == cand_ids)
+                    if len(v_ids_sorted)
+                    else np.zeros(len(cand_ids), dtype=bool)
+                )
+                cand_ids, pos = cand_ids[ok], pos[ok]
+                qv = np.asarray(qv, dtype=np.float64)
+                qn = np.sqrt(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
+                cos = _seq_dot(Vv_sorted[pos], qv) / (qn * v_norms[pos])
+                c9 = np.round(cos, 9)
+                order = np.lexsort((cand_ids, -c9))[:k]
+                rows.extend((qid, r + 1, cand_ids[i]) for r, i in enumerate(order))
+            return _pq_topk_frame(
+                codes.sparkSession, rows, codes.schema[id_col].dataType
+            )
 
     pool_fn = pq_topk_batch if batch else pq_topk
     cand = pool_fn(

@@ -325,6 +325,267 @@ def _nearest_centroid_expr(vec_col, centroids: list[tuple[int, list[float]]]):
     return F.expr(_nearest_centroid_sql(f"`{vec_col}`" if vec_col.isidentifier() else vec_col, centroids))
 
 
+# ---------------------------------------------------------------------------
+# driver fast paths for driver-sized vector tables (the CC/pagerank
+# precedent): the bench/serving embedding tables are thousands of rows,
+# where per-job scheduling dwarfs the vector math — collect once,
+# compute in numpy, return LOCAL frames. Every divergence-sensitive
+# quantity sits on the same quantization grids the distributed
+# expressions use (distances/cosines round 9, centroid means round 6,
+# deterministic (value, id) tie-breaks), and dot products/norms are
+# computed with np.cumsum — a strictly SEQUENTIAL accumulation, the
+# same left-fold order as the aggregate() expression, so raw cosine
+# values are bit-identical, not merely grid-identical. (np.round vs
+# the JVM's HALF_UP differs only for values landing exactly on a grid
+# midpoint — the accepted noise class ivf_topk's driver probe
+# selection already relies on.) Past the gates every function runs its
+# distributed shape unchanged — that, not the fast path, is what
+# survives a 100x corpus.
+# ---------------------------------------------------------------------------
+
+DRIVER_ANN_MAX_ROWS = 200_000
+DRIVER_ANN_MAX_CELLS = 16_000_000  # rows x dim
+
+
+def _collect_vectors_local(df: DataFrame, id_col: str, vec_col: str):
+    """Bounded collect of a vector table: ONE LIMIT-bounded job.
+    Returns {ids, V (n x d float64), pdf} or None past the gates
+    (too many rows/cells, or ragged vectors)."""
+    import numpy as np
+
+    pdf = df.limit(DRIVER_ANN_MAX_ROWS + 1).toPandas()
+    if len(pdf) > DRIVER_ANN_MAX_ROWS:
+        return None
+    if len(pdf) == 0:
+        return {"ids": np.empty(0, dtype=np.int64), "V": np.empty((0, 0)), "pdf": pdf}
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    if V.ndim != 2 or V.size > DRIVER_ANN_MAX_CELLS:
+        return None
+    return {"ids": pdf[id_col].to_numpy(), "V": V, "pdf": pdf}
+
+
+def _d2_round9(V, C):
+    """(n, k) matrix of round(||v - c||^2, 9) with the per-dimension
+    accumulation SEQUENTIAL (cumsum == the aggregate() left fold),
+    chunked so the (rows x k x d) intermediate stays bounded."""
+    import numpy as np
+
+    n, d = V.shape
+    k = C.shape[0]
+    out = np.empty((n, k), dtype=np.float64)
+    step = max(1, 4_000_000 // max(1, k * d))
+    for s in range(0, n, step):
+        diff = V[s : s + step, None, :] - C[None, :, :]
+        np.square(diff, out=diff)
+        out[s : s + step] = np.round(np.cumsum(diff, axis=-1)[..., -1], 9)
+    return out
+
+
+def _seq_dot(A, q):
+    """Row-wise dot(A[i], q) with sequential accumulation (bit-equal to
+    the zip_with/aggregate fold)."""
+    import numpy as np
+
+    if A.shape[0] == 0:
+        return np.empty(0, dtype=np.float64)
+    return np.cumsum(A * q[None, :], axis=1)[:, -1]
+
+
+def _seq_norms(A):
+    """Row-wise sqrt(sum v*v) with sequential accumulation."""
+    import numpy as np
+
+    if A.shape[0] == 0:
+        return np.empty(0, dtype=np.float64)
+    return np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+
+
+def _lloyd_local(ids, V, seed_centroids, iters: int):
+    """Deterministic Lloyd rounds in numpy — same recurrence as the
+    distributed loop: assignment by (round-9 distance, cid) argmin,
+    per-cid means on the 1e-6 grid, empty clusters dropped."""
+    import numpy as np
+
+    centroids = [(int(cid), [float(x) for x in cvec]) for cid, cvec in seed_centroids]
+    for _ in range(iters):
+        C = np.array([c for _, c in centroids], dtype=np.float64)
+        cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+        d2 = _d2_round9(V, C)
+        # columns are in cid-ascending order, argmin takes the first
+        # minimum -> (distance, cid) struct-min ties exactly
+        assign = cids[np.argmin(d2, axis=1)]
+        centroids = [
+            (
+                int(cid),
+                [float(x) for x in np.round(V[assign == cid].mean(axis=0), 6)],
+            )
+            for cid in np.unique(assign)
+        ]
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    assign = cids[np.argmin(_d2_round9(V, C), axis=1)]
+    return assign, centroids
+
+
+def _ivf_build_local(
+    spark, schema, loc, n_centroids: int, iters: int,
+    id_col: str, vec_col: str, seed_centroids,
+):
+    """ivf_build on a collected table: seeds from the n_centroids
+    smallest ids, :func:`_lloyd_local` rounds, and the assigned frame
+    reconstructed as a LOCAL DataFrame with the original schema + cid.
+    The collected arrays ride along on the frame (``_nadry_local``) so
+    downstream top-k calls in the same pipeline never re-collect."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ids, V, pdf = loc["ids"], loc["V"], loc["pdf"]
+    if seed_centroids is not None:
+        seeds = [(int(cid), [float(x) for x in cvec]) for cid, cvec in seed_centroids]
+    else:
+        order = np.argsort(ids, kind="stable")[:n_centroids]
+        seeds = [(i, [float(x) for x in V[order[i]]]) for i in range(len(order))]
+    assign, centroids = _lloyd_local(ids, V, seeds, iters)
+    out_pdf = pdf.copy()
+    out_pdf["cid"] = assign.astype(np.int32)
+    out_schema = StructType(list(schema.fields) + [StructField("cid", IntegerType(), True)])
+    assigned = spark.createDataFrame(out_pdf, out_schema)
+    assigned._nadry_local = {"ids": ids, "V": V, "cid": assign, "pdf": pdf}
+    return assigned, centroids
+
+
+def _topk_rows_local(qid, cand_ids, c9, cosines, k):
+    """Per-query top-k rows by (round-9 cosine desc, id asc)."""
+    import numpy as np
+
+    order = np.lexsort((cand_ids, -c9))[:k]
+    return [
+        (qid, r + 1, cand_ids[i], float(cosines[i]))
+        for r, i in enumerate(order)
+    ]
+
+
+def _ivf_topk_local(spark, local, centroids, queries, k, nprobe, id_dtype):
+    """ivf_topk over the build's collected arrays: probe selection,
+    bucket-restricted exact cosine, (round-9 desc, id asc) top-k — the
+    same quantization/tie rules as the distributed expressions, raw
+    cosines bit-equal via sequential accumulation. ``queries`` is an
+    iterable of (query_id, vector) pairs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    ids, V, cid = local["ids"], local["V"], local["cid"]
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    cent_ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    norms = _seq_norms(V)
+    rows = []
+    for qid, qv in queries:
+        qv = np.asarray(qv, dtype=np.float64)
+        d2 = _d2_round9(qv[None, :], C)[0]
+        probe = cent_ids[np.lexsort((cent_ids, d2))[:nprobe]]
+        mask = np.isin(cid, probe) & (ids != qid)
+        cand_ids = ids[mask]
+        A = V[mask]
+        qn = np.sqrt(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
+        cos = _seq_dot(A, qv) / (qn * norms[mask])
+        rows.extend(_topk_rows_local(qid, cand_ids, np.round(cos, 9), cos, k))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "neighbour_id", "cosine"])
+    out_schema = StructType(
+        [
+            StructField("query_id", id_dtype, True),
+            StructField("rank", IntegerType(), False),
+            StructField("neighbour_id", id_dtype, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
+def _cosine_dup_pairs_local(
+    spark, loc, threshold, dims, bucket_cap, stats, id_dtype,
+):
+    """cosine_dup_pairs on a collected table: sign buckets, the same
+    hot-bucket skip rule/stats/warning as ``dedup.skip_hot_buckets``,
+    per-bucket (id_a < id_b by value) pairs and bit-equal raw cosines
+    (sequential accumulation). Returns None when the kept-bucket pair
+    count explodes (degenerate orthant past the cap=None guard) so the
+    caller falls back to the distributed join."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ids, V = loc["ids"], loc["V"]
+    n = len(ids)
+    out_schema = StructType(
+        [
+            StructField("id_a", id_dtype, True),
+            StructField("id_b", id_dtype, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame(
+            pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}), out_schema
+        )
+    bits = np.where(V[:, dims] >= 0, "1", "0")
+    buckets = np.array(["".join(row) for row in bits])
+    codes, _uniq = pd.factorize(buckets)
+    counts = np.bincount(codes)
+    skipped = int((counts > bucket_cap).sum()) if bucket_cap is not None else 0
+    if bucket_cap is not None:
+        hot = counts > bucket_cap
+        max_dropped = sum(int(c) * (int(c) - 1) // 2 for c in counts[hot])
+        if stats is not None:
+            stats["skipped_buckets"] = skipped
+            stats["max_pairs_dropped"] = max_dropped
+        if skipped:
+            logging.getLogger("nadry_spark.similarity").warning(
+                "%s: skipped %d hot buckets over cap=%d (up to %d candidate pairs dropped)",
+                "cosine_dup_pairs", skipped, bucket_cap, max_dropped,
+            )
+        keep = (counts >= 2) & ~hot
+    else:
+        keep = counts >= 2
+    if sum(int(c) * (int(c) - 1) // 2 for c in counts[keep]) > 20_000_000:
+        return None
+    order = np.argsort(codes, kind="stable")
+    bc = codes[order]
+    bstarts = np.flatnonzero(np.concatenate(([True], bc[1:] != bc[:-1])))
+    bends = np.concatenate((bstarts[1:], [n]))
+    norms = _seq_norms(V)
+    ia_parts, ib_parts = [], []
+    for s, e in zip(bstarts, bends):
+        if not keep[bc[s]]:
+            continue
+        # value-order the members so (m[i], m[j]) i<j is id_a < id_b
+        members = order[s:e]
+        members = members[np.argsort(ids[members], kind="stable")]
+        ii, jj = np.triu_indices(e - s, k=1)
+        ia_parts.append(members[ii])
+        ib_parts.append(members[jj])
+    if ia_parts:
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        prods = V[ia] * V[ib]
+        cos = np.cumsum(prods, axis=1)[:, -1] / (norms[ia] * norms[ib])
+        keep_m = np.round(cos, 9) >= threshold
+        ia, ib, cos = ia[keep_m], ib[keep_m], cos[keep_m]
+    else:
+        ia = np.empty(0, dtype=np.int64)
+        ib = np.empty(0, dtype=np.int64)
+        cos = np.empty(0, dtype=np.float64)
+    return spark.createDataFrame(
+        pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cosine": cos}),
+        out_schema,
+    )
+
+
 def ivf_build(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -346,6 +607,12 @@ def ivf_build(
     subspaces) skip the seed-collect job; values must equal what the
     default path would collect.
     """
+    loc = _collect_vectors_local(vectors, id_col, vec_col)
+    if loc is not None and len(loc["pdf"]):
+        return _ivf_build_local(
+            vectors.sparkSession, vectors.schema, loc, n_centroids, iters,
+            id_col, vec_col, seed_centroids,
+        )
     if seed_centroids is not None:
         centroids = [(cid, [float(x) for x in cvec]) for cid, cvec in seed_centroids]
     else:
@@ -406,6 +673,19 @@ def ivf_topk(
     import numpy as np
     from pyspark.sql import Window
 
+    local = getattr(assigned, "_nadry_local", None)
+    if local is not None:
+        # the build ran driver-side (its collected arrays ride on the
+        # frame): score in numpy, zero extra corpus jobs — queries are
+        # collected either way on this serving path
+        qpairs = [
+            (r[id_col], r[vec_col])
+            for r in queries.select(id_col, vec_col).collect()
+        ]
+        return _ivf_topk_local(
+            assigned.sparkSession, local, centroids, qpairs, k, nprobe,
+            assigned.schema[id_col].dataType,
+        )
     qrows = queries.select(id_col, vec_col).collect()
     cmat = np.array([c for _, c in centroids], dtype=np.float64)
     probe_rows = []
@@ -486,6 +766,18 @@ def ivf_topk_batch(
     expressions as ivf_topk."""
     from pyspark.sql import Window
 
+    local = getattr(assigned, "_nadry_local", None)
+    if local is not None:
+        # build was driver-sized; a bounded collect gates the query
+        # side (corpus-sized query tables fall through to the
+        # distributed join below)
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        if qloc is not None:
+            return _ivf_topk_local(
+                assigned.sparkSession, local, centroids,
+                zip(qloc["ids"].tolist(), qloc["V"]), k, nprobe,
+                assigned.schema[id_col].dataType,
+            )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -536,6 +828,14 @@ def cosine_dup_pairs(
     from nadry_spark.operators.dedup import skip_hot_buckets
 
     dims = dims or [0, 1, 2, 3, 4, 5]
+    loc = _collect_vectors_local(vectors, id_col, vec_col)
+    if loc is not None:
+        out = _cosine_dup_pairs_local(
+            vectors.sparkSession, loc, threshold, dims, bucket_cap, stats,
+            vectors.schema[id_col].dataType,
+        )
+        if out is not None:
+            return out
     # localCheckpoint: the projection feeds the (eager) hot-bucket cap
     # sweep AND both sides of the self-join — unchecked it would be
     # recomputed ~3×, and checkpoint severs the lineage so the executor
