@@ -59,6 +59,18 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    vloc = _collect_vectors_local(vectors, id_col, vec_col)
+    if vloc is not None:
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        if qloc is not None:
+            import numpy as np
+
+            all_mask = np.ones(len(vloc["ids"]), dtype=bool)
+            return _cosine_topk_local(
+                vectors.sparkSession, vloc,
+                zip(qloc["ids"].tolist(), qloc["V"]), k,
+                vectors.schema[id_col].dataType, lambda qid, qv: all_mask,
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -137,6 +149,26 @@ def lsh_topk(
     from pyspark.sql import Window
 
     dims = dims or [0, 1, 2, 3, 4, 5]
+    vloc = _collect_vectors_local(vectors, id_col, vec_col)
+    if vloc is not None:
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        if qloc is not None:
+            import numpy as np
+
+            vcodes = _sign_codes(vloc["V"], dims)
+
+            def cand(qid, qv):
+                qc = int(_sign_codes(qv[None, :], dims)[0])
+                probes = [qc] + (
+                    [qc ^ (1 << j) for j in range(len(dims))] if multiprobe else []
+                )
+                return np.isin(vcodes, probes)
+
+            return _cosine_topk_local(
+                vectors.sparkSession, vloc,
+                zip(qloc["ids"].tolist(), qloc["V"]), k,
+                vectors.schema[id_col].dataType, cand,
+            )
     if multiprobe:
         q = queries.select(
             F.col(id_col).alias("query_id"),
@@ -210,6 +242,31 @@ def lsh_topk_multi(
         [12, 13, 14, 15, 16, 17],
         [18, 19, 20, 21, 22, 23],
     ]
+    vloc = _collect_vectors_local(vectors, id_col, vec_col)
+    if vloc is not None:
+        qloc = _collect_vectors_local(queries, id_col, vec_col)
+        if qloc is not None:
+            import numpy as np
+
+            per_table = [_sign_codes(vloc["V"], dims) for dims in tables]
+
+            def cand(qid, qv):
+                mask = np.zeros(len(vloc["ids"]), dtype=bool)
+                for t, dims in enumerate(tables):
+                    qc = int(_sign_codes(qv[None, :], dims)[0])
+                    probes = [qc] + (
+                        [qc ^ (1 << j) for j in range(len(dims))]
+                        if multiprobe
+                        else []
+                    )
+                    mask |= np.isin(per_table[t], probes)
+                return mask
+
+            return _cosine_topk_local(
+                vectors.sparkSession, vloc,
+                zip(qloc["ids"].tolist(), qloc["V"]), k,
+                vectors.schema[id_col].dataType, cand,
+            )
     # ONE scan per side for ALL tables: tag each table's bucket string
     # with its table index and explode — the per-table union formulation
     # rescanned the vector side once per table (and the query side once
@@ -503,6 +560,52 @@ def _ivf_topk_local(spark, local, centroids, queries, k, nprobe, id_dtype):
         ]
     )
     return spark.createDataFrame(out, out_schema)
+
+
+def _cosine_topk_local(spark, vloc, qpairs, k, id_dtype, cand_fn):
+    """Shared driver kernel for the bucket/brute cosine top-k family:
+    ``cand_fn(qid, qv) -> bool mask`` names each query's candidate rows
+    (before self-exclusion); scoring/ranking is the common contract —
+    raw cosine (sequential accumulation, bit-equal to the fold),
+    (round-9 desc, id asc) row_number, top k, self excluded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    ids, V = vloc["ids"], vloc["V"]
+    norms = _seq_norms(V)
+    rows = []
+    for qid, qv in qpairs:
+        qv = np.asarray(qv, dtype=np.float64)
+        mask = cand_fn(qid, qv) & (ids != qid)
+        cand_ids = ids[mask]
+        qn = np.sqrt(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
+        cos = _seq_dot(V[mask], qv) / (qn * norms[mask])
+        rows.extend(_topk_rows_local(qid, cand_ids, np.round(cos, 9), cos, k))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "neighbour_id", "cosine"])
+    schema = StructType(
+        [
+            StructField("query_id", id_dtype, True),
+            StructField("rank", IntegerType(), False),
+            StructField("neighbour_id", id_dtype, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _sign_codes(V, dims):
+    """Pack the sign bits of ``dims`` (v >= 0, NaN -> 0 — exactly the
+    string bucket's predicate) into one int per row; bit j = dims[j]."""
+    import numpy as np
+
+    bits = V[:, dims] >= 0
+    codes = np.zeros(len(V), dtype=np.int64)
+    for j in range(len(dims)):
+        codes |= bits[:, j].astype(np.int64) << j
+    return codes
 
 
 def _cosine_dup_pairs_local(

@@ -106,6 +106,37 @@ def test_pq_family_parity(spark, vecs, monkeypatch, iters):
     assert f_rerank == d_rerank
 
 
+@pytest.mark.parametrize("multiprobe", [True, False])
+def test_lsh_and_brute_parity(spark, vecs, monkeypatch, multiprobe):
+    from nadry_spark.operators import similarity as sim
+
+    queries = vecs.where(F.col("vec_id") < 4)
+
+    def run():
+        return (
+            _rows(sim.brute_force_topk(vecs, queries, k=5)),
+            _rows(
+                sim.lsh_topk(
+                    vecs, queries, k=5, dims=[0, 1, 2, 3],
+                    multiprobe=multiprobe,
+                )
+            ),
+            _rows(
+                sim.lsh_topk_multi(
+                    vecs, queries, k=5,
+                    tables=[[0, 1, 2], [3, 4, 5]], multiprobe=multiprobe,
+                )
+            ),
+        )
+
+    f_bf, f_lsh, f_multi = run()
+    _force_distributed(monkeypatch)
+    d_bf, d_lsh, d_multi = run()
+    assert f_bf == d_bf and len(f_bf) > 0
+    assert f_lsh == d_lsh
+    assert f_multi == d_multi and len(f_multi) > 0
+
+
 def test_ivfpq_parity(spark, vecs, monkeypatch):
     from nadry_spark.operators import pq as pqm
     from nadry_spark.operators import similarity as sim
