@@ -138,7 +138,31 @@ def _merges_from_vocab(
     lft asc, rgt asc), greedy left-to-right non-overlapping merge
     application.  Used by :func:`bpe_merges_local`; equality with the
     per-step Spark path is asserted in tests/test_bpe.py."""
-    words: list[tuple[list[str], int]] = [(list(w), c) for w, c in vocab]
+    return _merges_and_words_from_vocab([(list(w), c) for w, c in vocab], n_merges)[0]
+
+
+def _apply_merge_inplace(words: list, lft: str, rgt: str) -> None:
+    """Greedy left-to-right non-overlapping (lft, rgt) merge over the
+    in-memory symbol lists — the Python mirror of :func:`_apply_merge`."""
+    merged = lft + rgt
+    for wi, (syms, c) in enumerate(words):
+        i, new = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                new.append(merged)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        words[wi] = (new, c)
+
+
+def _merges_and_words_from_vocab(
+    words: list, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list]:
+    """Merge loop over pre-split symbol lists; returns (merge table,
+    final symbol lists) so encode consumers read the post-merge
+    segmentation without re-applying the chain."""
     out: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         counts: dict[tuple[str, str], int] = {}
@@ -152,18 +176,24 @@ def _merges_from_vocab(
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         out.append((step, lft, rgt, best))
-        merged = lft + rgt
-        for wi, (syms, c) in enumerate(words):
-            i, new = 0, []
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
-                    new.append(merged)
-                    i += 2
-                else:
-                    new.append(syms[i])
-                    i += 1
-            words[wi] = (new, c)
-    return out
+        _apply_merge_inplace(words, lft, rgt)
+    return out, words
+
+
+# driver gate for the in-memory merge loop: the vocabulary (distinct
+# lowercase words + counts) must fit the driver — ~2M rows is tens of
+# MB; a LIMIT-bounded collect means a beyond-driver vocabulary falls
+# through to the distributed per-merge loop without a full collect
+DRIVER_BPE_MAX_VOCAB = 2_000_000
+
+
+def _collect_vocab_bounded(docs: DataFrame, text_col: str):
+    """(word, cnt) vocabulary if it fits ``DRIVER_BPE_MAX_VOCAB``,
+    else None (one bounded job either way)."""
+    rows = word_counts(docs, text_col).limit(DRIVER_BPE_MAX_VOCAB + 1).collect()
+    if len(rows) > DRIVER_BPE_MAX_VOCAB:
+        return None
+    return [(r["word"], int(r["cnt"])) for r in rows]
 
 
 def bpe_merges_local(
@@ -202,12 +232,19 @@ def bpe_merges(
     (fewer rows) if the vocabulary runs out of adjacent pairs.
 
     This is the fully-distributed formulation (vocabulary never leaves
-    the cluster; one vocab-sized Spark job per merge).  When the
-    vocabulary fits on the driver — the common case, and what every
-    production BPE trainer assumes — :func:`bpe_merges_local` learns
-    the identical table with ONE Spark job.
+    the cluster; one vocab-sized Spark job per merge); driver-sized
+    vocabularies (the common case, and what every production BPE
+    trainer assumes) take the :func:`bpe_merges_local` in-memory loop
+    via a LIMIT-bounded collect gate — identical table (asserted in
+    tests/test_bpe.py), ONE Spark job instead of one per merge.
     """
     spark = docs.sparkSession
+    vocab = _collect_vocab_bounded(docs, text_col)
+    if vocab is not None:
+        return spark.createDataFrame(
+            _merges_from_vocab(vocab, n_merges),
+            "step int, lft string, rgt string, pair_count long",
+        )
     # localCheckpoint per step: caps the k-step window/join lineage so
     # step k never replays all earlier merges; vocab-sized, cheap
     long_df = _long_form(word_counts(docs, text_col)).localCheckpoint()
@@ -248,6 +285,50 @@ def bpe_encode_stats(
     Everything stays vocab-sized until the final join: the merged long
     form collapses to (word, n_sub) and joins the corpus word stream —
     no per-doc re-segmentation of repeated words."""
+    spark = docs.sparkSession
+    vocab = _collect_vocab_bounded(docs, text_col)
+    if vocab is not None:
+        # driver fast path: learn (or apply) the merge chain in memory
+        # over the collected vocabulary — the final symbol lists ARE
+        # the segmentation, so n_sub per word falls out without the k
+        # checkpointed merge applications; ONE corpus-sized job remains
+        # (the word-stream join below). Identical n_sub values
+        # (asserted in tests/test_bpe.py).
+        words = [(list(w), c) for w, c in vocab]
+        if merges is None:
+            _table, words = _merges_and_words_from_vocab(words, n_merges)
+        else:
+            for lft, rgt in merges:
+                _apply_merge_inplace(words, lft, rgt)
+        # a word is the concatenation of its (possibly merged) symbols;
+        # Arrow-backed pandas frame (no parallelize task set — the
+        # localrows measured boundary: VALUES loses past ~100 rows)
+        import pandas as pd
+
+        if words:
+            n_sub = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "word": ["".join(sy) for sy, _c in words],
+                        "n_sub": [len(sy) for sy, _c in words],
+                    }
+                ),
+                "word string, n_sub long",
+            )
+        else:
+            n_sub = spark.createDataFrame([], "word string, n_sub long")
+        docw = docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"),
+        ).where(F.col("word") != "")
+        return (
+            docw.join(F.broadcast(n_sub), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_words"),
+                F.sum("n_sub").alias("n_subwords"),
+            )
+        )
     long_df = _long_form(word_counts(docs, text_col)).localCheckpoint()
     if merges is None:
         for _ in range(n_merges):

@@ -177,3 +177,24 @@ def test_bpe_segment_applies_in_order(spark, texts):
     got = {r["word"]: r["tokens"].split(" ") for r in seg.collect()}
     _, want_words = _ref_bpe(texts, 6)
     assert got == want_words
+
+
+def test_bpe_driver_gate_falls_back_identically(spark, texts, monkeypatch):
+    """The LIMIT-bounded vocab gate: zeroing it must force the
+    distributed per-merge loop with an identical merge table and
+    identical encode stats."""
+    from nadry_spark.operators import bpe as bpe_mod
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def run():
+        m = sorted(map(tuple, bpe_mod.bpe_merges(docs, n_merges=4).collect()))
+        e = sorted(map(tuple, bpe_mod.bpe_encode_stats(docs, n_merges=4).collect()))
+        return m, e
+
+    fast = run()
+    monkeypatch.setattr(bpe_mod, "DRIVER_BPE_MAX_VOCAB", 0)
+    dist = run()
+    assert fast == dist and len(fast[0]) == 4
